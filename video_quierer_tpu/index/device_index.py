@@ -1,0 +1,325 @@
+"""HBM-resident video frame index with exact cosine top-k search.
+
+TPU-native replacement for the reference's ``SimpleVideoIndex``
+(video_search_overhaul.py:23-106). Same public behavior — ``add_frame`` /
+``search`` / ``save_to_disk`` / ``load_from_disk`` with the identical result
+schema ``{video_name, timestamp, frame_id, score}`` and the bit-compatible
+pickle cache format ``{'embeddings': [f32 (D,)...], 'metadata': [...],
+'video_hashes': {...}, 'version': '1.0'}`` — but a different design:
+
+- Embeddings live as ONE dense, capacity-padded ``[N_pad, D]`` f32 matrix.
+  On device it stays resident in HBM between queries; the reference instead
+  re-materialized the matrix with ``np.vstack`` on EVERY query
+  (video_search_overhaul.py:46).
+- Metadata lives in parallel host-side columnar arrays (video-id table +
+  int32 ids, f64 timestamps, int64 frame ids) instead of a list of dicts.
+- Appends go to the host matrix and are streamed to the device with
+  ``dynamic_update_slice`` on the next search (no full re-upload); capacity
+  growth is amortized doubling in BLOCK_ROWS-aligned chunks.
+- Deletes compact the host arrays and trigger a device refresh (the
+  reference also rewrites its lists on delete, routes.py:747-762).
+- Search = fused matmul + top-k scan (ops/topk.py), descending-stable.
+
+Query normalization matches the reference exactly: ``q / (||q|| + 1e-10)``
+(video_search_overhaul.py:49-50); matrix rows are stored as given (CLIP
+embeddings arrive pre-normalized, video_search_overhaul.py:226).
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_quierer_tpu.ops.topk import BLOCK_ROWS, MAX_K, cosine_topk
+
+logger = logging.getLogger(__name__)
+
+EMBED_DIM = 512
+# Capacity granularity: multiple of the Pallas scan block.
+_CHUNK = 8 * BLOCK_ROWS  # 4096 rows
+
+CACHE_VERSION = "1.0"
+
+
+def _round_capacity(n: int) -> int:
+    return max(_CHUNK, -(-n // _CHUNK) * _CHUNK)
+
+
+class DeviceVideoIndex:
+    """Exact-scan frame index, host-authoritative with a device mirror."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
+        self.video_hashes: Dict[str, str] = {}
+        self._reset_storage()
+
+    # ------------------------------------------------------------------
+    # Host-side storage
+    # ------------------------------------------------------------------
+
+    def _reset_storage(self) -> None:
+        cap = _CHUNK
+        self._emb = np.zeros((cap, self.dim), dtype=np.float32)
+        self._video_ids = np.zeros(cap, dtype=np.int32)
+        self._timestamps = np.zeros(cap, dtype=np.float64)
+        self._frame_ids = np.zeros(cap, dtype=np.int64)
+        self._count = 0
+        self._video_names: List[str] = []
+        self._video_name_to_id: Dict[str, int] = {}
+        # device mirror state
+        self._device_emb: Optional[jax.Array] = None
+        self._device_rows = 0      # rows synced to device
+        self._device_cap = 0       # capacity of the device mirror
+
+    def _ensure_capacity(self, n: int) -> None:
+        cap = self._emb.shape[0]
+        if n <= cap:
+            return
+        new_cap = _round_capacity(max(n, cap * 2))
+        for name in ("_emb", "_video_ids", "_timestamps", "_frame_ids"):
+            old = getattr(self, name)
+            shape = (new_cap,) + old.shape[1:]
+            new = np.zeros(shape, dtype=old.dtype)
+            new[: self._count] = old[: self._count]
+            setattr(self, name, new)
+
+    def _video_id(self, video_name: str) -> int:
+        vid = self._video_name_to_id.get(video_name)
+        if vid is None:
+            vid = len(self._video_names)
+            self._video_names.append(video_name)
+            self._video_name_to_id[video_name] = vid
+        return vid
+
+    # ------------------------------------------------------------------
+    # Public mutation API (reference parity + batched fast path)
+    # ------------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._count
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    def video_names(self) -> List[str]:
+        """Unique video names present in the index, insertion-ordered."""
+        live = set(self._video_ids[: self._count].tolist())
+        return [n for i, n in enumerate(self._video_names) if i in live]
+
+    def add_frame(self, embedding: np.ndarray, video_name: str,
+                  timestamp: float) -> None:
+        """Append one frame (ref: video_search_overhaul.py:31-38)."""
+        self.add_batch(np.asarray(embedding, np.float32)[None, :], video_name,
+                       [timestamp])
+
+    def add_batch(self, embeddings: np.ndarray, video_name: str,
+                  timestamps: Sequence[float]) -> None:
+        """Append a batch of frames for one video (device-friendly path)."""
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        if embeddings.ndim != 2 or embeddings.shape[1] != self.dim:
+            raise ValueError(
+                f"expected [n, {self.dim}] embeddings, got {embeddings.shape}")
+        n = embeddings.shape[0]
+        if n != len(timestamps):
+            raise ValueError("timestamps length mismatch")
+        if n == 0:
+            return
+        self._ensure_capacity(self._count + n)
+        lo, hi = self._count, self._count + n
+        self._emb[lo:hi] = embeddings
+        self._video_ids[lo:hi] = self._video_id(video_name)
+        self._timestamps[lo:hi] = np.asarray(timestamps, np.float64)
+        # frame_id = insertion position, as in the reference
+        # (video_search_overhaul.py:37: len(embeddings) - 1 at append time).
+        self._frame_ids[lo:hi] = np.arange(lo, hi, dtype=np.int64)
+        self._count = hi
+
+    def remove_video(self, video_name: str) -> int:
+        """Drop all frames of a video, compacting rows.
+
+        Mirrors the delete behavior of routes.py:747-762 (embeddings popped,
+        metadata filtered; surviving rows keep their original frame_id).
+        Returns the number of rows removed.
+        """
+        vid = self._video_name_to_id.get(video_name)
+        if vid is None:
+            return 0
+        keep = self._video_ids[: self._count] != vid
+        removed = int((~keep).sum())
+        if removed:
+            n = int(keep.sum())
+            for name in ("_emb", "_video_ids", "_timestamps", "_frame_ids"):
+                arr = getattr(self, name)
+                arr[:n] = arr[: self._count][keep]
+            self._count = n
+            self._device_rows = 0  # force a refresh of the mirror
+        self.video_hashes.pop(video_name, None)
+        return removed
+
+    def clear(self) -> None:
+        self.video_hashes = {}
+        self._reset_storage()
+
+    # ------------------------------------------------------------------
+    # Device mirror
+    # ------------------------------------------------------------------
+
+    def _sync_device(self) -> jax.Array:
+        """Bring the device mirror up to date; returns the device matrix."""
+        cap = self._emb.shape[0]
+        if self._device_emb is None or self._device_cap != cap \
+                or self._device_rows > self._count:
+            # capacity change or compaction → full upload
+            self._device_emb = jnp.asarray(self._emb)
+            self._device_cap = cap
+            self._device_rows = self._count
+        elif self._device_rows < self._count:
+            lo, hi = self._device_rows, self._count
+            self._device_emb = jax.lax.dynamic_update_slice(
+                self._device_emb, jnp.asarray(self._emb[lo:hi]),
+                (lo, 0))
+            self._device_rows = self._count
+        return self._device_emb
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def normalize_query(query: np.ndarray) -> np.ndarray:
+        """Reference query normalization (video_search_overhaul.py:49-50)."""
+        q = np.asarray(query, np.float32)
+        return q / (np.linalg.norm(q) + 1e-10)
+
+    def search(self, query_embedding: np.ndarray, k: int = 5) -> List[Dict]:
+        """Top-k cosine scan; result schema matches the reference
+        (video_search_overhaul.py:40-64)."""
+        return self.search_batch(np.asarray(query_embedding)[None, :], k)[0]
+
+    def search_batch(self, queries: np.ndarray, k: int = 5
+                     ) -> List[List[Dict]]:
+        """Batched search: one device pass for B queries."""
+        if self._count == 0:
+            return [[] for _ in range(len(queries))]
+        k = max(1, min(int(k), MAX_K))
+        q = np.stack([self.normalize_query(r) for r in np.asarray(queries)])
+        emb = self._sync_device()
+        vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
+        vals = np.asarray(vals)
+        idxs = np.asarray(idxs)
+        out: List[List[Dict]] = []
+        for b in range(vals.shape[0]):
+            rows: List[Dict] = []
+            for score, idx in zip(vals[b], idxs[b]):
+                if not np.isfinite(score):
+                    continue
+                idx = int(idx)
+                rows.append({
+                    "video_name": self._video_names[self._video_ids[idx]],
+                    "timestamp": float(self._timestamps[idx]),
+                    "frame_id": int(self._frame_ids[idx]),
+                    "score": float(score),
+                })
+            out.append(rows)
+        return out
+
+    # ------------------------------------------------------------------
+    # Persistence — pickle v1.0 parity (video_search_overhaul.py:66-106)
+    # ------------------------------------------------------------------
+
+    def to_cache_dict(self) -> Dict:
+        """Reconstruct the exact reference pickle payload."""
+        emb_list = [self._emb[i].copy() for i in range(self._count)]
+        metadata = [{
+            "video_name": self._video_names[self._video_ids[i]],
+            "timestamp": float(self._timestamps[i]),
+            "frame_id": int(self._frame_ids[i]),
+        } for i in range(self._count)]
+        return {
+            "embeddings": emb_list,
+            "metadata": metadata,
+            "video_hashes": dict(self.video_hashes),
+            "version": CACHE_VERSION,
+        }
+
+    def load_cache_dict(self, cache_data: Dict) -> None:
+        embeddings = cache_data.get("embeddings", [])
+        metadata = cache_data.get("metadata", [])
+        self.clear()
+        self.video_hashes = dict(cache_data.get("video_hashes", {}))
+        n = len(embeddings)
+        if n == 0:
+            return
+        if len(metadata) != n:
+            raise ValueError("embeddings/metadata length mismatch")
+        self._ensure_capacity(n)
+        for i, (emb, meta) in enumerate(zip(embeddings, metadata)):
+            self._emb[i] = np.asarray(emb, np.float32).reshape(self.dim)
+            self._video_ids[i] = self._video_id(meta["video_name"])
+            self._timestamps[i] = float(meta["timestamp"])
+            self._frame_ids[i] = int(meta.get("frame_id", i))
+        self._count = n
+        self._device_rows = 0
+
+    def save_to_disk(self, cache_path: Path) -> bool:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(self.to_cache_dict(), f)
+            logger.info("Saved %d embeddings to %s", self._count, cache_path)
+            return True
+        except Exception as e:  # parity: reference swallows errors (:83-85)
+            logger.error("Failed to save cache: %s", e)
+            return False
+
+    def load_from_disk(self, cache_path: Path) -> bool:
+        try:
+            cache_path = Path(cache_path)
+            if not cache_path.exists():
+                return False
+            with open(cache_path, "rb") as f:
+                cache_data = pickle.load(f)
+            self.load_cache_dict(cache_data)
+            logger.info("Loaded %d embeddings from %s", self._count,
+                        cache_path)
+            return True
+        except Exception as e:
+            logger.error("Failed to load cache: %s", e)
+            return False
+
+    # Native fast persistence (bonus over the reference): single npz blob.
+
+    def save_native(self, path: Path) -> None:
+        np.savez_compressed(
+            path,
+            embeddings=self._emb[: self._count],
+            video_ids=self._video_ids[: self._count],
+            timestamps=self._timestamps[: self._count],
+            frame_ids=self._frame_ids[: self._count],
+            video_names=np.array(self._video_names, dtype=object),
+            video_hashes=np.array([list(self.video_hashes.keys()),
+                                   list(self.video_hashes.values())],
+                                  dtype=object),
+        )
+
+    def load_native(self, path: Path) -> None:
+        data = np.load(path, allow_pickle=True)
+        self.clear()
+        n = data["embeddings"].shape[0]
+        self._ensure_capacity(n)
+        self._emb[:n] = data["embeddings"]
+        self._video_ids[:n] = data["video_ids"]
+        self._timestamps[:n] = data["timestamps"]
+        self._frame_ids[:n] = data["frame_ids"]
+        self._video_names = list(data["video_names"])
+        self._video_name_to_id = {n_: i for i, n_ in
+                                  enumerate(self._video_names)}
+        keys, vals = data["video_hashes"]
+        self.video_hashes = dict(zip(keys, vals))
+        self._count = n

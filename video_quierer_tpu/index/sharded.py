@@ -1,0 +1,84 @@
+"""Mesh-sharded exact corpus scan: per-shard top-k + ICI merge.
+
+This is the "corpus dimension" analog of sequence parallelism called out in
+SURVEY.md §2.3/§5: the ``[N_pad, D]`` embedding matrix is row-sharded over the
+``corpus`` mesh axis, every device runs the fused matmul+top-k scan on its
+shard (ops/topk.py), per-shard candidates are ``all_gather``-ed over ICI and
+each device computes the identical global top-k — exact score-ordering parity
+with the single-device scan and therefore with the reference's brute-force
+search (video_search_overhaul.py:40-64).
+
+Merge exactness: shard ``i`` owns rows ``[i*S, (i+1)*S)``; candidates are
+gathered in ascending shard order, and within a shard in descending-stable
+order, so ``lax.top_k``'s first-occurrence tie rule yields the global
+descending-stable order (see ops/topk.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from video_quierer_tpu.ops.topk import MAX_K, cosine_topk, merge_topk
+from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+
+
+def shard_corpus(emb, mesh: Mesh) -> jax.Array:
+    """Place an ``[N_pad, D]`` matrix row-sharded over the corpus axis.
+
+    ``N_pad`` must be divisible by the corpus axis size (the sharded index
+    keeps capacity a multiple of ``n_shards * _CHUNK``).
+    """
+    sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+    return jax.device_put(emb, sharding)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
+                        *, k: int, mesh: Mesh
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a corpus-sharded matrix.
+
+    Args:
+        emb: ``[N_pad, D]`` f32, sharded ``P('corpus', None)``.
+        queries: ``[B, D]`` normalized queries (replicated).
+        valid_count: scalar int32 — global number of live rows.
+        k: static, ≤ MAX_K.
+
+    Returns replicated ``(scores [B, k], global_indices [B, k] i32)``.
+    """
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_pad = emb.shape[0]
+    if n_pad % n_shards:
+        raise ValueError(f"N_pad={n_pad} not divisible by {n_shards} shards")
+    shard_rows = n_pad // n_shards
+
+    def local_scan(emb_shard, q, valid):
+        i = jax.lax.axis_index(CORPUS_AXIS)
+        offset = i * shard_rows
+        local_valid = jnp.clip(valid - offset, 0, shard_rows)
+        vals, idxs = cosine_topk(emb_shard, q, local_valid, k=k)
+        idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
+        # gather candidates from every shard: [n_shards, B, k]
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
+        all_idxs = jax.lax.all_gather(idxs, CORPUS_AXIS)
+        b = q.shape[0]
+        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n_shards * k)
+        cand_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(b, n_shards * k)
+        return merge_topk(cand_vals, cand_idxs, k=k)
+
+    fn = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, None), P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(emb, jnp.asarray(queries, jnp.float32),
+              jnp.asarray(valid_count, jnp.int32))

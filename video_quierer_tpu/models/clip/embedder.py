@@ -1,0 +1,161 @@
+"""Batched CLIP embedding service: the engine's device-facing entry point.
+
+Replaces the per-frame, batch-size-1, host↔device round-tripping of the
+reference (``VideoProcessor.get_frame_embedding`` /
+``encode_text_query``, video_search_overhaul.py:203-232, 271-295 — SURVEY.md
+§3.2 marks it the top performance bug) with:
+
+- fixed-shape **bucketed batching**: frame batches are padded up to the next
+  bucket size so each bucket compiles once and the MXU sees large batches;
+- one host→device transfer per batch, one device→host per batch of results;
+- optional **data-parallel sharding** over a mesh axis (pjit-style
+  ``NamedSharding``) for multi-chip ingest;
+- weights from a local HF checkpoint when available, else deterministic
+  seeded init (convert.py docstring explains the offline constraint).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_quierer_tpu.models.clip import convert as convert_mod
+from video_quierer_tpu.models.clip.config import CLIPConfig, get_config
+from video_quierer_tpu.models.clip.model import CLIP, init_params
+from video_quierer_tpu.models.clip.tokenizer import (
+    TokenizerBase,
+    load_tokenizer,
+)
+from video_quierer_tpu.ops.preprocess import normalize_images
+
+logger = logging.getLogger(__name__)
+
+# Frame-batch buckets: each size compiles once; frames pad to the next one.
+IMAGE_BUCKETS = (32, 128, 256)
+TEXT_BUCKETS = (8, 32)
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class CLIPEmbedder:
+    """Jitted dual-tower CLIP encoder with bucketed batching."""
+
+    def __init__(self,
+                 model_name: str = "openai/clip-vit-base-patch32",
+                 checkpoint_dir: Optional[Path] = None,
+                 dtype=jnp.float32,
+                 mesh=None,
+                 data_axis: str = "data",
+                 seed: int = 0):
+        self.cfg: CLIPConfig = get_config(model_name)
+        self.model = CLIP(self.cfg, dtype=dtype)
+        self.mesh = mesh
+        self.data_axis = data_axis
+        ckpt = checkpoint_dir or convert_mod.find_local_checkpoint(model_name)
+        if ckpt is not None:
+            logger.info("Loading CLIP weights from %s", ckpt)
+            self.params = jax.tree.map(
+                jnp.asarray, convert_mod.convert_hf_checkpoint(ckpt, self.cfg))
+            self.pretrained = True
+        else:
+            logger.warning(
+                "No local CLIP checkpoint found — using seeded random init "
+                "(set VQT_CLIP_CHECKPOINT to a local HF checkpoint dir).")
+            self.params = init_params(self.model, seed=seed)
+            self.pretrained = False
+        self.tokenizer: TokenizerBase = load_tokenizer(ckpt)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._img_sharding = NamedSharding(mesh, P(data_axis, None, None,
+                                                       None))
+            self._txt_sharding = NamedSharding(mesh, P(data_axis, None))
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+        else:
+            self._img_sharding = None
+            self._txt_sharding = None
+
+        self._encode_image_jit = jax.jit(self._encode_image_fn)
+        self._encode_text_jit = jax.jit(self._encode_text_fn)
+
+    # -- jitted cores ----------------------------------------------------
+
+    def _encode_image_fn(self, params, frames_u8):
+        pixels = normalize_images(frames_u8, dtype=self.model.dtype)
+        return self.model.apply({"params": params}, pixels,
+                                method=CLIP.encode_image)
+
+    def _encode_text_fn(self, params, input_ids):
+        return self.model.apply({"params": params}, input_ids,
+                                method=CLIP.encode_text)
+
+    # -- public API ------------------------------------------------------
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.projection_dim
+
+    def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        """``[N, 224, 224, 3] uint8 RGB`` → L2-normalized ``[N, D]`` f32.
+
+        Processes in bucketed chunks; arbitrary N.
+        """
+        frames_u8 = np.asarray(frames_u8, np.uint8)
+        n = frames_u8.shape[0]
+        if n == 0:
+            return np.zeros((0, self.embed_dim), np.float32)
+        out = np.empty((n, self.embed_dim), np.float32)
+        max_bucket = IMAGE_BUCKETS[-1]
+        pos = 0
+        while pos < n:
+            chunk = frames_u8[pos: pos + max_bucket]
+            m = chunk.shape[0]
+            bucket = _bucket_for(m, IMAGE_BUCKETS)
+            if m < bucket:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - m,) + chunk.shape[1:],
+                                     np.uint8)])
+            batch = jnp.asarray(chunk)
+            if self._img_sharding is not None:
+                batch = jax.device_put(batch, self._img_sharding)
+            feats = self._encode_image_jit(self.params, batch)
+            out[pos: pos + m] = np.asarray(feats)[:m]
+            pos += m
+        return out
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        """Text queries → L2-normalized ``[B, D]`` f32."""
+        ids = self.tokenizer(list(texts))
+        n = ids.shape[0]
+        bucket = _bucket_for(n, TEXT_BUCKETS)
+        if n < bucket:
+            pad = np.tile(ids[-1:], (bucket - n, 1))
+            ids = np.concatenate([ids, pad])
+        batch = jnp.asarray(ids)
+        if self._txt_sharding is not None and n >= TEXT_BUCKETS[0]:
+            batch = jax.device_put(batch, self._txt_sharding)
+        feats = self._encode_text_jit(self.params, batch)
+        return np.asarray(feats)[:n]
+
+    def embed_text(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+    def warmup(self) -> None:
+        """Pre-compile the common buckets (server startup hook)."""
+        for b in IMAGE_BUCKETS:
+            self.embed_frames(np.zeros((b, self.cfg.vision.image_size,
+                                        self.cfg.vision.image_size, 3),
+                                       np.uint8))
+        self.embed_text("warmup")

@@ -1,0 +1,198 @@
+"""CLIP text tokenization.
+
+The reference delegates to HuggingFace's ``CLIPProcessor``
+(video_search_overhaul.py:283-284). This environment has no network access,
+so we implement the CLIP byte-pair encoding from scratch:
+
+- :class:`CLIPBPETokenizer` — the real algorithm (lowercase + whitespace
+  clean, CLIP's regex word splitter, bytes→unicode mapping, end-of-word
+  ``</w>`` merges). Loads ``vocab.json`` + ``merges.txt`` from a local
+  checkpoint directory (the standard HF tokenizer file pair).
+- :class:`HashTokenizer` — deterministic fallback when no vocab files exist:
+  each cleaned word hashes to a stable id. Alignment with CLIP weights is
+  meaningless then, but the full pipeline (fixed [B,77] int32 batches, EOT
+  pooling via argmax) stays exercisable end-to-end — mirroring the role of
+  the reference's keyword fallback ``_encode_visual_query``
+  (video_search_overhaul.py:297-322).
+
+Both produce ``[77]`` int32 sequences: ``[SOT, ...tokens..., EOT, EOT...]``
+(padded with EOT, which is also what HF's CLIP pad token is; EOT pooling
+takes the FIRST position of the max id, so padding does not disturb it).
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import hashlib
+import json
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+CONTEXT_LENGTH = 77
+SOT = 49406
+EOT = 49407
+VOCAB_SIZE = 49408
+
+_WORD_RE = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[A-Za-zÀ-ɏͰ-῿Ⰰ-퟿\w]+"
+    r"|[0-9]|[^\s\w]+",
+    re.IGNORECASE,
+)
+
+
+def _clean(text: str) -> str:
+    text = re.sub(r"\s+", " ", text.strip())
+    return text.lower()
+
+
+@functools.cache
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2/CLIP reversible byte→printable-unicode mapping."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class TokenizerBase:
+    context_length: int = CONTEXT_LENGTH
+
+    def encode_ids(self, text: str) -> List[int]:
+        raise NotImplementedError
+
+    def __call__(self, texts) -> np.ndarray:
+        """Tokenize to a fixed ``[B, 77]`` int32 batch."""
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.context_length), EOT, dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [SOT] + self.encode_ids(text)[: self.context_length - 2] \
+                + [EOT]
+            out[i, : len(ids)] = ids
+        return out
+
+
+class CLIPBPETokenizer(TokenizerBase):
+    """Byte-pair encoding with CLIP's end-of-word convention."""
+
+    def __init__(self, vocab: Dict[str, int],
+                 merges: Sequence[Tuple[str, str]]):
+        self.encoder = dict(vocab)
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self._cache: Dict[str, List[str]] = {}
+
+    # -- loading ---------------------------------------------------------
+
+    @classmethod
+    def from_dir(cls, path: Path) -> "CLIPBPETokenizer":
+        """Load the HF tokenizer file pair (vocab.json + merges.txt)."""
+        path = Path(path)
+        with open(path / "vocab.json") as f:
+            vocab = json.load(f)
+        merges = cls._read_merges(path / "merges.txt")
+        return cls(vocab, merges)
+
+    @classmethod
+    def from_bpe_file(cls, path: Path) -> "CLIPBPETokenizer":
+        """Load OpenAI's ``bpe_simple_vocab_16e6.txt(.gz)`` single file and
+        reconstruct the vocab the way the original CLIP tokenizer does."""
+        path = Path(path)
+        opener = gzip.open if path.suffix == ".gz" else open
+        with opener(path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = [tuple(l.split()) for l in lines[1: 49152 - 256 - 2 + 1]]
+        chars = list(_bytes_to_unicode().values())
+        vocab_list = chars + [c + "</w>" for c in chars]
+        vocab_list += ["".join(m) for m in merges]
+        vocab_list += ["<|startoftext|>", "<|endoftext|>"]
+        vocab = {tok: i for i, tok in enumerate(vocab_list)}
+        return cls(vocab, merges)
+
+    @staticmethod
+    def _read_merges(path: Path) -> List[Tuple[str, str]]:
+        merges = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split()
+                if len(parts) == 2:
+                    merges.append((parts[0], parts[1]))
+        return merges
+
+    # -- encoding --------------------------------------------------------
+
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = list(token[:-1]) + [token[-1] + "</w>"]
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs,
+                       key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            merged: List[str] = []
+            i = 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        self._cache[token] = word
+        return word
+
+    def encode_ids(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for word in _WORD_RE.findall(_clean(text)):
+            word = "".join(self.byte_encoder[b]
+                           for b in word.encode("utf-8"))
+            for piece in self._bpe(word):
+                tid = self.encoder.get(piece)
+                if tid is not None:
+                    ids.append(tid)
+        return ids
+
+
+class HashTokenizer(TokenizerBase):
+    """Deterministic word-hash tokenizer (no vocab files required)."""
+
+    def encode_ids(self, text: str) -> List[int]:
+        ids = []
+        for word in _WORD_RE.findall(_clean(text)):
+            h = int.from_bytes(
+                hashlib.md5(word.encode("utf-8")).digest()[:4], "little")
+            ids.append(1 + h % (SOT - 1))  # ids in [1, 49405]
+        return ids
+
+
+def load_tokenizer(checkpoint_dir: Optional[Path] = None) -> TokenizerBase:
+    """Best tokenizer available: real BPE if vocab files exist, else hash."""
+    if checkpoint_dir is not None:
+        d = Path(checkpoint_dir)
+        if (d / "vocab.json").exists() and (d / "merges.txt").exists():
+            return CLIPBPETokenizer.from_dir(d)
+        for name in ("bpe_simple_vocab_16e6.txt.gz",
+                     "bpe_simple_vocab_16e6.txt"):
+            if (d / name).exists():
+                return CLIPBPETokenizer.from_bpe_file(d / name)
+    return HashTokenizer()

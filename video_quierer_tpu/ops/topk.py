@@ -1,0 +1,252 @@
+"""Fused cosine-similarity top-k over an HBM-resident embedding matrix.
+
+This is the TPU-native replacement for the reference's brute-force scan
+(``SimpleVideoIndex.search``, video_search_overhaul.py:40-64: ``np.vstack`` →
+``np.dot`` → full ``np.argsort[::-1][:k]``) and for the HNSW graph walk of the
+dead path (src/indexes/hnsw.py) — an exact scan that reads the embedding
+matrix once at HBM bandwidth.
+
+Design
+------
+Two stages:
+
+1. **Block scan** (Pallas on TPU, XLA elsewhere): grid over row blocks of the
+   ``[N_pad, D]`` matrix. Each step computes ``scores = E_blk @ Q^T`` on the
+   MXU and maintains a per-block top-k in VMEM (iterative max+mask — k is
+   small, ≤ MAX_K). Only ``[n_blocks, B, k]`` candidates ever leave the chip's
+   compute pipeline, so HBM traffic ≈ one read of E.
+2. **Merge** (tiny XLA op): top-k over the concatenated block candidates.
+
+Ordering semantics
+------------------
+Results are *descending-stable*: sorted by score descending, ties broken by
+**lowest index first**. The reference's tie order is unspecified (NumPy
+quicksort); ours is deterministic. Both stages preserve it:
+
+- within a block, rank ``j`` picks the lowest-index maximum;
+- blocks are concatenated in ascending index order, so ``lax.top_k``'s
+  lowest-position-first tie rule recovers the global order.
+
+Rows at index ``>= valid_count`` (capacity padding) are masked to ``-inf``;
+the caller trims trailing ``-inf`` entries when ``valid_count < k``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_quierer_tpu.utils.env import use_pallas
+
+# Set VQT_PALLAS_INTERPRET=1 to run the Pallas kernels in interpreter mode
+# (exercises the kernel logic in the CPU test suite).
+import os as _os
+
+def _pallas_mode() -> str:
+    if _os.environ.get("VQT_PALLAS_INTERPRET") == "1":
+        return "interpret"
+    return "compiled" if use_pallas() else "off"
+
+# Row-block size for the Pallas scan. 512 rows × 512 dims × 4 B = 1 MiB of
+# VMEM per block buffer — small enough for double-buffering, large enough to
+# keep the MXU busy.
+BLOCK_ROWS = 512
+# Upper bound on k (reference API caps k at 50, routes.py:58).
+MAX_K = 64
+
+# Python literal so Pallas kernels don't capture a traced constant.
+NEG_INF = float("-inf")
+
+
+def _block_topk_body(scores: jax.Array, row_ids: jax.Array, k: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Iterative top-k of ``scores [R, B]`` along axis 0.
+
+    Returns ``(vals [B, k], idxs [B, k])`` with lowest-row-first tie breaking.
+    Pure jnp — usable both inside a Pallas kernel and as plain XLA.
+    """
+    B = scores.shape[1]
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (B, k), 1)
+    vals0 = jnp.full((B, k), NEG_INF, dtype=jnp.float32)
+    idxs0 = jnp.full((B, k), jnp.int32(2**31 - 1), dtype=jnp.int32)
+
+    def body(j, carry):
+        s, vals, idxs = carry
+        m = jnp.max(s, axis=0)  # [B]
+        # argmax with lowest-row-first ties
+        is_max = s == m[None, :]
+        cand = jnp.where(is_max, row_ids, jnp.int32(2**31 - 1))
+        am = jnp.min(cand, axis=0)  # [B]
+        sel = col_ids == j
+        vals = jnp.where(sel, m[:, None], vals)
+        idxs = jnp.where(sel, am[:, None], idxs)
+        s = jnp.where(row_ids == am[None, :], NEG_INF, s)
+        return s, vals, idxs
+
+    _, vals, idxs = jax.lax.fori_loop(0, k, body, (scores, vals0, idxs0))
+    return vals, idxs
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, *, k: int):
+    """One grid step: score a row block against all queries, emit block top-k.
+
+    valid_ref : SMEM scalar-prefetch, [1] int32 — number of valid rows.
+    emb_ref   : VMEM [BLOCK_ROWS, D] f32 — row block of the matrix.
+    qt_ref    : VMEM [D, B] f32 — normalized queries, transposed.
+    vals_ref  : VMEM [1, B, k] f32 out block.
+    idxs_ref  : VMEM [1, B, k] i32 out block.
+    """
+    i = pl.program_id(0)
+    blk = emb_ref.shape[0]
+    b = qt_ref.shape[1]
+    # HIGHEST precision: full-f32 MXU passes. The scan is HBM-bandwidth
+    # bound, so the extra passes are free, and scores stay within ~1e-6 of
+    # the NumPy oracle (default bf16x1 drifts ~4e-3 — enough to flip ranks
+    # of near-tied frames).
+    scores = jnp.dot(emb_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    local_rows = jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
+    row_ids = local_rows + i * blk
+    scores = jnp.where(row_ids < valid_ref[0], scores, NEG_INF)
+    vals, idxs = _block_topk_body(scores, row_ids, k)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _pallas_block_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
+                       *, k: int, interpret: bool = False
+                       ) -> Tuple[jax.Array, jax.Array]:
+    n_pad, d = emb.shape
+    b = qt.shape[1]
+    n_blocks = n_pad // BLOCK_ROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        functools.partial(_scan_kernel, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * d * 4 + d * b * 4 + 2 * n_blocks * b * k * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), emb, qt)
+    return vals, idxs
+
+
+# ---------------------------------------------------------------------------
+# Portable XLA path
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _xla_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
+              *, k: int) -> Tuple[jax.Array, jax.Array]:
+    n_pad = emb.shape[0]
+    scores = jnp.dot(qt.T, emb.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [B, N]
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(rows < valid_count, scores, NEG_INF)
+    k_eff = min(k, n_pad)
+    vals, idxs = jax.lax.top_k(scores, k_eff)  # stable: lowest index first
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
+    return vals, idxs.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def merge_topk(vals: jax.Array, idxs: jax.Array, *, k: int
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Merge candidate lists into a global top-k.
+
+    ``vals``/``idxs``: ``[B, M]`` candidates. Candidate positions must be
+    ordered so that, among equal values, lower global index comes first (true
+    for block-scan output concatenated in ascending block order). Returns
+    ``(vals [B, k], idxs [B, k])`` descending-stable by global index.
+    """
+    m = vals.shape[-1]
+    k_eff = min(k, m)
+    top_vals, pos = jax.lax.top_k(vals, k_eff)
+    top_idxs = jnp.take_along_axis(idxs, pos, axis=-1)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        top_vals = jnp.pad(top_vals, pad, constant_values=NEG_INF)
+        top_idxs = jnp.pad(top_idxs, pad, constant_values=2**31 - 1)
+    return top_vals, top_idxs
+
+
+def cosine_topk(emb: jax.Array, queries: jax.Array, valid_count, *, k: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k similarity scan: ``scores = E @ q`` per query.
+
+    Args:
+        emb: ``[N_pad, D]`` f32 matrix (rows beyond ``valid_count`` are
+            capacity padding and are ignored). ``N_pad`` must be a multiple of
+            ``BLOCK_ROWS`` on the Pallas path; the index layer guarantees it.
+        queries: ``[B, D]`` or ``[D]`` — already normalized by the caller
+            (the reference normalizes queries, not the matrix;
+            video_search_overhaul.py:49-53).
+        valid_count: scalar int — number of live rows.
+        k: number of neighbours (static; ≤ MAX_K).
+
+    Returns:
+        ``(scores [B, k] f32, indices [B, k] i32)`` descending-stable.
+        Entries past ``valid_count`` results have score ``-inf``.
+    """
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    squeeze = queries.ndim == 1
+    if squeeze:
+        queries = queries[None, :]
+    valid_count = jnp.asarray(valid_count, jnp.int32)
+    qt = jnp.asarray(queries, jnp.float32).T  # [D, B]
+    emb = jnp.asarray(emb, jnp.float32)
+    mode = _pallas_mode()
+    if mode != "off" and emb.shape[0] % BLOCK_ROWS == 0 and emb.shape[0] > 0:
+        bvals, bidxs = _pallas_block_scan(emb, qt, valid_count, k=k,
+                                          interpret=(mode == "interpret"))
+        n_blocks, b, _ = bvals.shape
+        cand_vals = jnp.transpose(bvals, (1, 0, 2)).reshape(b, n_blocks * k)
+        cand_idxs = jnp.transpose(bidxs, (1, 0, 2)).reshape(b, n_blocks * k)
+        vals, idxs = merge_topk(cand_vals, cand_idxs, k=k)
+    else:
+        vals, idxs = _xla_scan(emb, qt, valid_count, k=k)
+    if squeeze:
+        return vals[0], idxs[0]
+    return vals, idxs
