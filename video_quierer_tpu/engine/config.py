@@ -1,0 +1,152 @@
+"""Two-tier configuration system.
+
+Tier 1 — **API config** (:class:`ApiConfig`): field-for-field parity with
+the reference's flat ``config.json`` / ``ConfigurationModel``
+(routes.py:100-109 — same nine keys, same defaults), hot-updatable via
+``POST /api/config``, persisted as JSON.
+
+Tier 2 — **Engine config** (:class:`EngineConfig`): the richer typed schema
+the dead path only sketched in YAML (src/utils/config.py:76-131) — ingest
+pipeline, device, index and cache knobs — with environment-variable
+overrides (``VQT_*``) and validation. The API config maps onto it; engine
+internals never read the flat dict directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Optional
+
+from pydantic import BaseModel
+
+logger = logging.getLogger(__name__)
+
+SAMPLING_MODES = ("ultra_high", "high", "medium", "low")
+
+
+class ApiConfig(BaseModel):
+    """config.json schema — reference parity (routes.py:100-109)."""
+
+    sampling_mode: str = "high"
+    max_frames: int = 300
+    use_clip: bool = True
+    enhanced_mode: bool = True
+    default_results: int = 10
+    cache_search: bool = True
+    search_timeout: int = 30
+    auto_save: bool = True
+    log_level: str = "INFO"
+
+
+def load_api_config(path: Path = Path("config.json")) -> ApiConfig:
+    """Load (or default) the flat API config; errors fall back to defaults,
+    matching the reference's forgiving loader (routes.py:152-167)."""
+    try:
+        if Path(path).exists():
+            with open(path) as f:
+                return ApiConfig(**json.load(f))
+    except Exception as e:
+        logger.error("Failed to load config %s: %s", path, e)
+    return ApiConfig()
+
+
+def save_api_config(config: ApiConfig,
+                    path: Path = Path("config.json")) -> bool:
+    try:
+        with open(path, "w") as f:
+            json.dump(config.model_dump(), f, indent=2)
+        return True
+    except Exception as e:
+        logger.error("Failed to save config %s: %s", path, e)
+        return False
+
+
+@dataclasses.dataclass
+class IngestConfig:
+    batch_size: int = 256
+    num_decode_workers: int = 4
+    prefetch_videos: int = 8
+    target_size: int = 224
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    embed_dim: int = 512
+    # capacity pre-allocation hint (rows); the index grows past it freely
+    initial_capacity: int = 0
+    # corpus sharding: 0 = single device
+    corpus_shards: int = 0
+
+
+@dataclasses.dataclass
+class CacheConfig:
+    query_cache_size: int = 512
+    query_cache_ttl_s: float = 300.0
+    similarity_threshold: float = 0.95
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "openai/clip-vit-base-patch32"
+    checkpoint_dir: Optional[str] = None
+    dtype: str = "float32"  # "bfloat16" for throughput mode
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    videos_dir: str = "videos"
+    api: ApiConfig = dataclasses.field(default_factory=ApiConfig)
+    ingest: IngestConfig = dataclasses.field(default_factory=IngestConfig)
+    index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
+    cache: CacheConfig = dataclasses.field(default_factory=CacheConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+
+    def validate(self) -> None:
+        if self.api.sampling_mode not in SAMPLING_MODES:
+            raise ValueError(
+                f"sampling_mode must be one of {SAMPLING_MODES}")
+        if self.api.max_frames <= 0:
+            raise ValueError("max_frames must be positive")
+        if self.ingest.batch_size <= 0:
+            raise ValueError("batch_size must be positive")
+
+
+_ENV_OVERRIDES = {
+    "VQT_VIDEOS_DIR": ("videos_dir", str),
+    "VQT_BATCH_SIZE": ("ingest.batch_size", int),
+    "VQT_DECODE_WORKERS": ("ingest.num_decode_workers", int),
+    "VQT_CLIP_CHECKPOINT": ("model.checkpoint_dir", str),
+    "VQT_MODEL_NAME": ("model.name", str),
+    "VQT_DTYPE": ("model.dtype", str),
+    "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
+}
+
+
+def apply_env_overrides(cfg: EngineConfig) -> EngineConfig:
+    """``VQT_*`` env vars override engine fields (dead-path D7 had
+    env overrides too, src/utils/config.py:27-51)."""
+    for env, (dotted, typ) in _ENV_OVERRIDES.items():
+        raw = os.environ.get(env)
+        if raw is None:
+            continue
+        obj = cfg
+        *parents, leaf = dotted.split(".")
+        for p in parents:
+            obj = getattr(obj, p)
+        try:
+            setattr(obj, leaf, typ(raw))
+        except ValueError:
+            logger.error("Ignoring invalid %s=%r", env, raw)
+    return cfg
+
+
+def load_engine_config(config_json: Path = Path("config.json")
+                       ) -> EngineConfig:
+    cfg = EngineConfig(api=load_api_config(config_json))
+    apply_env_overrides(cfg)
+    cfg.validate()
+    return cfg

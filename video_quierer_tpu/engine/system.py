@@ -1,0 +1,334 @@
+"""Engine orchestration: startup, hash-diff ingest, search, rebuild.
+
+The single live engine behind the API — by design exactly one instance,
+one config, one index (the reference accidentally ran *two* engines, one in
+server.py and one in routes.py; SURVEY.md §3.1 flags it as a bug not to
+replicate).
+
+Behavior parity with ``VideoSearchSystem`` (video_search_overhaul.py:325-456):
+
+- startup: load pickle cache → md5(name,size,mtime) diff of the videos dir
+  → (re)process new/changed videos → save cache;
+- search: encode text → top-k scan → ``formatted_time = "{m}m{s}s"``;
+- result schema ``{video_name, timestamp, frame_id, score, formatted_time}``;
+- per-call config reads (``max_frames`` / ``sampling_mode`` / ``use_clip``
+  take effect at process time, config.json semantics preserved).
+
+TPU-native deltas (SURVEY.md §7):
+
+- ingest is **batched across videos** through the threaded decode pipeline
+  and the bucketed CLIP embedder — not one CLIP call per frame;
+- batch search is **one device pass** for all queries (the reference looped
+  serially, routes.py:628-634);
+- a live query cache with semantic reuse (the reference's ``use_cache``
+  flag was plumbing with no cache behind it, SURVEY.md §3.3);
+- first-class metrics (the reference's SystemMetrics was dead code);
+- image-vector queries restored from the dead path
+  (src/video_search_system.py:284-289).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from video_quierer_tpu.engine.cache import QueryResultCache
+from video_quierer_tpu.engine.config import (
+    ApiConfig,
+    EngineConfig,
+    load_engine_config,
+)
+from video_quierer_tpu.engine.fallback import (
+    KeywordQueryEncoder,
+    VisualStatsEmbedder,
+)
+from video_quierer_tpu.engine.metrics import SystemMetrics
+from video_quierer_tpu.index.device_index import DeviceVideoIndex
+from video_quierer_tpu.ingest.frames import (
+    extract_frames,
+    video_identity_hash,
+)
+from video_quierer_tpu.ingest.pipeline import batched_frames, group_by_video
+
+logger = logging.getLogger(__name__)
+
+VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv")
+
+
+def format_timestamp(ts: float) -> str:
+    """``"{m}m{s}s"`` (ref: video_search_overhaul.py:450-453)."""
+    return f"{int(ts // 60)}m{int(ts % 60)}s"
+
+
+class VideoSearchEngine:
+    def __init__(self, videos_dir: str = "videos",
+                 config: Optional[EngineConfig] = None,
+                 embedder=None,
+                 mesh=None):
+        self.config = config or load_engine_config()
+        self.videos_dir = Path(videos_dir or self.config.videos_dir)
+        self.videos_dir.mkdir(parents=True, exist_ok=True)
+        self.cache_path = self.videos_dir / "video_search_cache.pkl"
+        self.index = DeviceVideoIndex(dim=self.config.index.embed_dim)
+        self.metrics = SystemMetrics()
+        self.query_cache = QueryResultCache(
+            max_size=self.config.cache.query_cache_size,
+            ttl_seconds=self.config.cache.query_cache_ttl_s,
+            similarity_threshold=self.config.cache.similarity_threshold)
+        self.mesh = mesh
+        self._embedder = embedder        # injected (tests) or lazy CLIP
+        self._fallback_visual = VisualStatsEmbedder()
+        self._fallback_text = KeywordQueryEncoder()
+        self._ready = False
+        logger.info("VideoSearchEngine initialized (dir=%s)",
+                    self.videos_dir)
+
+    # ------------------------------------------------------------------
+    # Embedder selection (use_clip semantics,
+    # ref: video_search_overhaul.py:336-341, 203-208, 271-276)
+    # ------------------------------------------------------------------
+
+    @property
+    def use_clip(self) -> bool:
+        return bool(self.config.api.use_clip)
+
+    def _get_embedder(self):
+        if not self.use_clip:
+            return None
+        if self._embedder is None:
+            import jax.numpy as jnp
+            from video_quierer_tpu.models.clip.embedder import CLIPEmbedder
+            m = self.config.model
+            dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
+            self._embedder = CLIPEmbedder(
+                model_name=m.name,
+                checkpoint_dir=Path(m.checkpoint_dir)
+                if m.checkpoint_dir else None,
+                dtype=dtype,
+                mesh=self.mesh)
+        return self._embedder
+
+    def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        emb = self._get_embedder()
+        if emb is None:
+            return self._fallback_visual.embed_frames(frames_u8)
+        return emb.embed_frames(frames_u8)
+
+    def encode_text(self, query: str) -> np.ndarray:
+        emb = self._get_embedder()
+        if emb is None:
+            return self._fallback_text.embed_text(query)
+        return emb.embed_text(query)
+
+    # ------------------------------------------------------------------
+    # Startup / ingest (ref: startup + _process_* chain,
+    # video_search_overhaul.py:345-437)
+    # ------------------------------------------------------------------
+
+    def startup(self) -> None:
+        logger.info("Engine starting up...")
+        with self.metrics.timer("startup"):
+            loaded = self.index.load_from_disk(self.cache_path)
+            current = self.current_videos()
+            if loaded:
+                stale = self._stale_videos(current)
+                if stale:
+                    logger.info("%d videos new/changed — updating",
+                                len(stale))
+                    self._ingest(stale)
+                    self.index.save_to_disk(self.cache_path)
+                else:
+                    logger.info("All videos up to date")
+            else:
+                logger.info("No cache — processing %d videos", len(current))
+                self._ingest(current)
+                self.index.save_to_disk(self.cache_path)
+        self._ready = True
+        self.metrics.set_gauge("frames_indexed", len(self.index))
+        logger.info("Startup complete: %d frames indexed", len(self.index))
+
+    def current_videos(self) -> List[Path]:
+        out = []
+        for p in sorted(self.videos_dir.iterdir()):
+            if p.suffix.lower() in VIDEO_EXTENSIONS and p.is_file():
+                out.append(p)
+        return out
+
+    def _stale_videos(self, current: Sequence[Path]) -> List[Path]:
+        stale = []
+        for video in current:
+            h = video_identity_hash(video)
+            if self.index.video_hashes.get(video.name) != h:
+                stale.append(video)
+        return stale
+
+    def _ingest(self, videos: Sequence[Path],
+                api_cfg: Optional[ApiConfig] = None) -> int:
+        """Batched cross-video ingest; returns frames added."""
+        if not videos:
+            return 0
+        cfg = api_cfg or self.config.api
+        ing = self.config.ingest
+        added = 0
+        with self.metrics.timer("ingest"):
+            for batch in batched_frames(
+                    list(videos),
+                    max_frames=cfg.max_frames,
+                    sampling_mode=cfg.sampling_mode,
+                    batch_size=ing.batch_size,
+                    num_workers=ing.num_decode_workers,
+                    prefetch=ing.prefetch_videos):
+                with self.metrics.timer("embed_batch"):
+                    feats = self.embed_frames(batch.frames)
+                pos = 0
+                for vidx, frames, stamps in group_by_video(batch):
+                    n = frames.shape[0]
+                    self.index.add_batch(feats[pos: pos + n],
+                                         Path(videos[vidx]).name, stamps)
+                    pos += n
+                added += len(batch)
+                self.metrics.inc("frames_embedded", len(batch))
+        for video in videos:
+            if Path(video).exists():
+                self.index.video_hashes[Path(video).name] = \
+                    video_identity_hash(video)
+        self.query_cache.invalidate_all()
+        self.metrics.set_gauge("frames_indexed", len(self.index))
+        return added
+
+    def process_video(self, video_path: Path,
+                      api_cfg: Optional[ApiConfig] = None) -> int:
+        """Ingest one video (upload path,
+        ref: _process_single_video, video_search_overhaul.py:412-437)."""
+        return self._ingest([Path(video_path)], api_cfg)
+
+    def remove_video(self, video_name: str) -> int:
+        removed = self.index.remove_video(video_name)
+        if removed:
+            self.query_cache.invalidate_all()
+            self.metrics.set_gauge("frames_indexed", len(self.index))
+        return removed
+
+    # ------------------------------------------------------------------
+    # Search (ref: search, video_search_overhaul.py:439-456)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _format(results: List[Dict]) -> List[Dict]:
+        for r in results:
+            r["formatted_time"] = format_timestamp(r["timestamp"])
+        return results
+
+    def search(self, query: str, k: int = 5,
+               use_cache: bool = True) -> List[Dict]:
+        self.metrics.inc("searches")
+        cache_on = use_cache and self.config.api.cache_search
+        if cache_on:
+            hit = self.query_cache.get_text(query, k)
+            if hit is not None:
+                self.metrics.inc("search_cache_hits")
+                return [dict(r) for r in hit]
+        with self.metrics.timer("search_latency"):
+            with self.metrics.timer("text_encode"):
+                q = self.encode_text(query)
+            with self.metrics.timer("index_scan"):
+                results = self.index.search(q, k)
+            results = self._format(results)
+        if cache_on:
+            self.query_cache.put_text(query, k, [dict(r) for r in results])
+        return results
+
+    def search_batch(self, queries: Sequence[str], k: int = 5
+                     ) -> List[List[Dict]]:
+        """All queries in ONE device pass (text encode batched + one fused
+        scan) — the reference looped serially despite its docstring
+        (routes.py:628-634)."""
+        self.metrics.inc("searches", len(queries))
+        with self.metrics.timer("batch_search_latency"):
+            emb = self._get_embedder()
+            if emb is None:
+                q = self._fallback_text.embed_texts(queries)
+            else:
+                q = emb.embed_texts(queries)
+            batches = self.index.search_batch(q, k)
+        return [self._format(r) for r in batches]
+
+    def search_by_vector(self, vector: np.ndarray, k: int = 5,
+                         use_cache: bool = True) -> List[Dict]:
+        """Image/vector query (dead-path capability restored,
+        src/video_search_system.py:284-289)."""
+        self.metrics.inc("searches")
+        vector = np.asarray(vector, np.float32)
+        if use_cache and self.config.api.cache_search:
+            hit = self.query_cache.get_vector(vector, k)
+            if hit is not None:
+                self.metrics.inc("search_cache_hits")
+                return [dict(r) for r in hit]
+        with self.metrics.timer("search_latency"):
+            results = self._format(self.index.search(vector, k))
+        if use_cache and self.config.api.cache_search:
+            self.query_cache.put_vector(vector, k,
+                                        [dict(r) for r in results])
+        return results
+
+    def search_by_image(self, image_rgb_u8: np.ndarray, k: int = 5
+                        ) -> List[Dict]:
+        """Query by raw image: resize→embed→vector search."""
+        from video_quierer_tpu.ops.preprocess import \
+            resize_shorter_side_and_crop
+        img = resize_shorter_side_and_crop(np.asarray(image_rgb_u8))
+        vec = self.embed_frames(img[None])[0]
+        return self.search_by_vector(vec, k)
+
+    # ------------------------------------------------------------------
+    # Maintenance
+    # ------------------------------------------------------------------
+
+    def rebuild(self) -> int:
+        """Clear and reprocess everything with the current config
+        (ref: POST /api/cache/rebuild, routes.py:966-1003)."""
+        self.index.clear()
+        self.query_cache.invalidate_all()
+        added = self._ingest(self.current_videos())
+        self.index.save_to_disk(self.cache_path)
+        return added
+
+    def clear(self) -> None:
+        self.index.clear()
+        self.query_cache.invalidate_all()
+        if self.cache_path.exists():
+            self.cache_path.unlink()
+        self.metrics.set_gauge("frames_indexed", 0)
+
+    def save(self, path: Optional[Path] = None) -> bool:
+        return self.index.save_to_disk(Path(path) if path
+                                       else self.cache_path)
+
+    def load(self, path: Optional[Path] = None) -> bool:
+        ok = self.index.load_from_disk(Path(path) if path
+                                       else self.cache_path)
+        if ok:
+            self.query_cache.invalidate_all()
+            self.metrics.set_gauge("frames_indexed", len(self.index))
+        return ok
+
+    @property
+    def ready(self) -> bool:
+        return self._ready
+
+    def stats(self) -> Dict:
+        emb = self._embedder
+        return {
+            "video_count": len(self.index.video_names()),
+            "total_frames_indexed": len(self.index),
+            "processor_type": "CLIP" if self.use_clip else "Visual",
+            "pretrained": bool(emb.pretrained) if emb is not None else None,
+            "cache_exists": self.cache_path.exists(),
+            "video_hashes_count": len(self.index.video_hashes),
+            "query_cache": self.query_cache.stats(),
+            "metrics": self.metrics.snapshot(),
+        }
