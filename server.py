@@ -1,0 +1,37 @@
+#!/usr/bin/env python3
+"""Server entry point: serve the TPU-native video search API + web UI.
+
+Usage:
+    python server.py [--host 0.0.0.0] [--port 5001] [--videos-dir videos]
+
+The reference's equivalent entry (server.py: uvicorn on 0.0.0.0:5001) is
+preserved: same default host/port, same endpoint surface (SURVEY.md §3.6).
+"""
+
+import argparse
+import logging
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="TPU video search server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=5001)
+    parser.add_argument("--videos-dir", default="videos")
+    parser.add_argument("--config", default="config.json")
+    parser.add_argument("--log-level", default="INFO")
+    args = parser.parse_args()
+
+    logging.basicConfig(
+        level=getattr(logging, args.log_level.upper(), logging.INFO),
+        format="%(levelname)s:%(name)s:%(message)s")
+
+    from pathlib import Path
+
+    from video_quierer_tpu.api import run
+
+    run(host=args.host, port=args.port, videos_dir=args.videos_dir,
+        config_path=Path(args.config))
+
+
+if __name__ == "__main__":
+    main()

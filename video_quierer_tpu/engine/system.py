@@ -30,6 +30,7 @@ TPU-native deltas (SURVEY.md §7):
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -84,6 +85,10 @@ class VideoSearchEngine:
         self._fallback_visual = VisualStatsEmbedder()
         self._fallback_text = KeywordQueryEncoder()
         self._ready = False
+        # Serializes index mutation vs search when handlers run in worker
+        # threads (the reference instead ran TWO unsynchronized engine
+        # singletons — SURVEY.md §3.1/§5 lists its races).
+        self.lock = threading.RLock()
         logger.info("VideoSearchEngine initialized (dir=%s)",
                     self.videos_dir)
 
@@ -131,7 +136,7 @@ class VideoSearchEngine:
 
     def startup(self) -> None:
         logger.info("Engine starting up...")
-        with self.metrics.timer("startup"):
+        with self.lock, self.metrics.timer("startup"):
             loaded = self.index.load_from_disk(self.cache_path)
             current = self.current_videos()
             if loaded:
@@ -174,7 +179,7 @@ class VideoSearchEngine:
         cfg = api_cfg or self.config.api
         ing = self.config.ingest
         added = 0
-        with self.metrics.timer("ingest"):
+        with self.lock, self.metrics.timer("ingest"):
             for batch in batched_frames(
                     list(videos),
                     max_frames=cfg.max_frames,
@@ -192,10 +197,10 @@ class VideoSearchEngine:
                     pos += n
                 added += len(batch)
                 self.metrics.inc("frames_embedded", len(batch))
-        for video in videos:
-            if Path(video).exists():
-                self.index.video_hashes[Path(video).name] = \
-                    video_identity_hash(video)
+            for video in videos:
+                if Path(video).exists():
+                    self.index.video_hashes[Path(video).name] = \
+                        video_identity_hash(video)
         self.query_cache.invalidate_all()
         self.metrics.set_gauge("frames_indexed", len(self.index))
         return added
@@ -207,7 +212,8 @@ class VideoSearchEngine:
         return self._ingest([Path(video_path)], api_cfg)
 
     def remove_video(self, video_name: str) -> int:
-        removed = self.index.remove_video(video_name)
+        with self.lock:
+            removed = self.index.remove_video(video_name)
         if removed:
             self.query_cache.invalidate_all()
             self.metrics.set_gauge("frames_indexed", len(self.index))
@@ -232,7 +238,7 @@ class VideoSearchEngine:
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
                 return [dict(r) for r in hit]
-        with self.metrics.timer("search_latency"):
+        with self.lock, self.metrics.timer("search_latency"):
             with self.metrics.timer("text_encode"):
                 q = self.encode_text(query)
             with self.metrics.timer("index_scan"):
@@ -248,7 +254,7 @@ class VideoSearchEngine:
         scan) — the reference looped serially despite its docstring
         (routes.py:628-634)."""
         self.metrics.inc("searches", len(queries))
-        with self.metrics.timer("batch_search_latency"):
+        with self.lock, self.metrics.timer("batch_search_latency"):
             emb = self._get_embedder()
             if emb is None:
                 q = self._fallback_text.embed_texts(queries)
@@ -268,7 +274,7 @@ class VideoSearchEngine:
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
                 return [dict(r) for r in hit]
-        with self.metrics.timer("search_latency"):
+        with self.lock, self.metrics.timer("search_latency"):
             results = self._format(self.index.search(vector, k))
         if use_cache and self.config.api.cache_search:
             self.query_cache.put_vector(vector, k,
@@ -291,26 +297,30 @@ class VideoSearchEngine:
     def rebuild(self) -> int:
         """Clear and reprocess everything with the current config
         (ref: POST /api/cache/rebuild, routes.py:966-1003)."""
-        self.index.clear()
-        self.query_cache.invalidate_all()
-        added = self._ingest(self.current_videos())
-        self.index.save_to_disk(self.cache_path)
+        with self.lock:
+            self.index.clear()
+            self.query_cache.invalidate_all()
+            added = self._ingest(self.current_videos())
+            self.index.save_to_disk(self.cache_path)
         return added
 
     def clear(self) -> None:
-        self.index.clear()
-        self.query_cache.invalidate_all()
-        if self.cache_path.exists():
-            self.cache_path.unlink()
+        with self.lock:
+            self.index.clear()
+            self.query_cache.invalidate_all()
+            if self.cache_path.exists():
+                self.cache_path.unlink()
         self.metrics.set_gauge("frames_indexed", 0)
 
     def save(self, path: Optional[Path] = None) -> bool:
-        return self.index.save_to_disk(Path(path) if path
-                                       else self.cache_path)
+        with self.lock:
+            return self.index.save_to_disk(Path(path) if path
+                                           else self.cache_path)
 
     def load(self, path: Optional[Path] = None) -> bool:
-        ok = self.index.load_from_disk(Path(path) if path
-                                       else self.cache_path)
+        with self.lock:
+            ok = self.index.load_from_disk(Path(path) if path
+                                           else self.cache_path)
         if ok:
             self.query_cache.invalidate_all()
             self.metrics.set_gauge("frames_indexed", len(self.index))
