@@ -223,6 +223,7 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
     if static_dir is None:
         static_dir = Path(__file__).resolve().parents[2] / "static"
     app["static_dir"] = Path(static_dir)
+    app["profiler_state"] = {}
 
     async def on_startup(app_: web.Application):
         if run_startup and not engine.ready:
@@ -316,6 +317,33 @@ def _register_routes(app: web.Application) -> None:
     async def metrics_json(request: web.Request):
         return _json(engine.metrics.snapshot())
 
+    # jax.profiler trace capture (SURVEY.md §5: the reference had only
+    # ad-hoc wall-clock timers; the rebuild exposes real device traces)
+    @routes.post("/api/profiler/start")
+    async def profiler_start(request: web.Request):
+        import jax
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        trace_dir = body.get("trace_dir") or "/tmp/vqt_profile"
+        try:
+            jax.profiler.start_trace(trace_dir)
+            app["profiler_state"]["dir"] = trace_dir
+            return _json({"success": True, "trace_dir": trace_dir})
+        except Exception as e:
+            return _error(409, f"profiler start failed: {e}")
+
+    @routes.post("/api/profiler/stop")
+    async def profiler_stop(request: web.Request):
+        import jax
+        try:
+            jax.profiler.stop_trace()
+            return _json({"success": True,
+                          "trace_dir": app["profiler_state"].get("dir")})
+        except Exception as e:
+            return _error(409, f"profiler stop failed: {e}")
+
     # -- search ----------------------------------------------------------
 
     @routes.post("/api/search")
@@ -330,6 +358,11 @@ def _register_routes(app: web.Application) -> None:
         if image is not None:
             results = await asyncio.to_thread(engine.search_by_image,
                                               image, req.k)
+        elif engine.config.api.enhanced_mode:
+            # enhanced_mode → coalesce concurrent searches into one
+            # device pass (engine/batching.py)
+            results = await asyncio.to_thread(engine.search_coalesced,
+                                              query, req.k, req.use_cache)
         else:
             results = await asyncio.to_thread(engine.search, query, req.k,
                                               req.use_cache)
@@ -748,6 +781,21 @@ def _register_routes(app: web.Application) -> None:
     @routes.get("/api/cache/health")
     async def cache_health(request: web.Request):
         return _json(_cache_health(engine).model_dump())
+
+    @routes.post("/api/cache/warm")
+    async def cache_warm(request: web.Request):
+        """Pre-populate the query cache (CacheWarmer capability, D2)."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        queries = body.get("queries") or []
+        k = int(body.get("k", 5))
+        if not isinstance(queries, list) or not queries:
+            return _error(400, "queries list required")
+        warmed = await asyncio.to_thread(engine.warm_cache,
+                                         [str(q) for q in queries], k)
+        return _json({"success": True, "warmed": warmed})
 
     @routes.get("/api/cache/export")
     async def cache_export(request: web.Request):

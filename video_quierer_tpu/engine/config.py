@@ -80,6 +80,8 @@ class IndexConfig:
     initial_capacity: int = 0
     # corpus sharding: 0 = single device
     corpus_shards: int = 0
+    # device mirror dtype: "bfloat16" halves scan HBM traffic
+    device_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -123,6 +125,7 @@ _ENV_OVERRIDES = {
     "VQT_MODEL_NAME": ("model.name", str),
     "VQT_DTYPE": ("model.dtype", str),
     "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
+    "VQT_INDEX_DTYPE": ("index.device_dtype", str),
 }
 
 

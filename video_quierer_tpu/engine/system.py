@@ -74,7 +74,9 @@ class VideoSearchEngine:
         self.videos_dir = Path(videos_dir or self.config.videos_dir)
         self.videos_dir.mkdir(parents=True, exist_ok=True)
         self.cache_path = self.videos_dir / "video_search_cache.pkl"
-        self.index = DeviceVideoIndex(dim=self.config.index.embed_dim)
+        self.index = DeviceVideoIndex(
+            dim=self.config.index.embed_dim,
+            device_dtype=self.config.index.device_dtype)
         self.metrics = SystemMetrics()
         self.query_cache = QueryResultCache(
             max_size=self.config.cache.query_cache_size,
@@ -85,6 +87,7 @@ class VideoSearchEngine:
         self._fallback_visual = VisualStatsEmbedder()
         self._fallback_text = KeywordQueryEncoder()
         self._ready = False
+        self._coalescer = None
         # Serializes index mutation vs search when handlers run in worker
         # threads (the reference instead ran TWO unsynchronized engine
         # singletons — SURVEY.md §3.1/§5 lists its races).
@@ -280,6 +283,24 @@ class VideoSearchEngine:
             self.query_cache.put_vector(vector, k,
                                         [dict(r) for r in results])
         return results
+
+    def search_coalesced(self, query: str, k: int = 5,
+                         use_cache: bool = True) -> List[Dict]:
+        """Search through the request coalescer (engine/batching.py):
+        concurrent callers within the window share one device pass. Used
+        by the API when ``enhanced_mode`` is on — the reference carried
+        that flag but gave it no behavior (SURVEY.md L9)."""
+        if self._coalescer is None:
+            from video_quierer_tpu.engine.batching import SearchCoalescer
+            self._coalescer = SearchCoalescer(self)
+        return self._coalescer.search(query, k, use_cache)
+
+    def warm_cache(self, queries: Sequence[str], k: int = 5) -> int:
+        """Pre-populate the query cache (dead-path ``CacheWarmer`` parity,
+        src/storage/cache.py:491-537). Returns number warmed."""
+        for q in queries:
+            self.search(q, k=k, use_cache=True)
+        return len(queries)
 
     def search_by_image(self, image_rgb_u8: np.ndarray, k: int = 5
                         ) -> List[Dict]:

@@ -54,8 +54,15 @@ def _round_capacity(n: int) -> int:
 class DeviceVideoIndex:
     """Exact-scan frame index, host-authoritative with a device mirror."""
 
-    def __init__(self, dim: int = EMBED_DIM):
+    def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32"):
+        """``device_dtype='bfloat16'`` halves the scan's HBM traffic (the
+        entire cost of a query) at ~1e-2 score precision; the host copy —
+        and therefore the pickle cache — stays f32 for format parity.
+        Accumulation is f32 either way (ops/topk.py)."""
+        if device_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported device_dtype {device_dtype!r}")
         self.dim = dim
+        self.device_dtype = device_dtype
         self.video_hashes: Dict[str, str] = {}
         self._reset_storage()
 
@@ -173,17 +180,19 @@ class DeviceVideoIndex:
 
     def _sync_device(self) -> jax.Array:
         """Bring the device mirror up to date; returns the device matrix."""
+        dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" \
+            else jnp.float32
         cap = self._emb.shape[0]
         if self._device_emb is None or self._device_cap != cap \
                 or self._device_rows > self._count:
             # capacity change or compaction → full upload
-            self._device_emb = jnp.asarray(self._emb)
+            self._device_emb = jnp.asarray(self._emb, dtype)
             self._device_cap = cap
             self._device_rows = self._count
         elif self._device_rows < self._count:
             lo, hi = self._device_rows, self._count
             self._device_emb = jax.lax.dynamic_update_slice(
-                self._device_emb, jnp.asarray(self._emb[lo:hi]),
+                self._device_emb, jnp.asarray(self._emb[lo:hi], dtype),
                 (lo, 0))
             self._device_rows = self._count
         return self._device_emb
@@ -268,23 +277,49 @@ class DeviceVideoIndex:
         self._count = n
         self._device_rows = 0
 
-    def save_to_disk(self, cache_path: Path) -> bool:
+    @staticmethod
+    def _sidecar(cache_path: Path) -> Path:
+        return Path(str(cache_path) + ".sha256")
+
+    def save_to_disk(self, cache_path: Path, checksum: bool = True) -> bool:
+        """Write the v1.0 pickle; with ``checksum`` also write a SHA-256
+        sidecar (the dead-path HNSW persisted the same way,
+        src/indexes/hnsw.py:334-339)."""
         try:
+            payload = pickle.dumps(self.to_cache_dict())
             with open(cache_path, "wb") as f:
-                pickle.dump(self.to_cache_dict(), f)
+                f.write(payload)
+            if checksum:
+                import hashlib
+                digest = hashlib.sha256(payload).hexdigest()
+                self._sidecar(cache_path).write_text(digest)
             logger.info("Saved %d embeddings to %s", self._count, cache_path)
             return True
         except Exception as e:  # parity: reference swallows errors (:83-85)
             logger.error("Failed to save cache: %s", e)
             return False
 
-    def load_from_disk(self, cache_path: Path) -> bool:
+    def load_from_disk(self, cache_path: Path, verify: bool = True) -> bool:
+        """Load the v1.0 pickle. When a checksum sidecar exists and
+        ``verify`` is set, a digest mismatch fails the load (corruption
+        detection, hnsw.py:345-357 semantics); absence of the sidecar is
+        fine (reference-written caches have none)."""
         try:
             cache_path = Path(cache_path)
             if not cache_path.exists():
                 return False
-            with open(cache_path, "rb") as f:
-                cache_data = pickle.load(f)
+            payload = cache_path.read_bytes()
+            sidecar = self._sidecar(cache_path)
+            if verify and sidecar.exists():
+                import hashlib
+                expected = sidecar.read_text().strip()
+                actual = hashlib.sha256(payload).hexdigest()
+                if actual != expected:
+                    logger.error("Cache checksum mismatch for %s "
+                                 "(expected %s..., got %s...)", cache_path,
+                                 expected[:12], actual[:12])
+                    return False
+            cache_data = pickle.loads(payload)
             self.load_cache_dict(cache_data)
             logger.info("Loaded %d embeddings from %s", self._count,
                         cache_path)

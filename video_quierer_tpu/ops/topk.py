@@ -235,8 +235,13 @@ def cosine_topk(emb: jax.Array, queries: jax.Array, valid_count, *, k: int
     if squeeze:
         queries = queries[None, :]
     valid_count = jnp.asarray(valid_count, jnp.int32)
-    qt = jnp.asarray(queries, jnp.float32).T  # [D, B]
-    emb = jnp.asarray(emb, jnp.float32)
+    emb = jnp.asarray(emb)
+    if emb.dtype not in (jnp.float32, jnp.bfloat16):
+        emb = emb.astype(jnp.float32)
+    # queries follow the matrix dtype (bf16 mode halves the HBM read —
+    # the scan's whole cost); accumulation stays f32 via
+    # preferred_element_type in both scan paths.
+    qt = jnp.asarray(queries).astype(emb.dtype).T  # [D, B]
     mode = _pallas_mode()
     if mode != "off" and emb.shape[0] % BLOCK_ROWS == 0 and emb.shape[0] > 0:
         bvals, bidxs = _pallas_block_scan(emb, qt, valid_count, k=k,
