@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Frame-embedding throughput: CLIP ViT-B/32 image tower, frames/sec/chip.
+
+North-star #2 (BASELINE.md): ≥10× the reference GPU path. The reference
+runs one frame per CLIP call with two host↔device copies each
+(video_search_overhaul.py:210-228); an RTX-class GPU manages roughly
+100-300 frames/s that way. Here frames flow as bucketed uint8 batches with
+the normalize fused on-device.
+
+Usage: python benchmarks/embed_bench.py [--batch 256] [--steps 20]
+       [--dtype float32|bfloat16]
+"""
+
+import argparse
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"])
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from video_quierer_tpu.models.clip.config import vit_b_32
+    from video_quierer_tpu.models.clip.model import CLIP, init_params
+    from video_quierer_tpu.ops.preprocess import normalize_images
+
+    print(f"backend: {jax.default_backend()}", file=sys.stderr)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = CLIP(vit_b_32(), dtype=dtype)
+    params = init_params(model, seed=0)
+
+    @jax.jit
+    def forward(params, frames_u8):
+        pixels = normalize_images(frames_u8, dtype=dtype)
+        return model.apply({"params": params}, pixels,
+                           method=CLIP.encode_image)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255,
+                                      (args.batch, 224, 224, 3),
+                                      dtype=np.uint8))
+    t0 = time.time()
+    out = forward(params, frames)
+    out.block_until_ready()
+    print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(args.steps):
+        out = forward(params, frames)
+    out.block_until_ready()
+    dt = time.time() - t0
+    fps = args.batch * args.steps / dt
+    flops = 2 * 4.36e9 * args.batch * args.steps  # ~4.36 GFLOP/image fwd
+    print(f"batch={args.batch} dtype={args.dtype}: "
+          f"{fps:.0f} frames/s/chip "
+          f"({dt / args.steps * 1000:.1f} ms/batch, "
+          f"~{flops / dt / 1e12:.1f} TFLOP/s)")
+
+
+if __name__ == "__main__":
+    main()

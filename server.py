@@ -13,12 +13,21 @@ import logging
 
 
 def main() -> None:
+    import os
+    # VIDEO_SEARCH_* env vars: documented by the reference's README
+    # (README.md:194-198) but never read by its code — honored here.
     parser = argparse.ArgumentParser(description="TPU video search server")
-    parser.add_argument("--host", default="0.0.0.0")
-    parser.add_argument("--port", type=int, default=5001)
+    parser.add_argument("--host",
+                        default=os.environ.get("VIDEO_SEARCH_HOST",
+                                               "0.0.0.0"))
+    parser.add_argument("--port", type=int,
+                        default=int(os.environ.get("VIDEO_SEARCH_PORT",
+                                                   "5001")))
     parser.add_argument("--videos-dir", default="videos")
     parser.add_argument("--config", default="config.json")
-    parser.add_argument("--log-level", default="INFO")
+    parser.add_argument("--log-level",
+                        default=os.environ.get("VIDEO_SEARCH_LOG_LEVEL",
+                                               "INFO"))
     args = parser.parse_args()
 
     logging.basicConfig(

@@ -358,6 +358,9 @@ def _register_routes(app: web.Application) -> None:
         if image is not None:
             results = await asyncio.to_thread(engine.search_by_image,
                                               image, req.k)
+        elif req.dedup_videos:
+            results = await asyncio.to_thread(
+                engine.search, query, req.k, req.use_cache, True)
         elif engine.config.api.enhanced_mode:
             # enhanced_mode → coalesce concurrent searches into one
             # device pass (engine/batching.py)

@@ -16,6 +16,8 @@ class SearchRequest(BaseModel):
                        "data:image/...;base64 URI for image search)")
     k: int = Field(5, ge=1, le=50)
     use_cache: bool = True
+    # extension: at most one result per video (dead-path D6 capability)
+    dedup_videos: bool = False
 
 
 class BatchSearchRequest(BaseModel):

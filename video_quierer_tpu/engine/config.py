@@ -89,6 +89,9 @@ class CacheConfig:
     query_cache_size: int = 512
     query_cache_ttl_s: float = 300.0
     similarity_threshold: float = 0.95
+    # frame-embedding memo entries (0 = off); re-processing unchanged
+    # frames skips the device (CachedFeatureExtractor capability, D5)
+    frame_memo_size: int = 0
 
 
 @dataclasses.dataclass
@@ -101,6 +104,11 @@ class ModelConfig:
 @dataclasses.dataclass
 class EngineConfig:
     videos_dir: str = "videos"
+    # opt-in: reprocess everything when index-affecting config keys change
+    # (the dead-path bridge's config_hash staleness,
+    # video_search_system_bridge.py:233-237; the live path never
+    # invalidates on config change and neither do we by default)
+    invalidate_on_config_change: bool = False
     api: ApiConfig = dataclasses.field(default_factory=ApiConfig)
     ingest: IngestConfig = dataclasses.field(default_factory=IngestConfig)
     index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
@@ -147,9 +155,42 @@ def apply_env_overrides(cfg: EngineConfig) -> EngineConfig:
     return cfg
 
 
-def load_engine_config(config_json: Path = Path("config.json")
-                       ) -> EngineConfig:
+def _apply_nested(cfg: EngineConfig, data: dict) -> None:
+    for key, value in data.items():
+        if not hasattr(cfg, key):
+            logger.warning("unknown engine config key %r — ignored", key)
+            continue
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            for sub, sval in value.items():
+                if hasattr(current, sub):
+                    setattr(current, sub, sval)
+                else:
+                    logger.warning("unknown engine config key %s.%s — "
+                                   "ignored", key, sub)
+        elif key == "api" and isinstance(value, dict):
+            cfg.api = ApiConfig(**{**cfg.api.model_dump(), **value})
+        else:
+            setattr(cfg, key, value)
+
+
+def load_engine_config(config_json: Path = Path("config.json"),
+                       config_yaml: Optional[Path] = None) -> EngineConfig:
+    """Engine config = flat config.json (API tier) + optional nested
+    ``engine.yaml`` (the dead path's YAML schema role,
+    src/utils/config.py) + ``VQT_*`` env overrides, validated."""
     cfg = EngineConfig(api=load_api_config(config_json))
+    if config_yaml is None:
+        config_yaml = Path(config_json).with_name("engine.yaml")
+    if Path(config_yaml).exists():
+        try:
+            import yaml
+            with open(config_yaml) as f:
+                data = yaml.safe_load(f) or {}
+            _apply_nested(cfg, data)
+            logger.info("engine config loaded from %s", config_yaml)
+        except Exception as e:
+            logger.error("failed to load %s: %s", config_yaml, e)
     apply_env_overrides(cfg)
     cfg.validate()
     return cfg

@@ -69,14 +69,20 @@ class VideoSearchEngine:
     def __init__(self, videos_dir: str = "videos",
                  config: Optional[EngineConfig] = None,
                  embedder=None,
-                 mesh=None):
+                 mesh=None,
+                 corpus_mesh=None):
         self.config = config or load_engine_config()
         self.videos_dir = Path(videos_dir or self.config.videos_dir)
         self.videos_dir.mkdir(parents=True, exist_ok=True)
         self.cache_path = self.videos_dir / "video_search_cache.pkl"
+        if corpus_mesh is None and self.config.index.corpus_shards > 0:
+            from video_quierer_tpu.parallel.mesh import corpus_mesh as \
+                make_corpus_mesh
+            corpus_mesh = make_corpus_mesh(self.config.index.corpus_shards)
         self.index = DeviceVideoIndex(
             dim=self.config.index.embed_dim,
-            device_dtype=self.config.index.device_dtype)
+            device_dtype=self.config.index.device_dtype,
+            mesh=corpus_mesh)
         self.metrics = SystemMetrics()
         self.query_cache = QueryResultCache(
             max_size=self.config.cache.query_cache_size,
@@ -118,6 +124,12 @@ class VideoSearchEngine:
                 if m.checkpoint_dir else None,
                 dtype=dtype,
                 mesh=self.mesh)
+            if self.config.cache.frame_memo_size > 0:
+                from video_quierer_tpu.models.clip.embedder import \
+                    MemoizedEmbedder
+                self._embedder = MemoizedEmbedder(
+                    self._embedder,
+                    max_size=self.config.cache.frame_memo_size)
         return self._embedder
 
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
@@ -137,11 +149,31 @@ class VideoSearchEngine:
     # video_search_overhaul.py:345-437)
     # ------------------------------------------------------------------
 
+    def _config_hash(self) -> str:
+        """md5 over the index-affecting config keys — the bridge's
+        staleness key (video_search_system_bridge.py:233-237 semantics)."""
+        import hashlib
+        cfg = self.config.api
+        key = f"{cfg.sampling_mode}|{cfg.max_frames}|{cfg.use_clip}"
+        return hashlib.md5(key.encode()).hexdigest()
+
+    @property
+    def _config_hash_path(self) -> Path:
+        return Path(str(self.cache_path) + ".confighash")
+
     def startup(self) -> None:
         logger.info("Engine starting up...")
         with self.lock, self.metrics.timer("startup"):
             loaded = self.index.load_from_disk(self.cache_path)
             current = self.current_videos()
+            if loaded and self.config.invalidate_on_config_change:
+                stored = (self._config_hash_path.read_text().strip()
+                          if self._config_hash_path.exists() else None)
+                if stored != self._config_hash():
+                    logger.info("Index-affecting config changed — full "
+                                "reprocess")
+                    self.index.clear()
+                    loaded = False
             if loaded:
                 stale = self._stale_videos(current)
                 if stale:
@@ -155,6 +187,10 @@ class VideoSearchEngine:
                 logger.info("No cache — processing %d videos", len(current))
                 self._ingest(current)
                 self.index.save_to_disk(self.cache_path)
+            try:
+                self._config_hash_path.write_text(self._config_hash())
+            except OSError:
+                pass
         self._ready = True
         self.metrics.set_gauge("frames_indexed", len(self.index))
         logger.info("Startup complete: %d frames indexed", len(self.index))
@@ -232,20 +268,41 @@ class VideoSearchEngine:
             r["formatted_time"] = format_timestamp(r["timestamp"])
         return results
 
+    @staticmethod
+    def _dedup_by_video(results: List[Dict], k: int) -> List[Dict]:
+        """Keep the best frame per video (dead-path diverse-results
+        capability, src/video_search_system.py:234-389 over-fetched k*2
+        then deduped per video)."""
+        seen = set()
+        out = []
+        for r in results:
+            if r["video_name"] in seen:
+                continue
+            seen.add(r["video_name"])
+            out.append(r)
+            if len(out) >= k:
+                break
+        return out
+
     def search(self, query: str, k: int = 5,
-               use_cache: bool = True) -> List[Dict]:
+               use_cache: bool = True,
+               dedup_videos: bool = False) -> List[Dict]:
         self.metrics.inc("searches")
-        cache_on = use_cache and self.config.api.cache_search
+        cache_on = (use_cache and self.config.api.cache_search
+                    and not dedup_videos)
         if cache_on:
             hit = self.query_cache.get_text(query, k)
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
                 return [dict(r) for r in hit]
+        fetch_k = min(k * 2, 64) if dedup_videos else k
         with self.lock, self.metrics.timer("search_latency"):
             with self.metrics.timer("text_encode"):
                 q = self.encode_text(query)
             with self.metrics.timer("index_scan"):
-                results = self.index.search(q, k)
+                results = self.index.search(q, fetch_k)
+            if dedup_videos:
+                results = self._dedup_by_video(results, k)
             results = self._format(results)
         if cache_on:
             self.query_cache.put_text(query, k, [dict(r) for r in results])

@@ -47,22 +47,36 @@ _CHUNK = 8 * BLOCK_ROWS  # 4096 rows
 CACHE_VERSION = "1.0"
 
 
-def _round_capacity(n: int) -> int:
-    return max(_CHUNK, -(-n // _CHUNK) * _CHUNK)
+def _round_capacity(n: int, granularity: int = _CHUNK) -> int:
+    return max(granularity, -(-n // granularity) * granularity)
 
 
 class DeviceVideoIndex:
     """Exact-scan frame index, host-authoritative with a device mirror."""
 
-    def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32"):
+    def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32",
+                 mesh=None):
         """``device_dtype='bfloat16'`` halves the scan's HBM traffic (the
         entire cost of a query) at ~1e-2 score precision; the host copy —
         and therefore the pickle cache — stays f32 for format parity.
-        Accumulation is f32 either way (ops/topk.py)."""
+        Accumulation is f32 either way (ops/topk.py).
+
+        ``mesh``: a ``jax.sharding.Mesh`` with a ``corpus`` axis. The
+        device mirror is then row-sharded across it and every search runs
+        the per-shard fused scan + ICI merge (index/sharded.py) with exact
+        single-device parity ordering. Capacity stays a multiple of
+        ``n_shards * BLOCK_ROWS`` so shards divide evenly.
+        """
         if device_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported device_dtype {device_dtype!r}")
         self.dim = dim
         self.device_dtype = device_dtype
+        self.mesh = mesh
+        if mesh is not None:
+            from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+            self._n_shards = mesh.shape[CORPUS_AXIS]
+        else:
+            self._n_shards = 1
         self.video_hashes: Dict[str, str] = {}
         self._reset_storage()
 
@@ -70,8 +84,13 @@ class DeviceVideoIndex:
     # Host-side storage
     # ------------------------------------------------------------------
 
+    @property
+    def _granularity(self) -> int:
+        # capacity granularity: keeps N_pad divisible by shards*BLOCK_ROWS
+        return max(_CHUNK, self._n_shards * BLOCK_ROWS)
+
     def _reset_storage(self) -> None:
-        cap = _CHUNK
+        cap = self._granularity
         self._emb = np.zeros((cap, self.dim), dtype=np.float32)
         self._video_ids = np.zeros(cap, dtype=np.int32)
         self._timestamps = np.zeros(cap, dtype=np.float64)
@@ -88,7 +107,7 @@ class DeviceVideoIndex:
         cap = self._emb.shape[0]
         if n <= cap:
             return
-        new_cap = _round_capacity(max(n, cap * 2))
+        new_cap = _round_capacity(max(n, cap * 2), self._granularity)
         for name in ("_emb", "_video_ids", "_timestamps", "_frame_ids"):
             old = getattr(self, name)
             shape = (new_cap,) + old.shape[1:]
@@ -178,6 +197,13 @@ class DeviceVideoIndex:
     # Device mirror
     # ------------------------------------------------------------------
 
+    def _place(self, array_np, dtype) -> jax.Array:
+        arr = jnp.asarray(array_np, dtype)
+        if self.mesh is not None:
+            from video_quierer_tpu.index.sharded import shard_corpus
+            arr = shard_corpus(arr, self.mesh)
+        return arr
+
     def _sync_device(self) -> jax.Array:
         """Bring the device mirror up to date; returns the device matrix."""
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" \
@@ -186,14 +212,18 @@ class DeviceVideoIndex:
         if self._device_emb is None or self._device_cap != cap \
                 or self._device_rows > self._count:
             # capacity change or compaction → full upload
-            self._device_emb = jnp.asarray(self._emb, dtype)
+            self._device_emb = self._place(self._emb, dtype)
             self._device_cap = cap
             self._device_rows = self._count
         elif self._device_rows < self._count:
             lo, hi = self._device_rows, self._count
-            self._device_emb = jax.lax.dynamic_update_slice(
+            updated = jax.lax.dynamic_update_slice(
                 self._device_emb, jnp.asarray(self._emb[lo:hi], dtype),
                 (lo, 0))
+            if self.mesh is not None:
+                from video_quierer_tpu.index.sharded import shard_corpus
+                updated = shard_corpus(updated, self.mesh)
+            self._device_emb = updated
             self._device_rows = self._count
         return self._device_emb
 
@@ -220,7 +250,13 @@ class DeviceVideoIndex:
         k = max(1, min(int(k), MAX_K))
         q = np.stack([self.normalize_query(r) for r in np.asarray(queries)])
         emb = self._sync_device()
-        vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
+        if self.mesh is not None:
+            from video_quierer_tpu.index.sharded import sharded_cosine_topk
+            vals, idxs = sharded_cosine_topk(emb, jnp.asarray(q),
+                                             self._count, k=k,
+                                             mesh=self.mesh)
+        else:
+            vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
         vals = np.asarray(vals)
         idxs = np.asarray(idxs)
         out: List[List[Dict]] = []

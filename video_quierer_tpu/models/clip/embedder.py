@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import logging
+from collections import OrderedDict
 from pathlib import Path
 from typing import Optional, Sequence
 
@@ -159,3 +160,62 @@ class CLIPEmbedder:
                                         self.cfg.vision.image_size, 3),
                                        np.uint8))
         self.embed_text("warmup")
+
+
+class MemoizedEmbedder:
+    """Frame-embedding memo around any embedder.
+
+    Keys frames by a hash of sampled pixels, so re-processing unchanged
+    content (e.g. ``/api/cache/rebuild`` with the same videos) skips the
+    device entirely — the dead path's ``CachedFeatureExtractor``
+    capability (src/core/feature_extractor.py:357-425), batched.
+    """
+
+    def __init__(self, inner, max_size: int = 50_000):
+        self.inner = inner
+        self.max_size = max_size
+        self._memo: "OrderedDict[bytes, np.ndarray]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def pretrained(self):
+        return getattr(self.inner, "pretrained", False)
+
+    @staticmethod
+    def _key(frame: np.ndarray) -> bytes:
+        import hashlib
+        return hashlib.md5(
+            np.ascontiguousarray(frame[::16, ::16]).tobytes()).digest()
+
+    def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
+        frames_u8 = np.asarray(frames_u8, np.uint8)
+        n = frames_u8.shape[0]
+        if n == 0:
+            return self.inner.embed_frames(frames_u8)
+        keys = [self._key(frames_u8[i]) for i in range(n)]
+        out = np.empty((n, 512), np.float32)
+        missing = []
+        for i, key in enumerate(keys):
+            cached = self._memo.get(key)
+            if cached is not None:
+                out[i] = cached
+                self._memo.move_to_end(key)
+                self.hits += 1
+            else:
+                missing.append(i)
+                self.misses += 1
+        if missing:
+            feats = self.inner.embed_frames(frames_u8[missing])
+            for j, i in enumerate(missing):
+                out[i] = feats[j]
+                self._memo[keys[i]] = feats[j]
+            while len(self._memo) > self.max_size:
+                self._memo.popitem(last=False)
+        return out
+
+    def embed_text(self, text: str) -> np.ndarray:
+        return self.inner.embed_text(text)
+
+    def embed_texts(self, texts) -> np.ndarray:
+        return self.inner.embed_texts(texts)
