@@ -76,7 +76,7 @@ def test_bf16_pickle_stays_f32(tmp_path, rng):
 
 def test_bad_dtype_rejected():
     with pytest.raises(ValueError):
-        DeviceVideoIndex(device_dtype="int8")
+        DeviceVideoIndex(device_dtype="float64")
 
 
 # -- profiler endpoints ----------------------------------------------------

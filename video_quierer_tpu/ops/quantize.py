@@ -1,0 +1,29 @@
+"""Per-row symmetric int8 quantization for the embedding matrix.
+
+``device_dtype='int8'`` mode stores the corpus as int8 codes + per-row f32
+scales: the scan then reads 1 byte/element instead of 4 — a 4× HBM-traffic
+reduction on the operation whose entire cost is that read. Exactness is
+recovered by re-ranking the approximate top candidates against the f32
+host matrix (index/device_index.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def quantize_rows(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``[N, D] f32`` → ``([N, D] int8, [N, 1] f32 scales)``.
+
+    Symmetric per-row: ``scale = max|row| / 127``; zero rows get scale 0
+    and all-zero codes (capacity padding stays harmless).
+    """
+    absmax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
+    scale = absmax / 127.0
+    safe = jnp.where(scale > 0, scale, 1.0)
+    q = jnp.clip(jnp.round(emb / safe), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)

@@ -163,6 +163,121 @@ def _pallas_block_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
     return vals, idxs
 
 
+def _scan_kernel_int8(valid_ref, emb_ref, scales_ref, qt_ref, vals_ref,
+                      idxs_ref, *, k: int):
+    """Int8 variant: codes upcast to bf16 in VMEM, scores rescaled by the
+    per-row f32 scale. HBM reads 1 byte/element — the point of the mode."""
+    i = pl.program_id(0)
+    blk = emb_ref.shape[0]
+    b = qt_ref.shape[1]
+    codes = emb_ref[:].astype(jnp.bfloat16)
+    scores = jnp.dot(codes, qt_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    scores = scores * scales_ref[:]  # [blk, 1] broadcast
+    local_rows = jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
+    row_ids = local_rows + i * blk
+    scores = jnp.where(row_ids < valid_ref[0], scores, NEG_INF)
+    vals, idxs = _block_topk_body(scores, row_ids, k)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _pallas_block_scan_int8(emb_i8: jax.Array, scales: jax.Array,
+                            qt: jax.Array, valid_count: jax.Array,
+                            *, k: int, interpret: bool = False
+                            ) -> Tuple[jax.Array, jax.Array]:
+    n_pad, d = emb_i8.shape
+    b = qt.shape[1]
+    n_blocks = n_pad // BLOCK_ROWS
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    vals, idxs = pl.pallas_call(
+        functools.partial(_scan_kernel_int8, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * d + n_pad * 4 + d * b * 4
+            + 2 * n_blocks * b * k * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), emb_i8, scales, qt)
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _xla_scan_int8(emb_i8: jax.Array, scales: jax.Array, qt: jax.Array,
+                   valid_count: jax.Array, *, k: int
+                   ) -> Tuple[jax.Array, jax.Array]:
+    scores = jnp.dot(qt.T.astype(jnp.bfloat16),
+                     emb_i8.T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)  # [B, N]
+    scores = scores * scales[:, 0][None, :]
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(rows < valid_count, scores, NEG_INF)
+    k_eff = min(k, emb_i8.shape[0])
+    vals, idxs = jax.lax.top_k(scores, k_eff)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
+    return vals, idxs.astype(jnp.int32)
+
+
+def cosine_topk_int8(emb_i8: jax.Array, scales: jax.Array,
+                     queries: jax.Array, valid_count, *, k: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Approximate top-k over an int8-quantized matrix (see quantize.py).
+
+    Same interface/ordering semantics as :func:`cosine_topk`; scores carry
+    int8 quantization error (~1e-2 relative), so callers wanting exact
+    ordering re-rank the candidates in f32 (DeviceVideoIndex does).
+    """
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    squeeze = queries.ndim == 1
+    if squeeze:
+        queries = queries[None, :]
+    valid_count = jnp.asarray(valid_count, jnp.int32)
+    qt = jnp.asarray(queries, jnp.float32).T
+    mode = _pallas_mode()
+    if mode != "off" and emb_i8.shape[0] % BLOCK_ROWS == 0 \
+            and emb_i8.shape[0] > 0:
+        bvals, bidxs = _pallas_block_scan_int8(
+            emb_i8, scales, qt, valid_count, k=k,
+            interpret=(mode == "interpret"))
+        n_blocks, b, _ = bvals.shape
+        cand_vals = jnp.transpose(bvals, (1, 0, 2)).reshape(b, n_blocks * k)
+        cand_idxs = jnp.transpose(bidxs, (1, 0, 2)).reshape(b, n_blocks * k)
+        vals, idxs = merge_topk(cand_vals, cand_idxs, k=k)
+    else:
+        vals, idxs = _xla_scan_int8(emb_i8, scales, qt, valid_count, k=k)
+    if squeeze:
+        return vals[0], idxs[0]
+    return vals, idxs
+
+
 # ---------------------------------------------------------------------------
 # Portable XLA path
 # ---------------------------------------------------------------------------
