@@ -16,7 +16,6 @@ reference (``VideoProcessor.get_frame_embedding`` /
 
 from __future__ import annotations
 
-import functools
 import logging
 from collections import OrderedDict
 from pathlib import Path

@@ -11,7 +11,6 @@ import logging
 from pathlib import Path
 from typing import Optional
 
-import jax
 import numpy as np
 
 logger = logging.getLogger(__name__)

@@ -20,8 +20,7 @@ pairs with the standard symmetric InfoNCE objective, sharded over a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
