@@ -1,0 +1,90 @@
+"""IVF index tests: k-means sanity, probed-exactness, recall vs the exact
+scan, clustered-data behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_quierer_tpu.index.ivf import IVFIndex, _kmeans
+from video_quierer_tpu.ops.topk import cosine_topk
+
+
+def _unit(rng, n, d=512):
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def _clustered(rng, n_clusters=16, per=200, d=512, spread=0.15):
+    centers = _unit(rng, n_clusters, d)
+    rows = []
+    for c in range(n_clusters):
+        pts = centers[c] + spread * rng.standard_normal(
+            (per, d)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=-1, keepdims=True))
+    return np.concatenate(rows), centers
+
+
+def test_kmeans_separates_clusters(rng):
+    emb, centers = _clustered(rng, n_clusters=8, per=100)
+    centroids, assign = _kmeans(jnp.asarray(emb), jnp.int32(0),
+                                n_clusters=8, iters=10)
+    assign = np.asarray(assign)
+    # points of the same generating cluster should mostly share a label
+    purity = 0
+    for c in range(8):
+        labels = assign[c * 100: (c + 1) * 100]
+        purity += np.bincount(labels, minlength=8).max()
+    assert purity / 800 > 0.9
+
+
+def test_ivf_recall_on_clustered_data(rng):
+    emb, _ = _clustered(rng, n_clusters=16, per=200)
+    ivf = IVFIndex(nlist=16, nprobe=4, seed=0)
+    ivf.build(emb)
+    hits = 0
+    trials = 20
+    for t in range(trials):
+        q = emb[t * 150] + 0.02 * rng.standard_normal(512).astype(
+            np.float32)
+        q /= np.linalg.norm(q)
+        exact_vals, exact_idx = cosine_topk(jnp.asarray(emb),
+                                            jnp.asarray(q),
+                                            emb.shape[0], k=10)
+        vals, idxs = ivf.search(q, k=10)
+        hits += len(set(np.asarray(exact_idx).tolist())
+                    & set(idxs[idxs >= 0].tolist()))
+        # probed scores are true cosines
+        live = idxs >= 0
+        np.testing.assert_allclose(vals[live], emb[idxs[live]] @ q,
+                                   atol=1e-5)
+    assert hits / (trials * 10) > 0.8  # recall@10 with nprobe=4/16
+
+
+def test_ivf_full_probe_is_exact(rng):
+    emb = _unit(rng, 1500)
+    ivf = IVFIndex(nlist=16, nprobe=16, seed=0)  # probe everything
+    ivf.build(emb)
+    q = _unit(rng, 3)
+    exact_vals, exact_idx = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                        1500, k=5)
+    vals, idxs = ivf.search(q, k=5)
+    for b in range(3):
+        assert set(idxs[b].tolist()) == \
+            set(np.asarray(exact_idx)[b].tolist())
+        np.testing.assert_allclose(np.sort(vals[b]),
+                                   np.sort(np.asarray(exact_vals)[b]),
+                                   atol=1e-5)
+
+
+def test_ivf_single_query_shape(rng):
+    emb = _unit(rng, 800)
+    ivf = IVFIndex(nlist=16, nprobe=2)
+    ivf.build(emb)
+    vals, idxs = ivf.search(emb[5], k=3)
+    assert vals.shape == (3,) and idxs.shape == (3,)
+    assert idxs[0] == 5  # own cluster always probed first
+
+
+def test_ivf_requires_build():
+    with pytest.raises(RuntimeError):
+        IVFIndex().search(np.zeros(512, np.float32))
