@@ -92,9 +92,14 @@ def _probe_and_scan(centroids, tiled_emb, tile_cluster_start, tile_counts,
                     preferred_element_type=jnp.float32)  # [B, C]
     _, top_clusters = jax.lax.top_k(csims, nprobe)       # [B, nprobe]
 
+    tile_budget = tiles // nprobe
+
     def per_query(q, clusters):
         starts = tile_cluster_start[clusters]            # [nprobe]
-        counts = tile_counts[clusters]                   # [nprobe]
+        # clamp to the per-probe budget: outsized clusters contribute
+        # only their first tiles (IVF is approximate; the budget keeps
+        # the gather static and bounded under cluster-size skew)
+        counts = jnp.minimum(tile_counts[clusters], tile_budget)
         # flatten cluster tile ranges into a fixed-size tile list; unused
         # slots point at tile 0 with a kill mask
         offs = jnp.cumsum(counts) - counts               # [nprobe]
@@ -156,15 +161,15 @@ class IVFIndex:
         total_tiles = int(tile_start[-1])
         tiled = np.zeros((total_tiles, BLOCK_ROWS, d), np.float32)
         row_ids = np.full((total_tiles, BLOCK_ROWS), -1, np.int64)
-        pos = 0
-        for c in range(nlist):
-            rows = order[pos: pos + counts[c]]
-            pos += counts[c]
-            t0 = tile_start[c]
-            for j, r in enumerate(rows):
-                t, o = divmod(j, BLOCK_ROWS)
-                tiled[t0 + t, o] = emb[r]
-                row_ids[t0 + t, o] = r
+        # vectorized packing: for cluster-sorted rows, rank within the
+        # cluster determines (tile, offset)
+        sorted_assign = assign[order]
+        cluster_first = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        ranks = np.arange(n) - cluster_first[sorted_assign]
+        t = tile_start[sorted_assign] + ranks // BLOCK_ROWS
+        o = ranks % BLOCK_ROWS
+        tiled[t, o] = emb[order]
+        row_ids[t, o] = order
 
         self.nlist = nlist
         self._centroids = jnp.asarray(np.asarray(centroids))
@@ -174,6 +179,7 @@ class IVFIndex:
         self._tile_counts = jnp.asarray(
             tiles_per_cluster.astype(np.int32))
         self._max_tiles = int(tiles_per_cluster.max())
+        self._median_tiles = int(np.median(tiles_per_cluster))
         self._built = True
         logger.info("IVF built: %d tiles (%.1f%% padding)", total_tiles,
                     100 * (1 - n / (total_tiles * BLOCK_ROWS)))
@@ -192,7 +198,10 @@ class IVFIndex:
         squeeze = queries.ndim == 1
         if squeeze:
             queries = queries[None]
-        tiles = int(nprobe * self._max_tiles)
+        # per-probe tile budget: 4× the median cluster keeps the gather
+        # bounded when k-means produces skewed cluster sizes
+        budget = min(self._max_tiles, max(1, 4 * self._median_tiles))
+        tiles = int(nprobe * budget)
         vals, idxs = _probe_and_scan(
             self._centroids, self._tiled, self._tile_start,
             self._tile_counts, self._row_ids, jnp.asarray(queries),
