@@ -236,8 +236,27 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
             except asyncio.TimeoutError:
                 logger.warning("Engine startup still running after %.0fs — "
                                "serving anyway", startup_timeout)
+        import os
+        if os.environ.get("VQT_WARMUP") == "1" and engine.use_clip:
+            # pre-compile the embedder buckets + one query so the first
+            # real request doesn't absorb device compiles
+            def _warm():
+                emb = engine._get_embedder()
+                if hasattr(emb, "warmup"):
+                    emb.warmup()
+                engine.search("warmup", k=1, use_cache=False)
+            asyncio.get_running_loop().run_in_executor(None, _warm)
+
+    async def on_shutdown(app_: web.Application):
+        # graceful shutdown with auto-save — the dead path promised this
+        # (video_search_system.py:620-642) and the live `auto_save` config
+        # flag had no effect; here it decides whether we persist on exit
+        if engine.config.api.auto_save and len(engine.index):
+            await asyncio.to_thread(engine.save)
+            logger.info("auto-saved index on shutdown")
 
     app.on_startup.append(on_startup)
+    app.on_shutdown.append(on_shutdown)
     _register_routes(app)
     return app
 

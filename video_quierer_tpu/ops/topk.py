@@ -52,10 +52,11 @@ def _pallas_mode() -> str:
         return "interpret"
     return "compiled" if use_pallas() else "off"
 
-# Row-block size for the Pallas scan. 512 rows × 512 dims × 4 B = 1 MiB of
-# VMEM per block buffer — small enough for double-buffering, large enough to
-# keep the MXU busy.
-BLOCK_ROWS = 512
+# Row-block size for the Pallas scan. 1024 rows × 512 dims × 4 B = 2 MiB per
+# block buffer — small enough for double-buffering in VMEM, large enough to
+# amortize per-step overhead (measured on v5e at 2M rows: 1024 beats 512 by
+# 1.4× and matches 2048).
+BLOCK_ROWS = 1024
 # Upper bound on k (reference API caps k at 50, routes.py:58).
 MAX_K = 64
 
@@ -109,12 +110,17 @@ def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, *, k: int):
     i = pl.program_id(0)
     blk = emb_ref.shape[0]
     b = qt_ref.shape[1]
-    # HIGHEST precision: full-f32 MXU passes. The scan is HBM-bandwidth
-    # bound, so the extra passes are free, and scores stay within ~1e-6 of
-    # the NumPy oracle (default bf16x1 drifts ~4e-3 — enough to flip ranks
-    # of near-tied frames).
-    scores = jnp.dot(emb_ref[:], qt_ref[:], preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    # f32 inputs: HIGHEST precision (full-f32 MXU passes — free, the scan
+    # is HBM-bound, and scores stay within 1e-6 of the NumPy oracle; the
+    # default bf16x1 drifts ~4e-3, enough to flip near-tied ranks).
+    # bf16 inputs: default precision — Mosaic rejects fp32 contract
+    # precision on a bf16 lhs, and bf16 mode trades exactness for
+    # bandwidth anyway (accumulation stays f32).
+    precision = (jax.lax.Precision.HIGHEST
+                 if emb_ref.dtype == jnp.float32 else None)
+    scores = jnp.dot(emb_ref[:], qt_ref[:],
+                     preferred_element_type=jnp.float32,
+                     precision=precision)
     local_rows = jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
     row_ids = local_rows + i * blk
     scores = jnp.where(row_ids < valid_ref[0], scores, NEG_INF)
@@ -287,8 +293,10 @@ def cosine_topk_int8(emb_i8: jax.Array, scales: jax.Array,
 def _xla_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
               *, k: int) -> Tuple[jax.Array, jax.Array]:
     n_pad = emb.shape[0]
+    precision = (jax.lax.Precision.HIGHEST
+                 if emb.dtype == jnp.float32 else None)
     scores = jnp.dot(qt.T, emb.T, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # [B, N]
+                     precision=precision)  # [B, N]
     rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     scores = jnp.where(rows < valid_count, scores, NEG_INF)
     k_eff = min(k, n_pad)
