@@ -319,3 +319,16 @@ def test_root_serves_ui(server):
 def test_cors_headers(server):
     r = requests.get(server["base"] + "/health")
     assert r.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_openapi_docs(server):
+    b = server["base"]
+    spec = requests.get(b + "/api/openapi.json").json()
+    assert spec["openapi"].startswith("3.")
+    assert "/api/search" in spec["paths"]
+    assert "post" in spec["paths"]["/api/search"]
+    assert "SearchRequest" in spec["components"]["schemas"]
+    # every documented path actually exists (GET ones respond non-404)
+    html = requests.get(b + "/api/docs")
+    assert html.status_code == 200
+    assert "openapi.json" in html.text

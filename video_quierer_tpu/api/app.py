@@ -294,6 +294,17 @@ def _register_routes(app: web.Application) -> None:
             },
         })
 
+    @routes.get("/api/openapi.json")
+    async def openapi_json(request: web.Request):
+        from video_quierer_tpu.api.openapi import openapi_spec
+        return _json(openapi_spec(API_VERSION))
+
+    @routes.get("/api/docs")
+    async def api_docs(request: web.Request):
+        from video_quierer_tpu.api.openapi import docs_html
+        return web.Response(text=docs_html(API_VERSION),
+                            content_type="text/html")
+
     @routes.get("/api/health")
     async def api_health(request: web.Request):
         return _json({
