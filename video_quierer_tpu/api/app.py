@@ -385,19 +385,25 @@ def _register_routes(app: web.Application) -> None:
         image = _decode_image_query(query)
         hits_before = engine.metrics.counter("search_cache_hits")
         if image is not None:
-            results = await asyncio.to_thread(engine.search_by_image,
-                                              image, req.k)
+            coro = asyncio.to_thread(engine.search_by_image, image, req.k)
         elif req.dedup_videos:
-            results = await asyncio.to_thread(
-                engine.search, query, req.k, req.use_cache, True)
+            coro = asyncio.to_thread(engine.search, query, req.k,
+                                     req.use_cache, True)
         elif engine.config.api.enhanced_mode:
             # enhanced_mode → coalesce concurrent searches into one
             # device pass (engine/batching.py)
-            results = await asyncio.to_thread(engine.search_coalesced,
-                                              query, req.k, req.use_cache)
+            coro = asyncio.to_thread(engine.search_coalesced, query,
+                                     req.k, req.use_cache)
         else:
-            results = await asyncio.to_thread(engine.search, query, req.k,
-                                              req.use_cache)
+            coro = asyncio.to_thread(engine.search, query, req.k,
+                                     req.use_cache)
+        # the search_timeout config key had no effect in the reference
+        # (SURVEY.md L9); here it bounds the request
+        timeout = max(1, int(engine.config.api.search_timeout))
+        try:
+            results = await asyncio.wait_for(coro, timeout=timeout)
+        except asyncio.TimeoutError:
+            return _error(504, f"Search timed out after {timeout}s")
         from_cache = engine.metrics.counter("search_cache_hits") > \
             hits_before
         return _json({

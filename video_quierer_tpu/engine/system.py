@@ -136,13 +136,29 @@ class VideoSearchEngine:
         emb = self._get_embedder()
         if emb is None:
             return self._fallback_visual.embed_frames(frames_u8)
-        return emb.embed_frames(frames_u8)
+        try:
+            return emb.embed_frames(frames_u8)
+        except Exception:
+            # degrade to handcrafted features, like the reference does on
+            # CLIP failure (video_search_overhaul.py:230-232)
+            logger.exception("CLIP embedding failed — falling back to "
+                             "visual statistics")
+            self.metrics.inc("embed_fallbacks")
+            return self._fallback_visual.embed_frames(frames_u8)
 
     def encode_text(self, query: str) -> np.ndarray:
         emb = self._get_embedder()
         if emb is None:
             return self._fallback_text.embed_text(query)
-        return emb.embed_text(query)
+        try:
+            return emb.embed_text(query)
+        except Exception:
+            # ref: _encode_clip_text failure → keyword encoder
+            # (video_search_overhaul.py:293-295)
+            logger.exception("CLIP text encoding failed — falling back to "
+                             "keyword encoder")
+            self.metrics.inc("embed_fallbacks")
+            return self._fallback_text.embed_text(query)
 
     # ------------------------------------------------------------------
     # Startup / ingest (ref: startup + _process_* chain,
