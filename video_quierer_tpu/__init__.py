@@ -29,3 +29,17 @@ A ground-up JAX/XLA/Pallas/pjit rebuild of the capabilities of the reference
 __version__ = "0.1.0"
 
 from video_quierer_tpu.utils.env import tpu_available  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (importing the package stays cheap).
+    if name == "VideoSearchEngine":
+        from video_quierer_tpu.engine import VideoSearchEngine
+        return VideoSearchEngine
+    if name == "DeviceVideoIndex":
+        from video_quierer_tpu.index import DeviceVideoIndex
+        return DeviceVideoIndex
+    if name == "CLIPEmbedder":
+        from video_quierer_tpu.models.clip.embedder import CLIPEmbedder
+        return CLIPEmbedder
+    raise AttributeError(name)
