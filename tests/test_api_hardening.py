@@ -121,3 +121,33 @@ def test_concurrent_mixed_requests(server):
     [t.start() for t in threads]
     [t.join(timeout=30) for t in threads]
     assert not errors
+
+
+def test_upload_filename_traversal_sanitized(server, tmp_path):
+    from tests.helpers import make_synthetic_video
+    src = make_synthetic_video(tmp_path / "t.mp4", n_frames=20)
+    evil_name = "../../escaped.mp4"
+    with open(src, "rb") as f:
+        r = requests.post(server["base"] + "/api/videos/upload",
+                          files={"file": (evil_name, f, "video/mp4")})
+    assert r.status_code == 200, r.text
+    tmp_root = server["tmp"]
+    # nothing escaped the videos dir
+    assert not (tmp_root.parent / "escaped.mp4").exists()
+    assert not (tmp_root / "escaped.mp4").exists()
+    vids_dir = tmp_root / "videos"
+    saved = [p.name for p in vids_dir.iterdir() if "escaped" in p.name]
+    assert len(saved) == 1  # sanitized into the videos dir
+    # clean up for other tests
+    video_id = saved[0].replace(".mp4", "").replace(".", "_")
+    requests.delete(server["base"] + f"/api/videos/{video_id}")
+
+
+def test_sanitize_filename_unit():
+    from video_quierer_tpu.api.app import sanitize_filename
+    assert sanitize_filename("../../x.mp4") == "x.mp4"
+    assert sanitize_filename("..\\..\\y.mp4") == "y.mp4"
+    assert sanitize_filename("a/b/c.mp4") == "c.mp4"
+    assert sanitize_filename("...") == "_"     # degenerate but contained
+    assert sanitize_filename("") == "upload"
+    assert sanitize_filename("normal.mp4") == "normal.mp4"

@@ -88,6 +88,16 @@ async def _parse(request: web.Request, model):
             content_type="application/json")
 
 
+def sanitize_filename(filename: str) -> str:
+    """Strip any path components from a client-supplied filename.
+
+    The reference wrote ``f"{video_id}_{file.filename}"`` verbatim
+    (routes.py:415) — a traversal hole we do not reproduce.
+    """
+    name = Path(filename.replace("\\", "/")).name
+    return name.replace("..", "_").strip(". ") or "upload"
+
+
 def video_id_of(video_name: str) -> str:
     """Filename → id (ref: routes.py:688)."""
     return video_name.replace(".mp4", "").replace(".", "_")
@@ -462,11 +472,13 @@ def _register_routes(app: web.Application) -> None:
                 if part is None:
                     break
                 if part.name == "video_id":
-                    video_id = (await part.text()).strip() or None
+                    video_id = sanitize_filename(
+                        (await part.text()).strip()) or None
                 elif part.name == "file":
                     filename = part.filename
                     if not filename:
                         return _error(400, "No file provided")
+                    filename = sanitize_filename(filename)
                     ext = Path(filename).suffix.lower()
                     if ext not in VIDEO_EXTENSIONS:
                         return _error(
