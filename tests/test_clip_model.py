@@ -136,3 +136,25 @@ def test_hf_parity(tmp_path, rng, tower):
     cos = (ref * got).sum(-1)
     np.testing.assert_allclose(cos, 1.0, atol=1e-5)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("name,lo,hi", [
+    ("vit-b-16", 148_000_000, 150_000_000),
+    ("vit-l-14", 425_000_000, 430_000_000),
+])
+def test_variant_configs_construct(name, lo, hi):
+    """Larger tower configs build with the published parameter counts."""
+    import jax
+    model = CLIP(cfg_mod.get_config(name))
+    params = jax.eval_shape(lambda: init_params(model, seed=0))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    assert lo < n < hi, (name, n)
+
+
+def test_hf_alias_names():
+    assert cfg_mod.get_config(
+        "openai/clip-vit-base-patch32").name == "vit-b-32"
+    assert cfg_mod.get_config(
+        "openai/clip-vit-large-patch14").projection_dim == 768
+    with pytest.raises(ValueError):
+        cfg_mod.get_config("unknown-model")
