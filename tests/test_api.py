@@ -291,12 +291,17 @@ def test_cache_export_import_roundtrip(server):
 
 def test_index_save_load(server, tmp_path):
     b = server["base"]
-    target = str(tmp_path / "exported_index.pkl")
+    # relative paths resolve inside the videos dir (absolute paths outside
+    # the allowed dirs are rejected — see test_review_fixes)
+    target = "exported_index.pkl"
     r = requests.post(b + "/api/index/save", params={"filepath": target})
     assert r.json() == {"status": "saved", "filepath": target}
+    assert (server["videos_dir"] / target).exists()
     r2 = requests.post(b + "/api/index/load", params={"filepath": target})
     assert r2.json() == {"status": "loaded", "filepath": target}
     assert requests.post(b + "/api/index/save").status_code == 422
+    assert requests.post(b + "/api/index/save", params={
+        "filepath": str(tmp_path / "outside.pkl")}).status_code == 403
 
 
 def test_rebuild_and_metrics(server):

@@ -393,29 +393,28 @@ def _register_routes(app: web.Application) -> None:
             return _error(400, "No query provided")
         t0 = time.time()
         image = _decode_image_query(query)
-        hits_before = engine.metrics.counter("search_cache_hits")
         if image is not None:
-            coro = asyncio.to_thread(engine.search_by_image, image, req.k)
+            coro = asyncio.to_thread(engine.search_by_image_ex, image,
+                                     req.k)
         elif req.dedup_videos:
-            coro = asyncio.to_thread(engine.search, query, req.k,
+            coro = asyncio.to_thread(engine.search_ex, query, req.k,
                                      req.use_cache, True)
         elif engine.config.api.enhanced_mode:
             # enhanced_mode → coalesce concurrent searches into one
             # device pass (engine/batching.py)
-            coro = asyncio.to_thread(engine.search_coalesced, query,
+            coro = asyncio.to_thread(engine.search_coalesced_ex, query,
                                      req.k, req.use_cache)
         else:
-            coro = asyncio.to_thread(engine.search, query, req.k,
+            coro = asyncio.to_thread(engine.search_ex, query, req.k,
                                      req.use_cache)
         # the search_timeout config key had no effect in the reference
         # (SURVEY.md L9); here it bounds the request
         timeout = max(1, int(engine.config.api.search_timeout))
         try:
-            results = await asyncio.wait_for(coro, timeout=timeout)
+            results, from_cache = await asyncio.wait_for(coro,
+                                                         timeout=timeout)
         except asyncio.TimeoutError:
             return _error(504, f"Search timed out after {timeout}s")
-        from_cache = engine.metrics.counter("search_cache_hits") > \
-            hits_before
         return _json({
             "results": results,
             "search_time_ms": (time.time() - t0) * 1000.0,
@@ -464,9 +463,13 @@ def _register_routes(app: web.Application) -> None:
     async def upload_video(request: web.Request):
         reader = await request.multipart()
         video_id = None
+        tmp_path: Optional[Path] = None
         saved_path: Optional[Path] = None
         filename = None
         try:
+            # stream the file to a temp name first: the video_id part may
+            # arrive before OR after the file part (field order is
+            # client-controlled), and the final name depends on both
             while True:
                 part = await reader.next()
                 if part is None:
@@ -483,11 +486,10 @@ def _register_routes(app: web.Application) -> None:
                     if ext not in VIDEO_EXTENSIONS:
                         return _error(
                             400, f"Unsupported file type: {ext}")
-                    video_id = video_id or str(uuid.uuid4())
-                    saved_path = engine.videos_dir / \
-                        f"{video_id}_{filename}"
+                    tmp_path = engine.videos_dir / \
+                        f".upload_{uuid.uuid4().hex}{ext}"
                     size = 0
-                    with open(saved_path, "wb") as f:
+                    with open(tmp_path, "wb") as f:
                         while True:
                             chunk = await part.read_chunk(1 << 20)
                             if not chunk:
@@ -502,8 +504,12 @@ def _register_routes(app: web.Application) -> None:
                                             "File too large (max 1GB)"}),
                                     content_type="application/json")
                             f.write(chunk)
-            if saved_path is None:
+            if tmp_path is None:
                 return _error(400, "No file provided")
+            video_id = video_id or str(uuid.uuid4())
+            saved_path = engine.videos_dir / f"{video_id}_{filename}"
+            tmp_path.replace(saved_path)
+            tmp_path = None
             t0 = time.time()
             frames = await asyncio.to_thread(engine.process_video,
                                              saved_path)
@@ -518,13 +524,15 @@ def _register_routes(app: web.Application) -> None:
                     "frames_per_second": frames / dt if dt > 0 else 0},
             })
         except web.HTTPException:
-            if saved_path is not None and saved_path.exists():
-                saved_path.unlink()
+            for p in (tmp_path, saved_path):
+                if p is not None and p.exists():
+                    p.unlink()
             raise
         except Exception as e:
             logger.exception("Upload failed")
-            if saved_path is not None and saved_path.exists():
-                saved_path.unlink()
+            for p in (tmp_path, saved_path):
+                if p is not None and p.exists():
+                    p.unlink()
             return _error(500, f"Upload failed: {e}")
 
     @routes.get("/api/videos")
@@ -536,12 +544,10 @@ def _register_routes(app: web.Application) -> None:
             return _error(400, "limit/offset must be integers")
         if limit > 1000:
             return _error(400, "Limit too large (max 1000)")
-        idx = engine.index
+        counts = engine.index.video_frame_counts()  # one O(N) pass
         videos = []
-        for name in idx.video_names():
+        for name, count in counts.items():
             path = engine.videos_dir / name
-            count = sum(1 for i in range(idx.count)
-                        if idx._video_names[idx._video_ids[i]] == name)
             videos.append({
                 "filename": name,
                 "video_id": video_id_of(name),
@@ -568,12 +574,10 @@ def _register_routes(app: web.Application) -> None:
     @routes.get("/api/videos/{video_id}")
     async def video_info(request: web.Request):
         video_id = request.match_info["video_id"]
-        idx = engine.index
+        counts = engine.index.video_frame_counts()
         # substring match, as in the reference (routes.py:655)
-        for name in idx.video_names():
+        for name, count in counts.items():
             if video_id in name:
-                count = sum(1 for i in range(idx.count)
-                            if idx._video_names[idx._video_ids[i]] == name)
                 return _json({
                     "video_id": video_id,
                     "filename": name,
@@ -721,12 +725,34 @@ def _register_routes(app: web.Application) -> None:
 
     # -- index persistence ----------------------------------------------
 
+    def _resolve_index_path(filepath: str) -> Optional[Path]:
+        """Contain index save/load targets to the videos dir (or an
+        operator-allowlisted dir via VQT_INDEX_IO_DIR). The reference
+        accepted arbitrary paths (routes.py:778-810) — an unauthenticated
+        arbitrary file write/read we do not reproduce."""
+        import os
+        roots = [engine.videos_dir.resolve()]
+        extra = os.environ.get("VQT_INDEX_IO_DIR")
+        if extra:
+            roots.append(Path(extra).resolve())
+        p = Path(filepath)
+        if not p.is_absolute():
+            p = engine.videos_dir / p
+        p = p.resolve()
+        for root in roots:
+            if p == root or root in p.parents:
+                return p
+        return None
+
     @routes.post("/api/index/save")
     async def index_save(request: web.Request):
         filepath = request.query.get("filepath")
         if not filepath:
             return _error(422, "filepath query parameter required")
-        ok = await asyncio.to_thread(engine.save, Path(filepath))
+        target = _resolve_index_path(filepath)
+        if target is None:
+            return _error(403, "filepath outside the allowed directories")
+        ok = await asyncio.to_thread(engine.save, target)
         if not ok:
             return _error(500, "Failed to save index")
         return _json({"status": "saved", "filepath": filepath})
@@ -736,7 +762,10 @@ def _register_routes(app: web.Application) -> None:
         filepath = request.query.get("filepath")
         if not filepath:
             return _error(422, "filepath query parameter required")
-        ok = await asyncio.to_thread(engine.load, Path(filepath))
+        target = _resolve_index_path(filepath)
+        if target is None:
+            return _error(403, "filepath outside the allowed directories")
+        ok = await asyncio.to_thread(engine.load, target)
         if not ok:
             return _error(500, "Failed to load index")
         return _json({"status": "loaded", "filepath": filepath})
@@ -752,7 +781,17 @@ def _register_routes(app: web.Application) -> None:
     @routes.post("/api/config")
     async def set_config(request: web.Request):
         cfg = await _parse(request, ApiConfig)
-        engine.config.api = cfg
+        # same validation the startup loader applies — otherwise e.g.
+        # max_frames=0 is accepted here and silently breaks every later
+        # ingest (sampling_interval divides by it)
+        probe = engine.config
+        old = probe.api
+        probe.api = cfg
+        try:
+            probe.validate()
+        except ValueError as e:
+            probe.api = old
+            return _error(422, str(e))
         ok = save_api_config(cfg, app["config_path"])
         if cfg.log_level in ("DEBUG", "INFO", "WARNING", "ERROR"):
             logging.getLogger().setLevel(getattr(logging, cfg.log_level))
@@ -870,7 +909,29 @@ def _register_routes(app: web.Application) -> None:
         if not (part.filename or "").endswith(".pkl"):
             return _error(400, "Invalid file type. Must be a .pkl file")
         data = await part.read()
-        engine.cache_path.write_bytes(data)
+        # Validate into a scratch index FIRST (restricted unpickler — no
+        # arbitrary globals), then replace the live cache; a bad import
+        # must not destroy the existing cache or the in-memory index.
+        tmp = engine.cache_path.with_suffix(".import_tmp")
+        tmp.write_bytes(data)
+
+        def _validate() -> bool:
+            from video_quierer_tpu.index.device_index import \
+                DeviceVideoIndex
+            probe = DeviceVideoIndex(dim=engine.index.dim)
+            return probe.load_from_disk(tmp, verify=False)
+
+        ok = await asyncio.to_thread(_validate)
+        if not ok:
+            tmp.unlink(missing_ok=True)
+            return _json(CacheResponse(
+                success=False,
+                message="Failed to import cache: invalid cache file"
+                ).model_dump())
+        tmp.replace(engine.cache_path)
+        # drop a stale checksum sidecar from a previous save
+        sidecar = Path(str(engine.cache_path) + ".sha256")
+        sidecar.unlink(missing_ok=True)
         ok = await asyncio.to_thread(engine.load)
         return _json(CacheResponse(
             success=ok, stats=_cache_stats(engine),

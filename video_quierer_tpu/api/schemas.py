@@ -21,7 +21,7 @@ class SearchRequest(BaseModel):
 
 
 class BatchSearchRequest(BaseModel):
-    queries: List[str]
+    queries: List[str] = Field(..., min_length=1)
     k: int = Field(5, ge=1, le=50)
 
 

@@ -43,9 +43,10 @@ class SearchCoalescer:
 
     # ------------------------------------------------------------------
 
-    def search(self, query: str, k: int = 5, use_cache: bool = True
-               ) -> List[Dict]:
-        """Blocking search through the coalescing path."""
+    def search_ex(self, query: str, k: int = 5, use_cache: bool = True
+                  ) -> Tuple[List[Dict], bool]:
+        """Blocking search through the coalescing path; returns
+        ``(results, from_cache)``."""
         engine = self._engine
         cache_on = use_cache and engine.config.api.cache_search
         if cache_on:
@@ -53,14 +54,18 @@ class SearchCoalescer:
             if hit is not None:
                 engine.metrics.inc("search_cache_hits")
                 engine.metrics.inc("searches")
-                return [dict(r) for r in hit]
+                return [dict(r) for r in hit], True
         fut: Future = Future()
         self._queue.put((query, k, fut))
         results = fut.result()
         if cache_on:
             engine.query_cache.put_text(query, k,
                                         [dict(r) for r in results])
-        return results
+        return results, False
+
+    def search(self, query: str, k: int = 5, use_cache: bool = True
+               ) -> List[Dict]:
+        return self.search_ex(query, k, use_cache)[0]
 
     # ------------------------------------------------------------------
 

@@ -33,7 +33,7 @@ import logging
 import threading
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -235,6 +235,12 @@ class VideoSearchEngine:
         ing = self.config.ingest
         added = 0
         with self.lock, self.metrics.timer("ingest"):
+            # Re-ingesting a video replaces its rows. The reference
+            # appended on re-process, leaving stale duplicate frames in
+            # the index (video_search_overhaul.py:391-402 never removes
+            # the old rows) — a bug we fix rather than reproduce.
+            for video in videos:
+                self.index.remove_video(Path(video).name)
             for batch in batched_frames(
                     list(videos),
                     max_frames=cfg.max_frames,
@@ -300,9 +306,13 @@ class VideoSearchEngine:
                 break
         return out
 
-    def search(self, query: str, k: int = 5,
-               use_cache: bool = True,
-               dedup_videos: bool = False) -> List[Dict]:
+    def search_ex(self, query: str, k: int = 5,
+                  use_cache: bool = True,
+                  dedup_videos: bool = False
+                  ) -> Tuple[List[Dict], bool]:
+        """Search returning ``(results, from_cache)`` — per-call cache
+        attribution (a shared-counter inference would misattribute under
+        concurrency)."""
         self.metrics.inc("searches")
         cache_on = (use_cache and self.config.api.cache_search
                     and not dedup_videos)
@@ -310,7 +320,7 @@ class VideoSearchEngine:
             hit = self.query_cache.get_text(query, k)
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
-                return [dict(r) for r in hit]
+                return [dict(r) for r in hit], True
         fetch_k = min(k * 2, 64) if dedup_videos else k
         with self.lock, self.metrics.timer("search_latency"):
             with self.metrics.timer("text_encode"):
@@ -322,7 +332,12 @@ class VideoSearchEngine:
             results = self._format(results)
         if cache_on:
             self.query_cache.put_text(query, k, [dict(r) for r in results])
-        return results
+        return results, False
+
+    def search(self, query: str, k: int = 5,
+               use_cache: bool = True,
+               dedup_videos: bool = False) -> List[Dict]:
+        return self.search_ex(query, k, use_cache, dedup_videos)[0]
 
     def search_batch(self, queries: Sequence[str], k: int = 5
                      ) -> List[List[Dict]]:
@@ -339,8 +354,9 @@ class VideoSearchEngine:
             batches = self.index.search_batch(q, k)
         return [self._format(r) for r in batches]
 
-    def search_by_vector(self, vector: np.ndarray, k: int = 5,
-                         use_cache: bool = True) -> List[Dict]:
+    def search_by_vector_ex(self, vector: np.ndarray, k: int = 5,
+                            use_cache: bool = True
+                            ) -> Tuple[List[Dict], bool]:
         """Image/vector query (dead-path capability restored,
         src/video_search_system.py:284-289)."""
         self.metrics.inc("searches")
@@ -349,16 +365,21 @@ class VideoSearchEngine:
             hit = self.query_cache.get_vector(vector, k)
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
-                return [dict(r) for r in hit]
+                return [dict(r) for r in hit], True
         with self.lock, self.metrics.timer("search_latency"):
             results = self._format(self.index.search(vector, k))
         if use_cache and self.config.api.cache_search:
             self.query_cache.put_vector(vector, k,
                                         [dict(r) for r in results])
-        return results
+        return results, False
 
-    def search_coalesced(self, query: str, k: int = 5,
+    def search_by_vector(self, vector: np.ndarray, k: int = 5,
                          use_cache: bool = True) -> List[Dict]:
+        return self.search_by_vector_ex(vector, k, use_cache)[0]
+
+    def search_coalesced_ex(self, query: str, k: int = 5,
+                            use_cache: bool = True
+                            ) -> Tuple[List[Dict], bool]:
         """Search through the request coalescer (engine/batching.py):
         concurrent callers within the window share one device pass. Used
         by the API when ``enhanced_mode`` is on — the reference carried
@@ -366,7 +387,11 @@ class VideoSearchEngine:
         if self._coalescer is None:
             from video_quierer_tpu.engine.batching import SearchCoalescer
             self._coalescer = SearchCoalescer(self)
-        return self._coalescer.search(query, k, use_cache)
+        return self._coalescer.search_ex(query, k, use_cache)
+
+    def search_coalesced(self, query: str, k: int = 5,
+                         use_cache: bool = True) -> List[Dict]:
+        return self.search_coalesced_ex(query, k, use_cache)[0]
 
     def warm_cache(self, queries: Sequence[str], k: int = 5) -> int:
         """Pre-populate the query cache (dead-path ``CacheWarmer`` parity,
@@ -375,14 +400,18 @@ class VideoSearchEngine:
             self.search(q, k=k, use_cache=True)
         return len(queries)
 
-    def search_by_image(self, image_rgb_u8: np.ndarray, k: int = 5
-                        ) -> List[Dict]:
+    def search_by_image_ex(self, image_rgb_u8: np.ndarray, k: int = 5
+                           ) -> Tuple[List[Dict], bool]:
         """Query by raw image: resize→embed→vector search."""
         from video_quierer_tpu.ops.preprocess import \
             resize_shorter_side_and_crop
         img = resize_shorter_side_and_crop(np.asarray(image_rgb_u8))
         vec = self.embed_frames(img[None])[0]
-        return self.search_by_vector(vec, k)
+        return self.search_by_vector_ex(vec, k)
+
+    def search_by_image(self, image_rgb_u8: np.ndarray, k: int = 5
+                        ) -> List[Dict]:
+        return self.search_by_image_ex(image_rgb_u8, k)[0]
 
     # ------------------------------------------------------------------
     # Maintenance

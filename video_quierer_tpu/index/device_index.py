@@ -28,6 +28,7 @@ embeddings arrive pre-normalized, video_search_overhaul.py:226).
 from __future__ import annotations
 
 import functools
+import io
 import logging
 import pickle
 from pathlib import Path
@@ -50,6 +51,35 @@ CACHE_VERSION = "1.0"
 
 def _round_capacity(n: int, granularity: int = _CHUNK) -> int:
     return max(granularity, -(-n // granularity) * granularity)
+
+
+class _SafeUnpickler(pickle.Unpickler):
+    """Unpickler restricted to the types the cache format actually uses.
+
+    The v1.0 cache is ``{lists, dicts, str, float, int, numpy arrays}``;
+    arbitrary-global resolution is what turns ``pickle.load`` of untrusted
+    bytes (e.g. via ``/api/cache/import``) into code execution, so only
+    numpy's array-reconstruction globals are allowed.
+    """
+
+    _ALLOWED = {
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"cache file requests forbidden global {module}.{name}")
+
+
+def safe_pickle_loads(payload: bytes):
+    return _SafeUnpickler(io.BytesIO(payload)).load()
 
 
 class DeviceVideoIndex:
@@ -142,6 +172,14 @@ class DeviceVideoIndex:
         """Unique video names present in the index, insertion-ordered."""
         live = set(self._video_ids[: self._count].tolist())
         return [n for i, n in enumerate(self._video_names) if i in live]
+
+    def video_frame_counts(self) -> Dict[str, int]:
+        """Per-video live frame counts in one O(N) pass."""
+        counts = np.bincount(self._video_ids[: self._count],
+                             minlength=len(self._video_names))
+        return {name: int(counts[i])
+                for i, name in enumerate(self._video_names)
+                if i < len(counts) and counts[i] > 0}
 
     def add_frame(self, embedding: np.ndarray, video_name: str,
                   timestamp: float) -> None:
@@ -377,23 +415,45 @@ class DeviceVideoIndex:
         }
 
     def load_cache_dict(self, cache_data: Dict) -> None:
+        """Replace the index contents with a cache payload.
+
+        Fully validated/materialized BEFORE the live index is touched, so
+        a malformed payload raises without destroying the current state.
+        """
         embeddings = cache_data.get("embeddings", [])
         metadata = cache_data.get("metadata", [])
-        self.clear()
-        self.video_hashes = dict(cache_data.get("video_hashes", {}))
+        hashes = dict(cache_data.get("video_hashes", {}))
         n = len(embeddings)
-        if n == 0:
-            return
         if len(metadata) != n:
             raise ValueError("embeddings/metadata length mismatch")
-        self._ensure_capacity(n)
-        for i, (emb, meta) in enumerate(zip(embeddings, metadata)):
-            self._emb[i] = np.asarray(emb, np.float32).reshape(self.dim)
-            self._video_ids[i] = self._video_id(meta["video_name"])
-            self._timestamps[i] = float(meta["timestamp"])
-            self._frame_ids[i] = int(meta.get("frame_id", i))
+        cap = _round_capacity(max(n, 1), self._granularity)
+        emb = np.zeros((cap, self.dim), dtype=np.float32)
+        video_ids = np.zeros(cap, dtype=np.int32)
+        timestamps = np.zeros(cap, dtype=np.float64)
+        frame_ids = np.zeros(cap, dtype=np.int64)
+        names: List[str] = []
+        name_to_id: Dict[str, int] = {}
+        for i, (row, meta) in enumerate(zip(embeddings, metadata)):
+            emb[i] = np.asarray(row, np.float32).reshape(self.dim)
+            name = meta["video_name"]
+            vid = name_to_id.get(name)
+            if vid is None:
+                vid = len(names)
+                names.append(name)
+                name_to_id[name] = vid
+            video_ids[i] = vid
+            timestamps[i] = float(meta["timestamp"])
+            frame_ids[i] = int(meta.get("frame_id", i))
+        # commit
+        self._emb, self._video_ids = emb, video_ids
+        self._timestamps, self._frame_ids = timestamps, frame_ids
+        self._video_names, self._video_name_to_id = names, name_to_id
+        self.video_hashes = hashes
         self._count = n
+        self._device_emb = None
+        self._device_scales = None
         self._device_rows = 0
+        self._device_cap = 0
 
     @staticmethod
     def _sidecar(cache_path: Path) -> Path:
@@ -437,7 +497,7 @@ class DeviceVideoIndex:
                                  "(expected %s..., got %s...)", cache_path,
                                  expected[:12], actual[:12])
                     return False
-            cache_data = pickle.loads(payload)
+            cache_data = safe_pickle_loads(payload)
             self.load_cache_dict(cache_data)
             logger.info("Loaded %d embeddings from %s", self._count,
                         cache_path)

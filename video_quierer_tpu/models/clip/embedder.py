@@ -193,7 +193,19 @@ class MemoizedEmbedder:
         if n == 0:
             return self.inner.embed_frames(frames_u8)
         keys = [self._key(frames_u8[i]) for i in range(n)]
-        out = np.empty((n, 512), np.float32)
+        dim = getattr(self.inner, "embed_dim", None)
+        if dim is None:  # infer from any cached entry, else probe later
+            dim = (len(next(iter(self._memo.values())))
+                   if self._memo else None)
+        if dim is None:
+            feats = self.inner.embed_frames(frames_u8)
+            self.misses += n
+            for i, key in enumerate(keys):
+                self._memo[key] = feats[i]
+            while len(self._memo) > self.max_size:
+                self._memo.popitem(last=False)
+            return feats
+        out = np.empty((n, dim), np.float32)
         missing = []
         for i, key in enumerate(keys):
             cached = self._memo.get(key)

@@ -37,12 +37,24 @@ SOT = 49406
 EOT = 49407
 VOCAB_SIZE = 49408
 
-_WORD_RE = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
-    r"|[A-Za-zÀ-ɏͰ-῿Ⰰ-퟿\w]+"
-    r"|[0-9]|[^\s\w]+",
-    re.IGNORECASE,
-)
+# CLIP's exact word-split pattern: letters group, ONE digit per token
+# (multi-digit numbers split per digit — the rule the pretrained BPE vocab
+# assumes), punctuation runs. Uses the `regex` module for \p classes; the
+# stdlib fallback approximates them with unicode-aware classes
+# ([^\W\d_] = letters only).
+try:
+    import regex as _regex
+    _WORD_RE = _regex.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+        _regex.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover
+    _WORD_RE = re.compile(
+        r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+        r"|[^\W\d_]+|[0-9]|[^\s\w]+|_+",
+        re.IGNORECASE | re.UNICODE,
+    )
 
 
 def _clean(text: str) -> str:
