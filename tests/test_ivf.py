@@ -88,3 +88,33 @@ def test_ivf_single_query_shape(rng):
 def test_ivf_requires_build():
     with pytest.raises(RuntimeError):
         IVFIndex().search(np.zeros(512, np.float32))
+
+
+def test_ivf_pallas_interpret_matches_xla(rng, monkeypatch):
+    """The zero-copy Pallas probe scan (interpreter mode) returns the same
+    candidate set as the XLA gather path."""
+    emb, _ = _clustered(rng, n_clusters=8, per=150)
+    ivf = IVFIndex(nlist=8, nprobe=3, seed=0)
+    ivf.build(emb)
+    q = emb[100] / np.linalg.norm(emb[100])
+    vals_xla, idxs_xla = ivf.search(q, k=5)
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    vals_pl, idxs_pl = ivf.search(q, k=5)
+    live = idxs_pl >= 0
+    assert set(idxs_pl[live].tolist()) == \
+        set(idxs_xla[idxs_xla >= 0].tolist())
+    np.testing.assert_allclose(np.sort(vals_pl[live]),
+                               np.sort(vals_xla[vals_xla > -1e30]),
+                               atol=1e-5)
+
+
+def test_ivf_pallas_full_probe_exact(rng, monkeypatch):
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    emb = _unit(rng, 1200)
+    ivf = IVFIndex(nlist=8, nprobe=8, seed=0)
+    ivf.build(emb)
+    q = _unit(rng, 1)[0]
+    exact_vals, exact_idx = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                        1200, k=5)
+    vals, idxs = ivf.search(q, k=5)
+    assert set(idxs.tolist()) == set(np.asarray(exact_idx).tolist())

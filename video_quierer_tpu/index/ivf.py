@@ -31,11 +31,84 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_quierer_tpu.ops.topk import BLOCK_ROWS, MAX_K, NEG_INF
+from video_quierer_tpu.ops.topk import (
+    BLOCK_ROWS,
+    MAX_K,
+    NEG_INF,
+    _block_topk_body,
+    _pallas_mode,
+)
 
 logger = logging.getLogger(__name__)
 
 _ASSIGN_CHUNK = 65536
+
+
+# ---------------------------------------------------------------------------
+# Pallas zero-copy probe scan: the grid walks a *runtime-selected* list of
+# cluster tiles. The tile list is a scalar-prefetch operand, so each grid
+# step's BlockSpec index_map picks which HBM tile to DMA — the selected
+# clusters are scanned in place, never gathered into a contiguous copy
+# (the XLA fallback below pays that extra write+read).
+# ---------------------------------------------------------------------------
+
+
+def _ivf_scan_kernel(tiles_ref, emb_tile_ref, ids_tile_ref, qt_ref,
+                     vals_ref, idxs_ref, *, k: int):
+    b = qt_ref.shape[1]
+    emb = emb_tile_ref[0]                       # [BLOCK_ROWS, D]
+    ids = ids_tile_ref[0, :, 0]                 # [BLOCK_ROWS]
+    scores = jnp.dot(emb, qt_ref[:], preferred_element_type=jnp.float32)
+    ids_b = jnp.broadcast_to(ids[:, None], (ids.shape[0], b))
+    scores = jnp.where(ids_b >= 0, scores, NEG_INF)
+    vals, idxs = _block_topk_body(scores, ids_b, k)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tiles", "interpret"))
+def _pallas_probe_scan(tiled_emb, tiled_ids, tile_list, qt,
+                       *, k: int, tiles: int, interpret: bool = False):
+    """Scan the ``tiles`` HBM tiles named by ``tile_list`` against ``qt``.
+
+    tiled_emb: [T, BLOCK_ROWS, D]; tiled_ids: [T, BLOCK_ROWS, 1] (−1 pad;
+    the unit lane dim satisfies Mosaic's block-tiling rule);
+    tile_list: [tiles] int32; qt: [D, B].
+    Returns per-tile candidates ([tiles, B, k], [tiles, B, k]).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    d = tiled_emb.shape[2]
+    b = qt.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_ROWS, d),
+                         lambda i, tiles_ref: (tiles_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS, 1),
+                         lambda i, tiles_ref: (tiles_ref[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, b), lambda i, tiles_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, k), lambda i, tiles_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i, tiles_ref: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_ivf_scan_kernel, k=k),
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, b, k), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_list.astype(jnp.int32), tiled_emb, tiled_ids, qt)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
@@ -170,14 +243,24 @@ class IVFIndex:
         o = ranks % BLOCK_ROWS
         tiled[t, o] = emb[order]
         row_ids[t, o] = order
+        # one all-padding tile at the end: unused probe slots point here so
+        # the Pallas scan's fixed tile list never duplicates live rows
+        tiled = np.concatenate([tiled, np.zeros((1, BLOCK_ROWS, d),
+                                                np.float32)])
+        row_ids = np.concatenate([row_ids,
+                                  np.full((1, BLOCK_ROWS), -1, np.int64)])
+        self._pad_tile = total_tiles
 
         self.nlist = nlist
         self._centroids = jnp.asarray(np.asarray(centroids))
+        self._centroids_np = np.asarray(self._centroids)
         self._tiled = jnp.asarray(tiled)
         self._row_ids = jnp.asarray(row_ids.astype(np.int32))
         self._tile_start = jnp.asarray(tile_start[:-1].astype(np.int32))
         self._tile_counts = jnp.asarray(
             tiles_per_cluster.astype(np.int32))
+        self._tile_start_np = tile_start[:-1].astype(np.int64)
+        self._tile_counts_np = tiles_per_cluster.astype(np.int64)
         self._max_tiles = int(tiles_per_cluster.max())
         self._median_tiles = int(np.median(tiles_per_cluster))
         self._built = True
@@ -198,15 +281,53 @@ class IVFIndex:
         squeeze = queries.ndim == 1
         if squeeze:
             queries = queries[None]
-        # per-probe tile budget: 4× the median cluster keeps the gather
+        # per-probe tile budget: 4× the median cluster keeps the scan
         # bounded when k-means produces skewed cluster sizes
         budget = min(self._max_tiles, max(1, 4 * self._median_tiles))
         tiles = int(nprobe * budget)
-        vals, idxs = _probe_and_scan(
-            self._centroids, self._tiled, self._tile_start,
-            self._tile_counts, self._row_ids, jnp.asarray(queries),
-            k=k, nprobe=nprobe, tiles=tiles)
-        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        mode = _pallas_mode()
+        if mode != "off":
+            vals, idxs = self._search_pallas(
+                queries, k, nprobe, budget, tiles,
+                interpret=(mode == "interpret"))
+        else:
+            v, i = _probe_and_scan(
+                self._centroids, self._tiled, self._tile_start,
+                self._tile_counts, self._row_ids, jnp.asarray(queries),
+                k=k, nprobe=nprobe, tiles=tiles)
+            vals, idxs = np.asarray(v), np.asarray(i)
         if squeeze:
             return vals[0], idxs[0]
         return vals, idxs
+
+    def _search_pallas(self, queries: np.ndarray, k: int, nprobe: int,
+                       budget: int, tiles: int, interpret: bool
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Zero-copy probe scan: per query, build the tile list on host
+        (tiny) and let the Pallas grid DMA exactly those tiles."""
+        b = queries.shape[0]
+        csims = queries @ self._centroids_np.T            # [B, C]
+        out_vals = np.full((b, k), NEG_INF, np.float32)
+        out_idxs = np.full((b, k), -1, np.int64)
+        for qi in range(b):
+            clusters = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
+            starts = self._tile_start_np[clusters]
+            counts = np.minimum(self._tile_counts_np[clusters], budget)
+            tile_list = np.full(tiles, self._pad_tile, np.int32)
+            pos = 0
+            for s, c in zip(starts, counts):
+                tile_list[pos: pos + c] = np.arange(s, s + c)
+                pos += c
+            qt = jnp.asarray(queries[qi][:, None])        # [D, 1]
+            vals, idxs = _pallas_probe_scan(
+                self._tiled, self._row_ids[:, :, None],
+                jnp.asarray(tile_list), qt,
+                k=k, tiles=tiles, interpret=interpret)
+            flat_v = np.asarray(vals).reshape(-1)
+            flat_i = np.asarray(idxs).reshape(-1)
+            live = flat_i >= 0
+            flat_v, flat_i = flat_v[live], flat_i[live]
+            order = np.argsort(-flat_v, kind="stable")[:k]
+            out_vals[qi, : order.size] = flat_v[order]
+            out_idxs[qi, : order.size] = flat_i[order]
+        return out_vals, out_idxs
