@@ -118,3 +118,32 @@ def test_ivf_pallas_full_probe_exact(rng, monkeypatch):
                                         1200, k=5)
     vals, idxs = ivf.search(q, k=5)
     assert set(idxs.tolist()) == set(np.asarray(exact_idx).tolist())
+
+
+def test_balanced_build_caps_cluster_sizes(rng):
+    # heavily skewed data: 90% of points near one center
+    c1 = _unit(rng, 1)[0]
+    big = c1 + 0.05 * rng.standard_normal((1800, 512)).astype(np.float32)
+    rest = _unit(rng, 200)
+    emb = np.concatenate([big / np.linalg.norm(big, axis=-1,
+                                               keepdims=True), rest])
+    ivf = IVFIndex(nlist=16, nprobe=4, balance_factor=2.0, seed=0)
+    ivf.build(emb)
+    counts = np.asarray(ivf._tile_counts) * 0  # placeholder
+    from video_quierer_tpu.ops.topk import BLOCK_ROWS
+    cap_rows = int(np.ceil(2000 / 16 * 2.0))
+    # every cluster's row count ≤ cap (tile counts bound it)
+    assert ivf._max_tiles <= -(-cap_rows // BLOCK_ROWS)
+    # search still finds exact near-duplicates
+    q = emb[5]
+    vals, idxs = ivf.search(q, k=1)
+    assert idxs[0] == 5
+
+
+def test_unbalanced_opt_out(rng):
+    emb = _unit(rng, 500)
+    ivf = IVFIndex(nlist=8, nprobe=8, balance_factor=0, seed=0)
+    ivf.build(emb)
+    q = emb[7]
+    vals, idxs = ivf.search(q, k=1)
+    assert idxs[0] == 7

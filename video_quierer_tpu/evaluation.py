@@ -1,0 +1,46 @@
+"""Retrieval quality evaluation: recall@k across index modes.
+
+The reference has no evaluation machinery at all; for a production search
+framework, regressions in the approximate tiers (bf16 / int8 / IVF) must
+be measurable. ``recall_at_k`` compares any search callable against the
+exact f32 scan as ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_quierer_tpu.ops.topk import cosine_topk
+
+
+def exact_topk_ids(emb: np.ndarray, queries: np.ndarray, k: int
+                   ) -> np.ndarray:
+    """Ground-truth neighbor ids via the exact f32 scan."""
+    _, idxs = cosine_topk(jnp.asarray(emb, jnp.float32),
+                          jnp.asarray(queries, jnp.float32),
+                          emb.shape[0], k=k)
+    return np.asarray(idxs)
+
+
+def recall_at_k(truth_ids: np.ndarray, got_ids: np.ndarray) -> float:
+    """Mean |truth ∩ got| / k over queries; ``got`` may contain -1 pads."""
+    b, k = truth_ids.shape
+    hits = 0
+    for i in range(b):
+        got = set(int(x) for x in got_ids[i] if x >= 0)
+        hits += len(set(truth_ids[i].tolist()) & got)
+    return hits / (b * k)
+
+
+def evaluate_modes(emb: np.ndarray, queries: np.ndarray, k: int,
+                   searchers: Dict[str, Callable[[np.ndarray, int],
+                                                 np.ndarray]]
+                   ) -> Dict[str, float]:
+    """Run each named searcher (``fn(queries, k) -> ids [B, k]``) and
+    report recall@k against the exact scan."""
+    truth = exact_topk_ids(emb, queries, k)
+    return {name: recall_at_k(truth, fn(queries, k))
+            for name, fn in searchers.items()}

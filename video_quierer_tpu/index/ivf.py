@@ -198,19 +198,55 @@ def _probe_and_scan(centroids, tiled_emb, tile_cluster_start, tile_counts,
     return jax.vmap(per_query)(queries, top_clusters)
 
 
+def _rebalance(emb: np.ndarray, centroids: np.ndarray,
+               assign: np.ndarray, cap: int) -> np.ndarray:
+    """Cap cluster sizes: over-full clusters keep their ``cap`` closest
+    rows; evicted rows move to their best non-full cluster. Bounds
+    ``max_tiles`` so the probe scan's static tile budget never truncates
+    live rows (size skew was the measured failure mode on TPU)."""
+    assign = assign.copy()
+    nlist = centroids.shape[0]
+    counts = np.bincount(assign, minlength=nlist)
+    evicted = []
+    for c in np.nonzero(counts > cap)[0]:
+        rows = np.nonzero(assign == c)[0]
+        sims = emb[rows] @ centroids[c]
+        keep = np.argpartition(-sims, cap - 1)[:cap]
+        mask = np.ones(rows.size, bool)
+        mask[keep] = False
+        evicted.extend(rows[mask].tolist())
+        counts[c] = cap
+    if not evicted:
+        return assign
+    evicted = np.asarray(evicted)
+    sims = emb[evicted] @ centroids.T                      # [E, C]
+    order = np.argsort(-sims, axis=1)
+    for i, row in enumerate(evicted):
+        for c in order[i]:
+            if counts[c] < cap:
+                assign[row] = c
+                counts[c] += 1
+                break
+    return assign
+
+
 class IVFIndex:
     """Cluster-pruned approximate index over a fixed embedding matrix.
 
     Built once from a corpus snapshot (rebuild to absorb large appends —
     the exact-scan DeviceVideoIndex remains the incremental serving path).
+    ``balance_factor`` caps clusters at ``factor * N/nlist`` rows
+    (0 disables balancing).
     """
 
     def __init__(self, nlist: Optional[int] = None, nprobe: int = 8,
-                 kmeans_iters: int = 10, seed: int = 0):
+                 kmeans_iters: int = 10, seed: int = 0,
+                 balance_factor: float = 2.0):
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
         self.seed = seed
+        self.balance_factor = balance_factor
         self._built = False
 
     def build(self, emb: np.ndarray) -> None:
@@ -225,6 +261,9 @@ class IVFIndex:
                                     n_clusters=nlist,
                                     iters=self.kmeans_iters)
         assign = np.asarray(assign)
+        if self.balance_factor > 0:
+            cap = max(1, int(np.ceil(n / nlist * self.balance_factor)))
+            assign = _rebalance(emb, np.asarray(centroids), assign, cap)
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=nlist)
 

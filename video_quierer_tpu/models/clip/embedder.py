@@ -118,6 +118,10 @@ class CLIPEmbedder:
             return np.zeros((0, self.embed_dim), np.float32)
         out = np.empty((n, self.embed_dim), np.float32)
         max_bucket = IMAGE_BUCKETS[-1]
+        # dispatch every chunk before fetching any result: the next
+        # chunk's host→device transfer overlaps the previous chunk's
+        # compute (jax dispatch is async; only np.asarray synchronizes)
+        pending = []
         pos = 0
         while pos < n:
             chunk = frames_u8[pos: pos + max_bucket]
@@ -130,9 +134,11 @@ class CLIPEmbedder:
             batch = jnp.asarray(chunk)
             if self._img_sharding is not None:
                 batch = jax.device_put(batch, self._img_sharding)
-            feats = self._encode_image_jit(self.params, batch)
-            out[pos: pos + m] = np.asarray(feats)[:m]
+            pending.append((pos, m, self._encode_image_jit(self.params,
+                                                           batch)))
             pos += m
+        for pos, m, feats in pending:
+            out[pos: pos + m] = np.asarray(feats)[:m]
         return out
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
