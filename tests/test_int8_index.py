@@ -75,10 +75,25 @@ def test_int8_index_append_and_search(rng):
     assert res[0]["score"] == pytest.approx(1.0, abs=1e-5)
 
 
-def test_int8_with_mesh_rejected():
+def test_int8_sharded_matches_single(rng):
+    """int8 + corpus sharding: same results as the single-device int8
+    index (both re-rank in f32)."""
     from video_quierer_tpu.parallel.mesh import corpus_mesh
-    with pytest.raises(ValueError):
-        DeviceVideoIndex(device_dtype="int8", mesh=corpus_mesh(2))
+    emb = _unit(rng, 3000)
+    ts = np.arange(3000, dtype=float)
+    single = DeviceVideoIndex(device_dtype="int8")
+    single.add_batch(emb, "v.mp4", ts)
+    sharded = DeviceVideoIndex(device_dtype="int8", mesh=corpus_mesh(8))
+    sharded.add_batch(emb, "v.mp4", ts)
+    for t in range(5):
+        q = emb[t * 300] + 0.05 * rng.standard_normal(512).astype(
+            np.float32)
+        rs = single.search(q, k=10)
+        rm = sharded.search(q, k=10)
+        assert rm[0]["frame_id"] == rs[0]["frame_id"]
+        overlap = len({r["frame_id"] for r in rs}
+                      & {r["frame_id"] for r in rm})
+        assert overlap >= 9  # candidate sets may differ at the margin
 
 
 def test_int8_pallas_interpret(rng, monkeypatch):

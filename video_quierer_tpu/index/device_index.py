@@ -100,8 +100,6 @@ class DeviceVideoIndex:
         """
         if device_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported device_dtype {device_dtype!r}")
-        if device_dtype == "int8" and mesh is not None:
-            raise ValueError("int8 mode is single-device for now")
         self.dim = dim
         self.device_dtype = device_dtype
         self.mesh = mesh
@@ -271,8 +269,14 @@ class DeviceVideoIndex:
         scales = (absmax / 127.0).astype(np.float32)
         safe = np.where(scales > 0, scales, 1.0)
         codes = np.clip(np.round(live / safe), -127, 127).astype(np.int8)
-        self._device_emb = jnp.asarray(codes)
-        self._device_scales = jnp.asarray(scales)
+        if self.mesh is not None:
+            from video_quierer_tpu.index.sharded import shard_corpus
+            self._device_emb = shard_corpus(jnp.asarray(codes), self.mesh)
+            self._device_scales = shard_corpus(jnp.asarray(scales),
+                                               self.mesh)
+        else:
+            self._device_emb = jnp.asarray(codes)
+            self._device_scales = jnp.asarray(scales)
         self._device_cap = cap
         self._device_rows = self._count
 
@@ -371,8 +375,17 @@ class DeviceVideoIndex:
         from video_quierer_tpu.ops.topk import cosine_topk_int8
         self._sync_device_int8()
         fetch = min(max(4 * k, k + 16), MAX_K)
-        _, idxs = cosine_topk_int8(self._device_emb, self._device_scales,
-                                   jnp.asarray(q), self._count, k=fetch)
+        if self.mesh is not None:
+            from video_quierer_tpu.index.sharded import \
+                sharded_cosine_topk_int8
+            _, idxs = sharded_cosine_topk_int8(
+                self._device_emb, self._device_scales, jnp.asarray(q),
+                self._count, k=fetch, mesh=self.mesh)
+        else:
+            _, idxs = cosine_topk_int8(self._device_emb,
+                                       self._device_scales,
+                                       jnp.asarray(q), self._count,
+                                       k=fetch)
         idxs = np.asarray(idxs)
         out: List[List[Dict]] = []
         for b in range(idxs.shape[0]):

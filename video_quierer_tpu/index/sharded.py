@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from video_quierer_tpu.ops.topk import MAX_K, cosine_topk, merge_topk
+from video_quierer_tpu.ops.topk import (
+    MAX_K,
+    cosine_topk,
+    cosine_topk_int8,
+    merge_topk,
+)
 from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
 
 
@@ -81,4 +86,47 @@ def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
         check_vma=False,
     )
     return fn(emb, jnp.asarray(queries, jnp.float32),
+              jnp.asarray(valid_count, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
+                             queries: jax.Array, valid_count,
+                             *, k: int, mesh: Mesh
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Int8 variant of the sharded scan: per-shard quantized scan + ICI
+    merge. Same candidate semantics as cosine_topk_int8 (callers re-rank
+    in f32 for exact final ordering)."""
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    n_shards = mesh.shape[CORPUS_AXIS]
+    n_pad = codes.shape[0]
+    if n_pad % n_shards:
+        raise ValueError(f"N_pad={n_pad} not divisible by {n_shards}")
+    shard_rows = n_pad // n_shards
+
+    def local_scan(codes_shard, scales_shard, q, valid):
+        i = jax.lax.axis_index(CORPUS_AXIS)
+        offset = i * shard_rows
+        local_valid = jnp.clip(valid - offset, 0, shard_rows)
+        vals, idxs = cosine_topk_int8(codes_shard, scales_shard, q,
+                                      local_valid, k=k)
+        idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
+        all_idxs = jax.lax.all_gather(idxs, CORPUS_AXIS)
+        b = q.shape[0]
+        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+            b, n_shards * k)
+        cand_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(
+            b, n_shards * k)
+        return merge_topk(cand_vals, cand_idxs, k=k)
+
+    fn = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
+                  P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(codes, scales, jnp.asarray(queries, jnp.float32),
               jnp.asarray(valid_count, jnp.int32))
