@@ -217,3 +217,60 @@ def test_memoized_embedder_dim_agnostic(rng):
     out2 = memo.embed_frames(frames)  # cached path with inferred dim
     assert out2.shape == (3, 768)
     assert memo.hits == 3
+
+
+def test_vector_search_endpoint(server):
+    engine = server["engine"]
+    vec = engine.index._emb[3].tolist()
+    r = requests.post(server["base"] + "/api/search/vector",
+                      json={"vector": vec, "k": 2})
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert body["results"][0]["frame_id"] == 3
+    assert set(body) == {"results", "search_time_ms", "from_cache",
+                         "query_id", "performance"}
+    # semantic cache reuse on repeat
+    r2 = requests.post(server["base"] + "/api/search/vector",
+                       json={"vector": vec, "k": 2}).json()
+    assert r2["from_cache"] is True
+    # validation
+    assert requests.post(server["base"] + "/api/search/vector",
+                         json={"vector": [1.0] * 5}).status_code == 422
+    assert requests.post(server["base"] + "/api/search/vector",
+                         json={"vector": vec, "k": 0}).status_code == 422
+
+
+def test_dedup_param_via_api(server):
+    r = requests.post(server["base"] + "/api/search",
+                      json={"query": "dd", "k": 5, "dedup_videos": True})
+    assert r.status_code == 200
+    names = [x["video_name"] for x in r.json()["results"]]
+    assert len(names) == len(set(names))
+
+
+def test_non_coalesced_search_branch(server):
+    """enhanced_mode=False exercises the direct engine.search branch."""
+    engine = server["engine"]
+    old = engine.config.api.enhanced_mode
+    engine.config.api.enhanced_mode = False
+    try:
+        r = requests.post(server["base"] + "/api/search",
+                          json={"query": "direct branch", "k": 3})
+        assert r.status_code == 200
+        assert len(r.json()["results"]) == 3
+    finally:
+        engine.config.api.enhanced_mode = old
+
+
+def test_pickle_loader_fuzz(tmp_path, rng):
+    """Random garbage and truncated pickles must fail cleanly."""
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    idx = DeviceVideoIndex()
+    idx.add_batch(rng.standard_normal((2, 512)).astype(np.float32),
+                  "keep.mp4", [0.0, 1.0])
+    p = tmp_path / "fuzz.pkl"
+    for blob in (b"", b"\x80", b"\x80\x04garbage", bytes(rng.integers(
+            0, 255, 200, dtype=np.uint8))):
+        p.write_bytes(blob)
+        assert not idx.load_from_disk(p)
+        assert len(idx) == 2  # survivor intact

@@ -423,6 +423,37 @@ def _register_routes(app: web.Application) -> None:
             "performance": {"results_count": len(results)},
         })
 
+    @routes.post("/api/search/vector")
+    async def api_search_vector(request: web.Request):
+        """Raw-vector query (dead-path capability,
+        src/video_search_system.py:284-289): body
+        ``{"vector": [512 floats], "k": 5}``."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(422, "invalid JSON body")
+        vec = body.get("vector")
+        k = int(body.get("k", 5))
+        if not isinstance(vec, list) or \
+                len(vec) != engine.index.dim:
+            return _error(422,
+                          f"vector must be a list of {engine.index.dim} "
+                          f"floats")
+        if not 1 <= k <= 50:
+            return _error(422, "k must be in [1, 50]")
+        t0 = time.time()
+        vector = np.asarray(vec, np.float32)
+        results, from_cache = await asyncio.to_thread(
+            engine.search_by_vector_ex, vector, k,
+            bool(body.get("use_cache", True)))
+        return _json({
+            "results": results,
+            "search_time_ms": (time.time() - t0) * 1000.0,
+            "from_cache": from_cache,
+            "query_id": str(uuid.uuid4()),
+            "performance": {"results_count": len(results)},
+        })
+
     @routes.post("/api/search/batch")
     async def api_search_batch(request: web.Request):
         req = await _parse(request, BatchSearchRequest)

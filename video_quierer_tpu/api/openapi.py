@@ -32,6 +32,8 @@ _ENDPOINTS = [
      "Semantic search (text or data-URI image)", SearchRequest),
     ("post", "/api/search/batch", "search",
      "Batched search — one device pass", BatchSearchRequest),
+    ("post", "/api/search/vector", "search",
+     "Raw 512-d vector query", None),
     ("post", "/search", "search", "Legacy search", None),
     ("post", "/api/videos/upload", "videos",
      "Upload and index a video (multipart)", None),
