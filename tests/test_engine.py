@@ -179,3 +179,22 @@ def test_stats_and_metrics(engine):
     prom = engine.metrics.export_prometheus()
     assert "video_search_searches" in prom
     assert "video_search_uptime_seconds" in prom
+
+
+def test_video_level_search(engine):
+    engine.startup()
+    res = engine.search_videos("overall content", k=2)
+    assert len(res) == 2
+    assert set(res[0]) == {"video_name", "score", "frame_count",
+                           "best_timestamp"}
+    assert res[0]["score"] >= res[1]["score"]
+    assert res[0]["frame_count"] == 10
+    # best_timestamp belongs to that video's indexed frames
+    from video_quierer_tpu.ingest.frames import extract_frames
+    _, stamps = extract_frames(engine.videos_dir / res[0]["video_name"],
+                               max_frames=10, sampling_mode="high")
+    assert res[0]["best_timestamp"] in stamps
+    empty_dir = engine.videos_dir.parent / "empty_videos"
+    assert VideoSearchEngine(str(empty_dir), config=engine.config,
+                             embedder=engine._embedder
+                             ).search_videos("x") == []

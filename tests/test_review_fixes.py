@@ -274,3 +274,15 @@ def test_pickle_loader_fuzz(tmp_path, rng):
         p.write_bytes(blob)
         assert not idx.load_from_disk(p)
         assert len(idx) == 2  # survivor intact
+
+
+def test_video_level_search_endpoint(server):
+    r = requests.post(server["base"] + "/api/search/videos",
+                      json={"query": "whole video", "k": 1})
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert len(body["results"]) == 1
+    assert set(body["results"][0]) == {"video_name", "score",
+                                       "frame_count", "best_timestamp"}
+    assert requests.post(server["base"] + "/api/search/videos",
+                         json={"query": ""}).status_code == 400

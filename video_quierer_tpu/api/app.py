@@ -423,6 +423,29 @@ def _register_routes(app: web.Application) -> None:
             "performance": {"results_count": len(results)},
         })
 
+    @routes.post("/api/search/videos")
+    async def api_search_videos(request: web.Request):
+        """Video-level search: rank whole videos by mean-frame cosine
+        (extension; body ``{"query": str, "k": int}``)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(422, "invalid JSON body")
+        query = str(body.get("query", "")).strip()
+        k = int(body.get("k", 5))
+        if not query:
+            return _error(400, "No query provided")
+        if not 1 <= k <= 50:
+            return _error(422, "k must be in [1, 50]")
+        t0 = time.time()
+        results = await asyncio.to_thread(engine.search_videos, query, k)
+        return _json({
+            "results": results,
+            "search_time_ms": (time.time() - t0) * 1000.0,
+            "query_id": str(uuid.uuid4()),
+            "performance": {"results_count": len(results)},
+        })
+
     @routes.post("/api/search/vector")
     async def api_search_vector(request: web.Request):
         """Raw-vector query (dead-path capability,

@@ -34,6 +34,8 @@ _ENDPOINTS = [
      "Batched search — one device pass", BatchSearchRequest),
     ("post", "/api/search/vector", "search",
      "Raw 512-d vector query", None),
+    ("post", "/api/search/videos", "search",
+     "Video-level search (mean-frame ranking)", None),
     ("post", "/search", "search", "Legacy search", None),
     ("post", "/api/videos/upload", "videos",
      "Upload and index a video (multipart)", None),

@@ -413,6 +413,53 @@ class VideoSearchEngine:
                         ) -> List[Dict]:
         return self.search_by_image_ex(image_rgb_u8, k)[0]
 
+    def search_videos(self, query: str, k: int = 5) -> List[Dict]:
+        """Video-level search: rank whole videos by the cosine of the
+        query against each video's mean frame embedding (a capability
+        neither reference path had — frame search plus per-video dedup
+        approximates it; this ranks by overall content).
+
+        Returns ``[{video_name, score, frame_count, best_timestamp}]``.
+        """
+        self.metrics.inc("searches")
+        with self.lock, self.metrics.timer("video_search_latency"):
+            q = self.encode_text(query)
+            q = q / (np.linalg.norm(q) + 1e-10)
+            idx = self.index
+            n = idx.count
+            if n == 0:
+                return []
+            counts = idx.video_frame_counts()
+            names = list(counts)
+            name_to_pos = {nm: i for i, nm in enumerate(names)}
+            sums = np.zeros((len(names), idx.dim), np.float32)
+            vid_rows = idx._video_ids[:n]
+            np.add.at(sums, np.asarray(
+                [name_to_pos[idx._video_names[v]] for v in vid_rows]),
+                idx._emb[:n])
+            means = sums / np.asarray(
+                [[counts[nm]] for nm in names], np.float32)
+            means /= np.maximum(
+                np.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
+            scores = means @ q
+            order = np.argsort(-scores, kind="stable")[:k]
+            # best frame per selected video for seek-to playback
+            frame_scores = idx._emb[:n] @ q
+            out = []
+            for pos in order:
+                name = names[pos]
+                mask = np.asarray(
+                    [idx._video_names[v] == name for v in vid_rows])
+                best_row = np.nonzero(mask)[0][
+                    np.argmax(frame_scores[mask])]
+                out.append({
+                    "video_name": name,
+                    "score": float(scores[pos]),
+                    "frame_count": counts[name],
+                    "best_timestamp": float(idx._timestamps[best_row]),
+                })
+            return out
+
     # ------------------------------------------------------------------
     # Maintenance
     # ------------------------------------------------------------------
