@@ -1,0 +1,122 @@
+"""SigLIP family tests: shapes, sigmoid loss, and numerical parity vs a
+locally-built ``transformers.SiglipModel`` (same offline parity strategy
+as the CLIP tests)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from video_quierer_tpu.models.siglip.model import (
+    SigLIP,
+    SigLIPConfig,
+    SigLIPTextConfig,
+    SigLIPVisionConfig,
+    siglip_init_params,
+    siglip_sigmoid_loss,
+)
+
+SMALL = SigLIPConfig(
+    name="test-small",
+    vision=SigLIPVisionConfig(image_size=32, patch_size=8, hidden_size=48,
+                              num_layers=2, num_heads=4, mlp_ratio=2),
+    text=SigLIPTextConfig(vocab_size=100, context_length=16,
+                          hidden_size=48, num_layers=2, num_heads=4,
+                          mlp_ratio=2),
+)
+
+
+@pytest.fixture(scope="module")
+def small():
+    model = SigLIP(SMALL)
+    return model, siglip_init_params(model, seed=0)
+
+
+def test_tower_shapes(small, rng):
+    model, params = small
+    imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    ids = rng.integers(0, 100, (2, 16)).astype(np.int32)
+    img_f, txt_f, scale, bias = model.apply({"params": params},
+                                            jnp.asarray(imgs),
+                                            jnp.asarray(ids))
+    assert img_f.shape == (2, 48) and txt_f.shape == (2, 48)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(img_f), axis=-1),
+                               1.0, atol=1e-5)
+    assert float(scale) == pytest.approx(np.exp(2.303), rel=1e-3)
+    assert float(bias) == pytest.approx(-10.0)
+
+
+def test_sigmoid_loss_behavior():
+    # the negative bias keeps off-diagonal (zero-cosine) pairs correct —
+    # that is exactly why SigLIP carries a learnable bias
+    feats = jnp.eye(4, 48)
+    aligned = siglip_sigmoid_loss(feats, feats, jnp.float32(100.0),
+                                  jnp.float32(-10.0))
+    shuffled = siglip_sigmoid_loss(feats, feats[::-1], jnp.float32(100.0),
+                                   jnp.float32(-10.0))
+    assert float(aligned) < 0.01
+    assert float(shuffled) > 1.0
+    # gradient sanity: loss decreases as scale aligns with structure
+    import jax
+    g = jax.grad(lambda b: siglip_sigmoid_loss(
+        feats, feats, jnp.float32(10.0), b))(jnp.float32(0.0))
+    assert np.isfinite(float(g))
+
+
+def test_full_size_param_count():
+    import jax
+    model = SigLIP(SigLIPConfig())
+    params = jax.eval_shape(lambda: siglip_init_params(model))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    # google/siglip-base-patch16-224 ≈ 203M params
+    assert 198_000_000 < n < 208_000_000, n
+
+
+@pytest.mark.parametrize("tower", ["image", "text"])
+def test_hf_parity(tmp_path, rng, tower):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.torch import save_file
+
+    hf_cfg = transformers.SiglipConfig(
+        vision_config=dict(image_size=32, patch_size=8, hidden_size=48,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=96,
+                           hidden_act="gelu_pytorch_tanh"),
+        text_config=dict(vocab_size=100, hidden_size=48,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         intermediate_size=96,
+                         max_position_embeddings=16,
+                         hidden_act="gelu_pytorch_tanh"),
+    )
+    torch.manual_seed(0)
+    hf = transformers.SiglipModel(hf_cfg).eval()
+    save_file(dict(hf.state_dict()), str(tmp_path / "model.safetensors"))
+
+    from video_quierer_tpu.models.siglip.convert import \
+        convert_siglip_checkpoint
+    params = convert_siglip_checkpoint(tmp_path, SMALL)
+    model = SigLIP(SMALL)
+
+    if tower == "image":
+        imgs = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf.get_image_features(
+                pixel_values=torch.tensor(imgs).permute(0, 3, 1, 2))
+            ref = ref / ref.norm(dim=-1, keepdim=True)
+        got = model.apply({"params": params}, jnp.asarray(imgs),
+                          method=SigLIP.encode_image)
+    else:
+        ids = rng.integers(1, 99, (2, 16)).astype(np.int32)
+        with torch.no_grad():
+            ref = hf.get_text_features(
+                input_ids=torch.tensor(ids.astype(np.int64)))
+            ref = ref / ref.norm(dim=-1, keepdim=True)
+        got = model.apply({"params": params}, jnp.asarray(ids),
+                          method=SigLIP.encode_text)
+
+    ref, got = ref.numpy(), np.asarray(got)
+    cos = (ref * got).sum(-1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+    np.testing.assert_allclose(got, ref, atol=1e-4)

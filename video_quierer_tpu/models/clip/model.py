@@ -75,15 +75,24 @@ class Attention(nn.Module):
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
 
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """Tanh-approximated GELU (SigLIP's activation)."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+ACTIVATIONS = {"quick_gelu": quick_gelu, "gelu_tanh": gelu_tanh}
+
+
 class MLP(nn.Module):
     ratio: int
     dtype: Dtype = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = x.shape[-1]
         h = nn.Dense(d * self.ratio, dtype=self.dtype, name="fc1")(x)
-        h = quick_gelu(h)
+        h = ACTIVATIONS[self.act](h)
         return nn.Dense(d, dtype=self.dtype, name="fc2")(h)
 
 
@@ -93,6 +102,7 @@ class EncoderBlock(nn.Module):
     eps: float
     causal: bool = False
     dtype: Dtype = jnp.float32
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -102,7 +112,8 @@ class EncoderBlock(nn.Module):
                           dtype=self.dtype, name="attn")(y)
         y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
                          name="layer_norm2")(x)
-        return x + MLP(self.mlp_ratio, dtype=self.dtype, name="mlp")(y)
+        return x + MLP(self.mlp_ratio, dtype=self.dtype, act=self.act,
+                       name="mlp")(y)
 
 
 class Encoder(nn.Module):
@@ -113,6 +124,7 @@ class Encoder(nn.Module):
     causal: bool = False
     dtype: Dtype = jnp.float32
     remat: bool = False
+    act: str = "quick_gelu"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -121,7 +133,7 @@ class Encoder(nn.Module):
             block = nn.remat(EncoderBlock)
         for i in range(self.num_layers):
             x = block(self.num_heads, self.mlp_ratio, self.eps,
-                      causal=self.causal, dtype=self.dtype,
+                      causal=self.causal, dtype=self.dtype, act=self.act,
                       name=f"layers_{i}")(x)
         return x
 
