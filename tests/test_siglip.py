@@ -120,3 +120,47 @@ def test_hf_parity(tmp_path, rng, tower):
     cos = (ref * got).sum(-1)
     np.testing.assert_allclose(cos, 1.0, atol=1e-5)
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_siglip_training(rng):
+    """The generic trainer fine-tunes SigLIP (sigmoid loss) too."""
+    from video_quierer_tpu.train.trainer import CLIPTrainer
+    tiny = SigLIPConfig(
+        name="tiny",
+        vision=SigLIPVisionConfig(image_size=16, patch_size=8,
+                                  hidden_size=32, num_layers=2,
+                                  num_heads=2, mlp_ratio=2),
+        text=SigLIPTextConfig(vocab_size=64, context_length=8,
+                              hidden_size=32, num_layers=2, num_heads=2,
+                              mlp_ratio=2),
+    )
+    trainer = CLIPTrainer(model=SigLIP(tiny), learning_rate=1e-3, seed=0)
+    images = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(1, 63, (8, 8)).astype(np.int32)
+    losses = [trainer.step(images, ids) for _ in range(8)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_siglip_training_sharded(rng):
+    import jax
+    from video_quierer_tpu.parallel.mesh import data_mesh
+    from video_quierer_tpu.train.trainer import CLIPTrainer
+    assert jax.device_count() >= 8
+    tiny = SigLIPConfig(
+        name="tiny",
+        vision=SigLIPVisionConfig(image_size=16, patch_size=8,
+                                  hidden_size=32, num_layers=2,
+                                  num_heads=2, mlp_ratio=2),
+        text=SigLIPTextConfig(vocab_size=64, context_length=8,
+                              hidden_size=32, num_layers=2, num_heads=2,
+                              mlp_ratio=2),
+    )
+    mesh = data_mesh(8, model_parallel=2)
+    trainer = CLIPTrainer(model=SigLIP(tiny), mesh=mesh,
+                          learning_rate=1e-3, seed=0)
+    images = rng.standard_normal((8, 16, 16, 3)).astype(np.float32)
+    ids = rng.integers(1, 63, (8, 8)).astype(np.int32)
+    l1 = trainer.step(images, ids)
+    l2 = trainer.step(images, ids)
+    assert np.isfinite([l1, l2]).all() and l2 < l1

@@ -96,8 +96,17 @@ def clip_contrastive_loss(image_feats: jax.Array, text_feats: jax.Array,
     return (loss_i.mean() + loss_t.mean()) / 2.0
 
 
-def loss_fn(params, model: CLIP, images, input_ids):
-    img, txt, scale = model.apply({"params": params}, images, input_ids)
+def loss_fn(params, model, images, input_ids):
+    """Family-agnostic objective: CLIP towers return
+    ``(img, txt, scale)`` → symmetric InfoNCE; SigLIP towers return
+    ``(img, txt, scale, bias)`` → pairwise sigmoid loss."""
+    out = model.apply({"params": params}, images, input_ids)
+    if len(out) == 4:
+        from video_quierer_tpu.models.siglip.model import \
+            siglip_sigmoid_loss
+        img, txt, scale, bias = out
+        return siglip_sigmoid_loss(img, txt, scale, bias)
+    img, txt, scale = out
     return clip_contrastive_loss(img, txt, scale)
 
 
@@ -106,17 +115,32 @@ def loss_fn(params, model: CLIP, images, input_ids):
 # ---------------------------------------------------------------------------
 
 class CLIPTrainer:
-    """Owns params/optimizer state and a mesh-sharded jitted train step."""
+    """Owns params/optimizer state and a mesh-sharded jitted train step.
 
-    def __init__(self, cfg: CLIPConfig, mesh: Optional[Mesh] = None,
+    Works for any dual-encoder family whose module follows the
+    ``__call__(images, ids) -> (img, txt, scale[, bias])`` convention —
+    pass a pre-built ``model`` (e.g. a SigLIP) to override the default
+    CLIP construction; the TP partition rules apply by parameter name
+    (q/k/v/out_proj, fc1/fc2) and therefore cover both families.
+    """
+
+    def __init__(self, cfg: CLIPConfig = None, mesh: Optional[Mesh] = None,
                  learning_rate: float = 1e-5, weight_decay: float = 0.01,
                  dtype=jnp.float32, remat: bool = False, seed: int = 0,
-                 params=None):
+                 params=None, model=None):
         self.cfg = cfg
         self.mesh = mesh
-        self.model = CLIP(cfg, dtype=dtype, remat=remat)
+        if model is not None:
+            self.model = model
+        else:
+            self.model = CLIP(cfg, dtype=dtype, remat=remat)
         if params is None:
-            params = init_params(self.model, seed=seed)
+            if isinstance(self.model, CLIP):
+                params = init_params(self.model, seed=seed)
+            else:
+                from video_quierer_tpu.models.siglip.model import \
+                    siglip_init_params
+                params = siglip_init_params(self.model, seed=seed)
         tx = optax.adamw(learning_rate, weight_decay=weight_decay)
         if mesh is not None:
             params = shard_params(params, mesh)
