@@ -147,3 +147,32 @@ def test_unbalanced_opt_out(rng):
     q = emb[7]
     vals, idxs = ivf.search(q, k=1)
     assert idxs[0] == 7
+
+
+def test_ivf_incremental_add_and_merge(rng):
+    emb = _unit(rng, 1000)
+    ivf = IVFIndex(nlist=8, nprobe=4, seed=0, rebuild_fraction=0.25)
+    ivf.build(emb)
+    fresh = _unit(rng, 50)
+    ivf.add(fresh)
+    # a fresh row must be findable with its continued global id
+    q = fresh[7]
+    vals, idxs = ivf.search(q, k=3)
+    assert idxs[0] == 1000 + 7
+    assert vals[0] == pytest.approx(1.0, abs=1e-5)
+    # built rows still findable
+    vals2, idxs2 = ivf.search(emb[3], k=1)
+    assert idxs2[0] == 3
+    assert not ivf.needs_rebuild
+    ivf.add(_unit(rng, 300))
+    assert ivf.needs_rebuild
+    ivf.rebuild()
+    assert ivf._fresh is None
+    # after rebuild the formerly-fresh row keeps its global id
+    vals3, idxs3 = ivf.search(fresh[7], k=1)
+    assert idxs3[0] == 1000 + 7
+
+
+def test_ivf_add_requires_build(rng):
+    with pytest.raises(RuntimeError):
+        IVFIndex().add(_unit(rng, 2))

@@ -241,13 +241,20 @@ class IVFIndex:
 
     def __init__(self, nlist: Optional[int] = None, nprobe: int = 8,
                  kmeans_iters: int = 10, seed: int = 0,
-                 balance_factor: float = 2.0):
+                 balance_factor: float = 2.0,
+                 rebuild_fraction: float = 0.25):
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
         self.seed = seed
         self.balance_factor = balance_factor
+        # appended rows accumulate in an exact-scanned fresh buffer; once
+        # it exceeds this fraction of the built corpus, rebuild() folds
+        # them into the clustered tiles (classic IVF + fresh-list design)
+        self.rebuild_fraction = rebuild_fraction
         self._built = False
+        self._fresh: Optional[np.ndarray] = None
+        self._n_built = 0
 
     def build(self, emb: np.ndarray) -> None:
         """``emb [N, D]`` float32 (unit rows recommended)."""
@@ -302,9 +309,35 @@ class IVFIndex:
         self._tile_counts_np = tiles_per_cluster.astype(np.int64)
         self._max_tiles = int(tiles_per_cluster.max())
         self._median_tiles = int(np.median(tiles_per_cluster))
+        self._emb_snapshot = emb  # kept for rebuild-with-appends
+        self._n_built = n
+        self._fresh = None
         self._built = True
         logger.info("IVF built: %d tiles (%.1f%% padding)", total_tiles,
                     100 * (1 - n / (total_tiles * BLOCK_ROWS)))
+
+    def add(self, emb_new: np.ndarray) -> None:
+        """Append rows without rebuilding: they land in a fresh buffer
+        that every search scans exactly (tiny until ``rebuild_fraction``
+        is hit — then call :meth:`rebuild`). Appended rows get global ids
+        continuing after the built corpus."""
+        if not self._built:
+            raise RuntimeError("IVFIndex.build() first")
+        emb_new = np.asarray(emb_new, np.float32)
+        self._fresh = emb_new if self._fresh is None else \
+            np.concatenate([self._fresh, emb_new])
+
+    @property
+    def needs_rebuild(self) -> bool:
+        return self._fresh is not None and \
+            self._fresh.shape[0] > self.rebuild_fraction * self._n_built
+
+    def rebuild(self) -> None:
+        """Fold the fresh buffer into the clustered tiles."""
+        if self._fresh is None:
+            return
+        merged = np.concatenate([self._emb_snapshot, self._fresh])
+        self.build(merged)
 
     def search(self, queries: np.ndarray, k: int = 5,
                nprobe: Optional[int] = None
@@ -335,9 +368,29 @@ class IVFIndex:
                 self._tile_counts, self._row_ids, jnp.asarray(queries),
                 k=k, nprobe=nprobe, tiles=tiles)
             vals, idxs = np.asarray(v), np.asarray(i)
+        if self._fresh is not None and self._fresh.shape[0] > 0:
+            vals, idxs = self._merge_fresh(queries, vals, idxs, k)
         if squeeze:
             return vals[0], idxs[0]
         return vals, idxs
+
+    def _merge_fresh(self, queries: np.ndarray, vals: np.ndarray,
+                     idxs: np.ndarray, k: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact-scan the fresh buffer and merge into the probed results."""
+        fresh_scores = queries @ self._fresh.T                # [B, F]
+        f = self._fresh.shape[0]
+        fresh_ids = self._n_built + np.arange(f)
+        out_v = np.full_like(vals, NEG_INF)
+        out_i = np.full_like(idxs, -1)
+        for b in range(vals.shape[0]):
+            live = idxs[b] >= 0
+            cand_v = np.concatenate([vals[b][live], fresh_scores[b]])
+            cand_i = np.concatenate([idxs[b][live], fresh_ids])
+            order = np.argsort(-cand_v, kind="stable")[:k]
+            out_v[b, : order.size] = cand_v[order]
+            out_i[b, : order.size] = cand_i[order]
+        return out_v, out_i
 
     def _search_pallas(self, queries: np.ndarray, k: int, nprobe: int,
                        budget: int, tiles: int, interpret: bool
