@@ -164,3 +164,29 @@ def test_siglip_training_sharded(rng):
     l1 = trainer.step(images, ids)
     l2 = trainer.step(images, ids)
     assert np.isfinite([l1, l2]).all() and l2 < l1
+
+
+def test_siglip_engine_serving(tmp_path):
+    """Engine with model.family='siglip': ingest + text and image search
+    work end to end (768-d index sized automatically)."""
+    from tests.helpers import make_synthetic_video
+    from video_quierer_tpu.engine import ApiConfig, EngineConfig, \
+        VideoSearchEngine
+    from video_quierer_tpu.ingest.frames import extract_frames
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "sg.mp4", n_frames=30)
+    cfg = EngineConfig(api=ApiConfig(max_frames=4))
+    cfg.model.family = "siglip"
+    eng = VideoSearchEngine(str(vids), config=cfg)
+    assert eng.index.dim == 768
+    eng.startup()
+    assert len(eng.index) == 4
+    res = eng.search("a scene", k=2)
+    assert len(res) == 2
+    frames, stamps = extract_frames(vids / "sg.mp4", max_frames=4,
+                                    sampling_mode="high")
+    hit = eng.search_by_image(frames[1], k=1)[0]
+    assert hit["timestamp"] == stamps[1]
+    assert hit["score"] == pytest.approx(1.0, abs=1e-4)

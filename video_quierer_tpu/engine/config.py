@@ -96,6 +96,10 @@ class CacheConfig:
 
 @dataclasses.dataclass
 class ModelConfig:
+    # dual-encoder family: "clip" (512-d, reference-compatible) or
+    # "siglip" (768-d towers, sigmoid-trained — stronger retrieval when
+    # real weights are supplied)
+    family: str = "clip"
     name: str = "openai/clip-vit-base-patch32"
     checkpoint_dir: Optional[str] = None
     dtype: str = "float32"  # "bfloat16" for throughput mode
@@ -134,6 +138,7 @@ _ENV_OVERRIDES = {
     "VQT_DTYPE": ("model.dtype", str),
     "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
     "VQT_INDEX_DTYPE": ("index.device_dtype", str),
+    "VQT_MODEL_FAMILY": ("model.family", str),
 }
 
 

@@ -72,6 +72,10 @@ class VideoSearchEngine:
                  mesh=None,
                  corpus_mesh=None):
         self.config = config or load_engine_config()
+        if self.config.model.family == "siglip" and \
+                self.config.index.embed_dim == 512:
+            # SigLIP towers are 768-wide (no projection head)
+            self.config.index.embed_dim = 768
         self.videos_dir = Path(videos_dir or self.config.videos_dir)
         self.videos_dir.mkdir(parents=True, exist_ok=True)
         self.cache_path = self.videos_dir / "video_search_cache.pkl"
@@ -115,15 +119,24 @@ class VideoSearchEngine:
             return None
         if self._embedder is None:
             import jax.numpy as jnp
-            from video_quierer_tpu.models.clip.embedder import CLIPEmbedder
             m = self.config.model
             dtype = jnp.bfloat16 if m.dtype == "bfloat16" else jnp.float32
-            self._embedder = CLIPEmbedder(
-                model_name=m.name,
-                checkpoint_dir=Path(m.checkpoint_dir)
-                if m.checkpoint_dir else None,
-                dtype=dtype,
-                mesh=self.mesh)
+            if m.family == "siglip":
+                from video_quierer_tpu.models.siglip.embedder import \
+                    SigLIPEmbedder
+                self._embedder = SigLIPEmbedder(
+                    checkpoint_dir=Path(m.checkpoint_dir)
+                    if m.checkpoint_dir else None,
+                    dtype=dtype)
+            else:
+                from video_quierer_tpu.models.clip.embedder import \
+                    CLIPEmbedder
+                self._embedder = CLIPEmbedder(
+                    model_name=m.name,
+                    checkpoint_dir=Path(m.checkpoint_dir)
+                    if m.checkpoint_dir else None,
+                    dtype=dtype,
+                    mesh=self.mesh)
             if self.config.cache.frame_memo_size > 0:
                 from video_quierer_tpu.models.clip.embedder import \
                     MemoizedEmbedder

@@ -186,15 +186,40 @@ class CLIPBPETokenizer(TokenizerBase):
 
 
 class HashTokenizer(TokenizerBase):
-    """Deterministic word-hash tokenizer (no vocab files required)."""
+    """Deterministic word-hash tokenizer (no vocab files required).
+
+    Parameterizable for non-CLIP vocabularies (e.g. SigLIP's 32k vocab /
+    64-token context, whose SentencePiece model isn't available offline).
+    """
+
+    def __init__(self, context_length: int = CONTEXT_LENGTH,
+                 vocab_size: int = VOCAB_SIZE,
+                 sot: int = SOT, eot: int = EOT):
+        self.context_length = context_length
+        self.vocab_size = vocab_size
+        self.sot = sot
+        self.eot = eot
 
     def encode_ids(self, text: str) -> List[int]:
+        lo = min(self.sot, self.eot)
         ids = []
         for word in _WORD_RE.findall(_clean(text)):
             h = int.from_bytes(
                 hashlib.md5(word.encode("utf-8")).digest()[:4], "little")
-            ids.append(1 + h % (SOT - 1))  # ids in [1, 49405]
+            ids.append(1 + h % (lo - 1))  # below both specials
         return ids
+
+    def __call__(self, texts) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        out = np.full((len(texts), self.context_length), self.eot,
+                      dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = [self.sot] + \
+                self.encode_ids(text)[: self.context_length - 2] + \
+                [self.eot]
+            out[i, : len(ids)] = ids
+        return out
 
 
 def load_tokenizer(checkpoint_dir: Optional[Path] = None) -> TokenizerBase:

@@ -21,19 +21,22 @@ import numpy as np
 
 CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+# SigLIP's image processor normalizes to [-1, 1]
+SIGLIP_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_STD = (0.5, 0.5, 0.5)
 
 
-@functools.partial(jax.jit, static_argnames=("dtype",))
-def normalize_images(frames_u8: jax.Array, dtype=jnp.float32) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("dtype", "mean", "std"))
+def normalize_images(frames_u8: jax.Array, dtype=jnp.float32,
+                     mean=CLIP_MEAN, std=CLIP_STD) -> jax.Array:
     """``[B, H, W, 3] uint8 RGB`` → normalized ``[B, H, W, 3]`` floats.
 
     Fused ``(x/255 - mean) / std`` as a single multiply-add:
-    ``x * (1/(255*std)) - mean/std``.
+    ``x * (1/(255*std)) - mean/std``. ``mean``/``std`` are static tuples
+    (CLIP by default; pass SIGLIP_MEAN/STD for SigLIP towers).
     """
-    scale = jnp.asarray(
-        [1.0 / (255.0 * s) for s in CLIP_STD], dtype)
-    shift = jnp.asarray(
-        [m / s for m, s in zip(CLIP_MEAN, CLIP_STD)], dtype)
+    scale = jnp.asarray([1.0 / (255.0 * s) for s in std], dtype)
+    shift = jnp.asarray([m / s for m, s in zip(mean, std)], dtype)
     return frames_u8.astype(dtype) * scale - shift
 
 
