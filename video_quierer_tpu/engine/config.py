@@ -102,6 +102,8 @@ class ModelConfig:
     family: str = "clip"
     name: str = "openai/clip-vit-base-patch32"
     checkpoint_dir: Optional[str] = None
+    # serve fine-tuned weights from a train/checkpoint.py step dir
+    orbax_checkpoint: Optional[str] = None
     dtype: str = "float32"  # "bfloat16" for throughput mode
 
 

@@ -135,6 +135,8 @@ class VideoSearchEngine:
                     model_name=m.name,
                     checkpoint_dir=Path(m.checkpoint_dir)
                     if m.checkpoint_dir else None,
+                    orbax_checkpoint=Path(m.orbax_checkpoint)
+                    if m.orbax_checkpoint else None,
                     dtype=dtype,
                     mesh=self.mesh)
             if self.config.cache.frame_memo_size > 0:

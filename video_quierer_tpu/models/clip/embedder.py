@@ -38,7 +38,9 @@ logger = logging.getLogger(__name__)
 
 # Frame-batch buckets: each size compiles once; frames pad to the next one.
 IMAGE_BUCKETS = (32, 128, 256)
-TEXT_BUCKETS = (8, 32)
+# bucket 1 serves the latency path (single text query) without padding to
+# a batch of 8
+TEXT_BUCKETS = (1, 8, 32)
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
@@ -46,6 +48,17 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> int:
         if n <= b:
             return b
     return buckets[-1]
+
+
+def _load_orbax_params(path: Path):
+    """Restore the ``params`` subtree of a trainer checkpoint
+    (train/checkpoint.py layout: {params, opt_state, step})."""
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).resolve())
+    import jax.numpy as _jnp
+    import jax as _jax
+    return _jax.tree.map(_jnp.asarray, restored["params"])
 
 
 class CLIPEmbedder:
@@ -57,13 +70,21 @@ class CLIPEmbedder:
                  dtype=jnp.float32,
                  mesh=None,
                  data_axis: str = "data",
-                 seed: int = 0):
+                 seed: int = 0,
+                 orbax_checkpoint: Optional[Path] = None):
         self.cfg: CLIPConfig = get_config(model_name)
         self.model = CLIP(self.cfg, dtype=dtype)
         self.mesh = mesh
         self.data_axis = data_axis
         ckpt = checkpoint_dir or convert_mod.find_local_checkpoint(model_name)
-        if ckpt is not None:
+        if orbax_checkpoint is not None:
+            # fine-tuned weights from train/checkpoint.py — closes the
+            # train → serve loop
+            logger.info("Loading fine-tuned params from %s",
+                        orbax_checkpoint)
+            self.params = _load_orbax_params(Path(orbax_checkpoint))
+            self.pretrained = True
+        elif ckpt is not None:
             logger.info("Loading CLIP weights from %s", ckpt)
             self.params = jax.tree.map(
                 jnp.asarray, convert_mod.convert_hf_checkpoint(ckpt, self.cfg))
