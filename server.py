@@ -36,6 +36,18 @@ def main() -> None:
 
     from pathlib import Path
 
+    # Persistent XLA compilation cache: TPU compiles are expensive (tens
+    # of seconds to minutes); caching them on disk makes restarts and the
+    # first search after boot near-instant. Disable with
+    # VQT_COMPILE_CACHE=off.
+    cache_dir = os.environ.get("VQT_COMPILE_CACHE",
+                               str(Path.home() / ".cache" / "vqt_xla"))
+    if cache_dir.lower() != "off":
+        import jax
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from video_quierer_tpu.api import run
 
     run(host=args.host, port=args.port, videos_dir=args.videos_dir,
