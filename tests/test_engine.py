@@ -198,3 +198,20 @@ def test_video_level_search(engine):
     assert VideoSearchEngine(str(empty_dir), config=engine.config,
                              embedder=engine._embedder
                              ).search_videos("x") == []
+
+
+def test_bfloat16_serving_mode(tmp_path):
+    """model.dtype=bfloat16 + index bfloat16: the full throughput-mode
+    config ingests and searches (embedder computes in bf16, emits f32)."""
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "bf.mp4", n_frames=20)
+    cfg = EngineConfig(api=ApiConfig(max_frames=4))
+    cfg.model.dtype = "bfloat16"
+    cfg.index.device_dtype = "bfloat16"
+    eng = VideoSearchEngine(str(vids), config=cfg)
+    eng.startup()
+    assert len(eng.index) == 4
+    res = eng.search("throughput mode", k=2)
+    assert len(res) == 2
+    assert eng.index._emb.dtype == np.float32  # host store stays f32
