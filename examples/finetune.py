@@ -31,16 +31,26 @@ def main() -> None:
     from video_quierer_tpu.train.data import load_captions, train_on_videos
     from video_quierer_tpu.train.trainer import CLIPTrainer
 
+    from video_quierer_tpu.ops.preprocess import (
+        CLIP_MEAN, CLIP_STD, SIGLIP_MEAN, SIGLIP_STD,
+    )
+
     if args.family == "siglip":
+        from video_quierer_tpu.models.siglip.embedder import \
+            siglip_tokenizer
         from video_quierer_tpu.models.siglip.model import (
             SigLIP,
             siglip_base_patch16,
         )
         trainer = CLIPTrainer(model=SigLIP(siglip_base_patch16()),
                               learning_rate=args.lr)
+        tokenizer = siglip_tokenizer()          # 64-ctx / 32k-vocab
+        mean, std = SIGLIP_MEAN, SIGLIP_STD
     else:
         from video_quierer_tpu.models.clip.config import vit_b_32
         trainer = CLIPTrainer(vit_b_32(), learning_rate=args.lr)
+        tokenizer = load_tokenizer()
+        mean, std = CLIP_MEAN, CLIP_STD
 
     videos_dir = Path(args.videos_dir)
     paths = sorted(p for p in videos_dir.iterdir()
@@ -48,14 +58,13 @@ def main() -> None:
     if not paths:
         raise SystemExit(f"no videos under {videos_dir}")
     captions = load_captions(videos_dir)
-    tokenizer = load_tokenizer()
     print(f"fine-tuning {args.family} on {len(paths)} videos "
           f"({'captions.json' if captions else 'filename captions'})")
 
     losses = train_on_videos(trainer, paths, tokenizer,
                              epochs=args.epochs,
                              batch_size=args.batch_size,
-                             captions=captions)
+                             captions=captions, mean=mean, std=std)
     if losses:
         print(f"{len(losses)} steps: loss {losses[0]:.4f} → "
               f"{losses[-1]:.4f}")

@@ -423,20 +423,33 @@ def _register_routes(app: web.Application) -> None:
             "performance": {"results_count": len(results)},
         })
 
+    def _parse_k(body, default=5):
+        """k as a validated int (422 on junk, matching pydantic routes)."""
+        try:
+            k = int(body.get("k", default))
+        except (TypeError, ValueError):
+            raise web.HTTPUnprocessableEntity(
+                text=json.dumps({"detail": "k must be an integer"}),
+                content_type="application/json")
+        if not 1 <= k <= 50:
+            raise web.HTTPUnprocessableEntity(
+                text=json.dumps({"detail": "k must be in [1, 50]"}),
+                content_type="application/json")
+        return k
+
     @routes.post("/api/search/videos")
     async def api_search_videos(request: web.Request):
         """Video-level search: rank whole videos by mean-frame cosine
         (extension; body ``{"query": str, "k": int}``)."""
         try:
             body = await request.json()
+            assert isinstance(body, dict)
         except Exception:
             return _error(422, "invalid JSON body")
         query = str(body.get("query", "")).strip()
-        k = int(body.get("k", 5))
+        k = _parse_k(body)
         if not query:
             return _error(400, "No query provided")
-        if not 1 <= k <= 50:
-            return _error(422, "k must be in [1, 50]")
         t0 = time.time()
         results = await asyncio.to_thread(engine.search_videos, query, k)
         return _json({
@@ -453,19 +466,23 @@ def _register_routes(app: web.Application) -> None:
         ``{"vector": [512 floats], "k": 5}``."""
         try:
             body = await request.json()
+            assert isinstance(body, dict)
         except Exception:
             return _error(422, "invalid JSON body")
         vec = body.get("vector")
-        k = int(body.get("k", 5))
+        k = _parse_k(body)
         if not isinstance(vec, list) or \
                 len(vec) != engine.index.dim:
             return _error(422,
                           f"vector must be a list of {engine.index.dim} "
                           f"floats")
-        if not 1 <= k <= 50:
-            return _error(422, "k must be in [1, 50]")
+        try:
+            vector = np.asarray(vec, np.float32)
+        except (TypeError, ValueError):
+            return _error(422, "vector entries must be numbers")
+        if not np.isfinite(vector).all():
+            return _error(422, "vector entries must be finite")
         t0 = time.time()
-        vector = np.asarray(vec, np.float32)
         results, from_cache = await asyncio.to_thread(
             engine.search_by_vector_ex, vector, k,
             bool(body.get("use_cache", True)))

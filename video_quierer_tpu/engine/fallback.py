@@ -23,12 +23,17 @@ EMBED_DIM = 512
 
 
 class VisualStatsEmbedder:
-    """Handcrafted per-frame statistics as a 512-d embedding."""
+    """Handcrafted per-frame statistics as a ``dim``-d embedding
+    (zero-padded; 512 matches the reference, 768 serves the SigLIP
+    family's index width)."""
+
+    def __init__(self, dim: int = EMBED_DIM):
+        self.dim = dim
 
     def embed_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         import cv2
         n = frames_u8.shape[0]
-        out = np.zeros((n, EMBED_DIM), np.float32)
+        out = np.zeros((n, self.dim), np.float32)
         for i in range(n):
             gray = cv2.cvtColor(frames_u8[i], cv2.COLOR_RGB2GRAY)
             feats: List[float] = [
@@ -41,7 +46,7 @@ class VisualStatsEmbedder:
             hist = cv2.calcHist([gray], [0], None, [32], [0, 256]).ravel()
             feats.extend(hist.tolist())
             v = np.asarray(feats, np.float32)
-            out[i, : v.size] = v[:EMBED_DIM]
+            out[i, : v.size] = v[: self.dim]
             norm = np.linalg.norm(out[i])
             if norm > 0:
                 out[i] /= norm
@@ -61,11 +66,12 @@ _KEYWORD_POSITIONS = (
 class KeywordQueryEncoder:
     """Keyword-bucket text encoder for degraded mode."""
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, dim: int = EMBED_DIM):
         self._rng = np.random.default_rng(seed)
+        self.dim = dim
 
     def embed_text(self, query: str) -> np.ndarray:
-        feats = np.zeros(EMBED_DIM, np.float32)
+        feats = np.zeros(self.dim, np.float32)
         q = query.lower()
         for words, pos, weight in _KEYWORD_POSITIONS:
             if any(w in q for w in words):
@@ -73,7 +79,7 @@ class KeywordQueryEncoder:
         norm = np.linalg.norm(feats)
         if norm > 0:
             return feats / norm
-        rand = self._rng.normal(0, 0.1, EMBED_DIM).astype(np.float32)
+        rand = self._rng.normal(0, 0.1, self.dim).astype(np.float32)
         return rand / np.linalg.norm(rand)
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:

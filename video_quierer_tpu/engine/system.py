@@ -94,8 +94,10 @@ class VideoSearchEngine:
             similarity_threshold=self.config.cache.similarity_threshold)
         self.mesh = mesh
         self._embedder = embedder        # injected (tests) or lazy CLIP
-        self._fallback_visual = VisualStatsEmbedder()
-        self._fallback_text = KeywordQueryEncoder()
+        self._fallback_visual = VisualStatsEmbedder(
+            dim=self.config.index.embed_dim)
+        self._fallback_text = KeywordQueryEncoder(
+            dim=self.config.index.embed_dim)
         self._ready = False
         self._coalescer = None
         # Serializes index mutation vs search when handlers run in worker
@@ -127,6 +129,8 @@ class VideoSearchEngine:
                 self._embedder = SigLIPEmbedder(
                     checkpoint_dir=Path(m.checkpoint_dir)
                     if m.checkpoint_dir else None,
+                    orbax_checkpoint=Path(m.orbax_checkpoint)
+                    if m.orbax_checkpoint else None,
                     dtype=dtype)
             else:
                 from video_quierer_tpu.models.clip.embedder import \
@@ -444,33 +448,29 @@ class VideoSearchEngine:
             n = idx.count
             if n == 0:
                 return []
-            counts = idx.video_frame_counts()
-            names = list(counts)
-            name_to_pos = {nm: i for i, nm in enumerate(names)}
-            sums = np.zeros((len(names), idx.dim), np.float32)
+            # fully vectorized on the integer video-id column: one
+            # segment-sum pass + one masked argmax per returned video
             vid_rows = idx._video_ids[:n]
-            np.add.at(sums, np.asarray(
-                [name_to_pos[idx._video_names[v]] for v in vid_rows]),
-                idx._emb[:n])
-            means = sums / np.asarray(
-                [[counts[nm]] for nm in names], np.float32)
+            uniq, inv = np.unique(vid_rows, return_inverse=True)
+            sums = np.zeros((uniq.size, idx.dim), np.float32)
+            np.add.at(sums, inv, idx._emb[:n])
+            counts = np.bincount(inv)
+            means = sums / counts[:, None]
             means /= np.maximum(
                 np.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
             scores = means @ q
             order = np.argsort(-scores, kind="stable")[:k]
-            # best frame per selected video for seek-to playback
             frame_scores = idx._emb[:n] @ q
             out = []
             for pos in order:
-                name = names[pos]
-                mask = np.asarray(
-                    [idx._video_names[v] == name for v in vid_rows])
+                vid = uniq[pos]
+                mask = vid_rows == vid
                 best_row = np.nonzero(mask)[0][
                     np.argmax(frame_scores[mask])]
                 out.append({
-                    "video_name": name,
+                    "video_name": idx._video_names[vid],
                     "score": float(scores[pos]),
-                    "frame_count": counts[name],
+                    "frame_count": int(counts[pos]),
                     "best_timestamp": float(idx._timestamps[best_row]),
                 })
             return out

@@ -58,7 +58,13 @@ def _ivf_scan_kernel(tiles_ref, emb_tile_ref, ids_tile_ref, qt_ref,
     b = qt_ref.shape[1]
     emb = emb_tile_ref[0]                       # [BLOCK_ROWS, D]
     ids = ids_tile_ref[0, :, 0]                 # [BLOCK_ROWS]
-    scores = jnp.dot(emb, qt_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST precision for f32, same as ops/topk._scan_kernel: the TPU
+    # default bf16x1 pass drifts ~4e-3, which would desync rankings from
+    # the exact fresh-buffer merge and the XLA fallback
+    precision = (jax.lax.Precision.HIGHEST
+                 if emb.dtype == jnp.float32 else None)
+    scores = jnp.dot(emb, qt_ref[:], preferred_element_type=jnp.float32,
+                     precision=precision)
     ids_b = jnp.broadcast_to(ids[:, None], (ids.shape[0], b))
     scores = jnp.where(ids_b >= 0, scores, NEG_INF)
     vals, idxs = _block_topk_body(scores, ids_b, k)
@@ -309,7 +315,6 @@ class IVFIndex:
         self._tile_counts_np = tiles_per_cluster.astype(np.int64)
         self._max_tiles = int(tiles_per_cluster.max())
         self._median_tiles = int(np.median(tiles_per_cluster))
-        self._emb_snapshot = emb  # kept for rebuild-with-appends
         self._n_built = n
         self._fresh = None
         self._built = True
@@ -332,11 +337,21 @@ class IVFIndex:
         return self._fresh is not None and \
             self._fresh.shape[0] > self.rebuild_fraction * self._n_built
 
+    def _reconstruct_corpus(self) -> np.ndarray:
+        """Recover the built corpus from the tiles (no separate snapshot
+        is retained — it would double host memory for the index's life)."""
+        tiled = np.asarray(self._tiled)
+        ids = np.asarray(self._row_ids)
+        mask = ids >= 0
+        emb = np.empty((self._n_built, tiled.shape[-1]), np.float32)
+        emb[ids[mask]] = tiled[mask]
+        return emb
+
     def rebuild(self) -> None:
         """Fold the fresh buffer into the clustered tiles."""
         if self._fresh is None:
             return
-        merged = np.concatenate([self._emb_snapshot, self._fresh])
+        merged = np.concatenate([self._reconstruct_corpus(), self._fresh])
         self.build(merged)
 
     def search(self, queries: np.ndarray, k: int = 5,
@@ -358,7 +373,10 @@ class IVFIndex:
         budget = min(self._max_tiles, max(1, 4 * self._median_tiles))
         tiles = int(nprobe * budget)
         mode = _pallas_mode()
-        if mode != "off":
+        # the Pallas path launches one kernel per query (tile lists are
+        # per-query); for large batches the single vmapped XLA launch
+        # wins despite its gather copy
+        if mode != "off" and queries.shape[0] <= 4:
             vals, idxs = self._search_pallas(
                 queries, k, nprobe, budget, tiles,
                 interpret=(mode == "interpret"))
@@ -401,6 +419,9 @@ class IVFIndex:
         csims = queries @ self._centroids_np.T            # [B, C]
         out_vals = np.full((b, k), NEG_INF, np.float32)
         out_idxs = np.full((b, k), -1, np.int64)
+        # dispatch every query's kernel before fetching any result (the
+        # device pipelines them; only np.asarray synchronizes)
+        pending = []
         for qi in range(b):
             clusters = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
             starts = self._tile_start_np[clusters]
@@ -411,10 +432,11 @@ class IVFIndex:
                 tile_list[pos: pos + c] = np.arange(s, s + c)
                 pos += c
             qt = jnp.asarray(queries[qi][:, None])        # [D, 1]
-            vals, idxs = _pallas_probe_scan(
+            pending.append(_pallas_probe_scan(
                 self._tiled, self._row_ids[:, :, None],
                 jnp.asarray(tile_list), qt,
-                k=k, tiles=tiles, interpret=interpret)
+                k=k, tiles=tiles, interpret=interpret))
+        for qi, (vals, idxs) in enumerate(pending):
             flat_v = np.asarray(vals).reshape(-1)
             flat_i = np.asarray(idxs).reshape(-1)
             live = flat_i >= 0

@@ -102,11 +102,13 @@ class CLIPEmbedder:
             self._img_sharding = NamedSharding(mesh, P(data_axis, None, None,
                                                        None))
             self._txt_sharding = NamedSharding(mesh, P(data_axis, None))
+            self._data_axis_size = mesh.shape[data_axis]
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
         else:
             self._img_sharding = None
             self._txt_sharding = None
+            self._data_axis_size = 1
 
         self._encode_image_jit = jax.jit(self._encode_image_fn)
         self._encode_text_jit = jax.jit(self._encode_text_fn)
@@ -171,7 +173,10 @@ class CLIPEmbedder:
             pad = np.tile(ids[-1:], (bucket - n, 1))
             ids = np.concatenate([ids, pad])
         batch = jnp.asarray(ids)
-        if self._txt_sharding is not None and n >= TEXT_BUCKETS[0]:
+        # shard only when the padded bucket divides the data axis (a
+        # single-query bucket of 1 cannot satisfy a multi-device sharding)
+        if self._txt_sharding is not None and \
+                bucket % self._data_axis_size == 0:
             batch = jax.device_put(batch, self._txt_sharding)
         feats = self._encode_text_jit(self.params, batch)
         return np.asarray(feats)[:n]

@@ -41,12 +41,29 @@ from video_quierer_tpu.ops.preprocess import (
 logger = logging.getLogger(__name__)
 
 
+def siglip_tokenizer(cfg=None) -> HashTokenizer:
+    """Offline stand-in tokenizer matching SigLIP's text geometry
+    (64 context, 32k vocab)."""
+    t = (cfg or siglip_base_patch16()).text
+    return HashTokenizer(context_length=t.context_length,
+                         vocab_size=t.vocab_size,
+                         sot=t.vocab_size - 2, eot=t.vocab_size - 1)
+
+
 class SigLIPEmbedder:
     def __init__(self, checkpoint_dir: Optional[Path] = None,
-                 dtype=jnp.float32, seed: int = 0):
+                 dtype=jnp.float32, seed: int = 0,
+                 orbax_checkpoint: Optional[Path] = None):
         self.cfg = siglip_base_patch16()
         self.model = SigLIP(self.cfg, dtype=dtype)
-        if checkpoint_dir is not None and (
+        if orbax_checkpoint is not None:
+            from video_quierer_tpu.models.clip.embedder import \
+                _load_orbax_params
+            logger.info("Loading fine-tuned SigLIP params from %s",
+                        orbax_checkpoint)
+            self.params = _load_orbax_params(Path(orbax_checkpoint))
+            self.pretrained = True
+        elif checkpoint_dir is not None and (
                 Path(checkpoint_dir) / "model.safetensors").exists():
             from video_quierer_tpu.models.siglip.convert import \
                 convert_siglip_checkpoint
@@ -59,10 +76,7 @@ class SigLIPEmbedder:
             logger.warning("No local SigLIP checkpoint — seeded init")
             self.params = siglip_init_params(self.model, seed=seed)
             self.pretrained = False
-        t = self.cfg.text
-        self.tokenizer = HashTokenizer(
-            context_length=t.context_length, vocab_size=t.vocab_size,
-            sot=t.vocab_size - 2, eot=t.vocab_size - 1)
+        self.tokenizer = siglip_tokenizer(self.cfg)
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
 

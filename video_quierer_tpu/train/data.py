@@ -51,15 +51,18 @@ def frame_caption_batches(video_paths: Sequence[Path], tokenizer,
                           sampling_mode: str = "medium",
                           captions: Optional[Dict[str, str]] = None,
                           image_size: int = 224,
+                          mean=CLIP_MEAN, std=CLIP_STD,
                           ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-    """Yield ``(images f32 [B,S,S,3] normalized, input_ids [B,77])``.
+    """Yield ``(images f32 [B,S,S,3] normalized, input_ids [B,ctx])``.
 
-    Images are CLIP-normalized on the host here (training batches feed a
+    Images are normalized on the host here (training batches feed a
     float pipeline directly; serving keeps uint8 transfer + on-device
-    normalization).
+    normalization). ``mean``/``std`` MUST match the family being trained
+    (CLIP defaults; pass SIGLIP_MEAN/STD for SigLIP so train and serve
+    see the same input distribution).
     """
-    mean = np.asarray(CLIP_MEAN, np.float32)
-    std = np.asarray(CLIP_STD, np.float32)
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
     caption_ids = {}
     for i, p in enumerate(video_paths):
         text = caption_for(p, captions)
@@ -79,13 +82,14 @@ def frame_caption_batches(video_paths: Sequence[Path], tokenizer,
 def train_on_videos(trainer, video_paths: Sequence[Path], tokenizer,
                     epochs: int = 1, batch_size: int = 64,
                     max_frames_per_video: int = 32,
-                    captions: Optional[Dict[str, str]] = None):
+                    captions: Optional[Dict[str, str]] = None,
+                    mean=CLIP_MEAN, std=CLIP_STD):
     """Simple epoch loop; returns per-step losses."""
     losses = []
     for _ in range(epochs):
         for images, ids in frame_caption_batches(
                 video_paths, tokenizer, batch_size=batch_size,
                 max_frames_per_video=max_frames_per_video,
-                captions=captions):
+                captions=captions, mean=mean, std=std):
             losses.append(trainer.step(images, ids))
     return losses
