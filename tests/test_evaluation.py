@@ -39,3 +39,11 @@ def test_evaluate_modes(rng):
                          {"good": perfect, "bad": terrible})
     assert out["good"] == 1.0
     assert out["bad"] == 0.0
+
+
+def test_recall_ignores_sentinels(rng):
+    emb = rng.standard_normal((3, 512)).astype(np.float32)
+    truth = exact_topk_ids(emb, emb[:1], k=5)  # k > corpus → sentinels
+    assert (truth[0] >= 2**31 - 1).sum() == 2
+    got = truth.copy()
+    assert recall_at_k(truth, got) == 1.0

@@ -190,3 +190,42 @@ def test_siglip_engine_serving(tmp_path):
     hit = eng.search_by_image(frames[1], k=1)[0]
     assert hit["timestamp"] == stamps[1]
     assert hit["score"] == pytest.approx(1.0, abs=1e-4)
+
+
+@pytest.mark.slow
+def test_hf_parity_full_size(tmp_path, rng):
+    """Full base-patch16-224 geometry (196 patches, 64-token text) parity
+    with a locally-built torch SiglipModel — catches any pooling/position
+    mismatch the small config can't."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from safetensors.torch import save_file
+    from video_quierer_tpu.models.siglip.convert import \
+        convert_siglip_checkpoint
+
+    torch.manual_seed(0)
+    hf = transformers.SiglipModel(transformers.SiglipConfig()).eval()
+    save_file(dict(hf.state_dict()), str(tmp_path / "model.safetensors"))
+    cfg = SigLIPConfig()
+    params = convert_siglip_checkpoint(tmp_path, cfg)
+    model = SigLIP(cfg)
+
+    imgs = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = hf.get_image_features(
+            pixel_values=torch.tensor(imgs).permute(0, 3, 1, 2))
+        ref_img = ref_img / ref_img.norm(dim=-1, keepdim=True)
+    got_img = model.apply({"params": params}, jnp.asarray(imgs),
+                          method=SigLIP.encode_image)
+    cos = (ref_img.numpy() * np.asarray(got_img)).sum(-1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)
+
+    ids = rng.integers(1, 31999, (1, 64)).astype(np.int32)
+    with torch.no_grad():
+        ref_txt = hf.get_text_features(
+            input_ids=torch.tensor(ids.astype(np.int64)))
+        ref_txt = ref_txt / ref_txt.norm(dim=-1, keepdim=True)
+    got_txt = model.apply({"params": params}, jnp.asarray(ids),
+                          method=SigLIP.encode_text)
+    cos = (ref_txt.numpy() * np.asarray(got_txt)).sum(-1)
+    np.testing.assert_allclose(cos, 1.0, atol=1e-5)

@@ -26,13 +26,21 @@ def exact_topk_ids(emb: np.ndarray, queries: np.ndarray, k: int
 
 
 def recall_at_k(truth_ids: np.ndarray, got_ids: np.ndarray) -> float:
-    """Mean |truth ∩ got| / k over queries; ``got`` may contain -1 pads."""
+    """Mean |truth ∩ got| / |truth| over queries.
+
+    Pads are ignored on both sides: ``got`` may contain -1, ``truth`` may
+    contain the scan's 2**31-1 sentinel when k exceeds the corpus.
+    """
     b, k = truth_ids.shape
     hits = 0
+    denom = 0
     for i in range(b):
-        got = set(int(x) for x in got_ids[i] if x >= 0)
-        hits += len(set(truth_ids[i].tolist()) & got)
-    return hits / (b * k)
+        truth = {int(x) for x in truth_ids[i]
+                 if 0 <= x < 2**31 - 1}
+        got = {int(x) for x in got_ids[i] if x >= 0}
+        hits += len(truth & got)
+        denom += len(truth)
+    return hits / denom if denom else 1.0
 
 
 def evaluate_modes(emb: np.ndarray, queries: np.ndarray, k: int,
