@@ -151,3 +151,72 @@ def test_sanitize_filename_unit():
     assert sanitize_filename("...") == "_"     # degenerate but contained
     assert sanitize_filename("") == "upload"
     assert sanitize_filename("normal.mp4") == "normal.mp4"
+
+
+def test_search_timeout_compile_aware(tmp_path):
+    """search_timeout must not fire during first-search compilation (the
+    bound stretches until one search has completed), but applies after."""
+    import asyncio as aio
+    import time as time_mod
+    from aiohttp import web as aioweb
+    from video_quierer_tpu.api.app import create_app
+
+    class SlowEmbedder(FakeEmbedder):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def embed_text(self, text):
+            self.calls += 1
+            time_mod.sleep(2.5)  # longer than search_timeout=1
+            return super().embed_text(text)
+
+        def embed_texts(self, texts):
+            self.calls += 1
+            time_mod.sleep(2.5)
+            return super().embed_texts(texts)
+
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "t.mp4", n_frames=20)
+    cfg = EngineConfig(api=ApiConfig(max_frames=4, search_timeout=1,
+                                     enhanced_mode=False))
+    engine = VideoSearchEngine(str(vids), config=cfg,
+                               embedder=SlowEmbedder())
+    app = create_app(engine=engine, config_path=tmp_path / "c.json",
+                     static_dir=tmp_path)
+    loop = aio.new_event_loop()
+    state = {}
+    ready = threading.Event()
+
+    def run():
+        aio.set_event_loop(loop)
+
+        async def boot():
+            runner = aioweb.AppRunner(app)
+            await runner.setup()
+            site = aioweb.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            state["port"] = site._server.sockets[0].getsockname()[1]
+        loop.run_until_complete(boot())
+        ready.set()
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    assert ready.wait(30)
+    base = f"http://127.0.0.1:{state['port']}"
+    import time
+    for _ in range(200):
+        if requests.get(base + "/health").json()["status"] == "healthy":
+            break
+        time.sleep(0.1)
+    # first search: slower than the 1s timeout but allowed (compile grace)
+    r1 = requests.post(base + "/api/search",
+                       json={"query": "first slow", "k": 2}, timeout=30)
+    assert r1.status_code == 200, r1.text
+    # second search: grace over, the 1s bound applies → 504
+    r2 = requests.post(base + "/api/search",
+                       json={"query": "second slow", "k": 2,
+                             "use_cache": False}, timeout=30)
+    assert r2.status_code == 504
+    loop.call_soon_threadsafe(loop.stop)

@@ -408,8 +408,15 @@ def _register_routes(app: web.Application) -> None:
             coro = asyncio.to_thread(engine.search_ex, query, req.k,
                                      req.use_cache)
         # the search_timeout config key had no effect in the reference
-        # (SURVEY.md L9); here it bounds the request
+        # (SURVEY.md L9); here it bounds the request. Until the first
+        # search completes, the bound stretches to cover device
+        # compilation (minutes on TPU without a warm compile cache —
+        # VQT_WARMUP=1 moves that cost to boot).
         timeout = max(1, int(engine.config.api.search_timeout))
+        warmed = engine.metrics.histogram_stats(
+            "search_latency_ms").get("count", 0) > 0
+        if not warmed:
+            timeout = max(timeout, 600)
         try:
             results, from_cache = await asyncio.wait_for(coro,
                                                          timeout=timeout)
