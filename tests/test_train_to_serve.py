@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_orbax_params_into_embedder(tmp_path, rng):
     """Serve weights produced by the trainer: embeddings must equal the
     trainer's params, not the seeded init."""
