@@ -66,3 +66,13 @@ def test_ui_endpoints_exist_in_api():
 
     missing = sorted(u for u in called if not covered(u))
     assert not missing, f"UI calls unregistered endpoints: {missing}"
+
+
+def test_ui_dom_ids_consistent():
+    """Every element id the UI's JS queries must exist in the markup."""
+    html = Path("static/index.html").read_text()
+    queried = set(re.findall(r'\$\("#([\w-]+)"\)', html))
+    queried |= set(re.findall(r'getElementById\("([\w-]+)"\)', html))
+    declared = set(re.findall(r'id="([\w-]+)"', html))
+    missing = sorted(queried - declared)
+    assert not missing, f"JS queries ids missing from markup: {missing}"
