@@ -286,3 +286,26 @@ def test_video_level_search_endpoint(server):
                                        "frame_count", "best_timestamp"}
     assert requests.post(server["base"] + "/api/search/videos",
                          json={"query": ""}).status_code == 400
+
+
+def test_image_upload_search_endpoint(server, tmp_path):
+    import cv2
+    from video_quierer_tpu.ingest.frames import extract_frames
+    engine = server["engine"]
+    frames, stamps = extract_frames(
+        engine.videos_dir / "a.mp4", max_frames=8, sampling_mode="high")
+    ok, buf = cv2.imencode(".png",
+                           cv2.cvtColor(frames[2], cv2.COLOR_RGB2BGR))
+    r = requests.post(server["base"] + "/api/search/image",
+                      files=[("file", ("q.png", buf.tobytes())),
+                             ("k", (None, "1"))])
+    assert r.status_code == 200, r.text
+    hit = r.json()["results"][0]
+    assert hit["video_name"] == "a.mp4"
+    assert hit["timestamp"] == stamps[2]
+    # malformed inputs
+    assert requests.post(server["base"] + "/api/search/image",
+                         files={"file": ("x.png", b"junk")}
+                         ).status_code == 400
+    assert requests.post(server["base"] + "/api/search/image",
+                         files={"k": (None, "1")}).status_code == 400

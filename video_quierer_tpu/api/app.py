@@ -501,6 +501,45 @@ def _register_routes(app: web.Application) -> None:
             "performance": {"results_count": len(results)},
         })
 
+    @routes.post("/api/search/image")
+    async def api_search_image(request: web.Request):
+        """Image search by multipart upload (``file`` part + optional
+        ``k`` field) — the file-upload twin of data-URI queries."""
+        reader = await request.multipart()
+        k = 5
+        image = None
+        while True:
+            part = await reader.next()
+            if part is None:
+                break
+            if part.name == "k":
+                try:
+                    k = int((await part.text()).strip())
+                except ValueError:
+                    return _error(422, "k must be an integer")
+            elif part.name == "file":
+                data = await part.read()
+                import cv2
+                arr = np.frombuffer(data, np.uint8)
+                bgr = cv2.imdecode(arr, cv2.IMREAD_COLOR)
+                if bgr is None:
+                    return _error(400, "could not decode image")
+                image = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if image is None:
+            return _error(400, "No image file provided")
+        if not 1 <= k <= 50:
+            return _error(422, "k must be in [1, 50]")
+        t0 = time.time()
+        results, from_cache = await asyncio.to_thread(
+            engine.search_by_image_ex, image, k)
+        return _json({
+            "results": results,
+            "search_time_ms": (time.time() - t0) * 1000.0,
+            "from_cache": from_cache,
+            "query_id": str(uuid.uuid4()),
+            "performance": {"results_count": len(results)},
+        })
+
     @routes.post("/api/search/batch")
     async def api_search_batch(request: web.Request):
         req = await _parse(request, BatchSearchRequest)

@@ -36,6 +36,8 @@ _ENDPOINTS = [
      "Raw 512-d vector query", None),
     ("post", "/api/search/videos", "search",
      "Video-level search (mean-frame ranking)", None),
+    ("post", "/api/search/image", "search",
+     "Image search by multipart upload", None),
     ("post", "/search", "search", "Legacy search", None),
     ("post", "/api/videos/upload", "videos",
      "Upload and index a video (multipart)", None),
