@@ -60,6 +60,13 @@ logger = logging.getLogger(__name__)
 MAX_FILE_SIZE = 1024 * 1024 * 1024  # 1 GB (ref: routes.py:143)
 API_VERSION = "2.1.0"
 
+# typed application-state keys (aiohttp's preferred pattern)
+ENGINE_KEY = web.AppKey("engine", VideoSearchEngine)
+CONFIG_PATH_KEY = web.AppKey("config_path", Path)
+START_TIME_KEY = web.AppKey("start_time", float)
+STATIC_DIR_KEY = web.AppKey("static_dir", Path)
+PROFILER_KEY = web.AppKey("profiler_state", dict)
+
 
 # ---------------------------------------------------------------------------
 # Helpers
@@ -226,13 +233,13 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
         engine = VideoSearchEngine(videos_dir, config=cfg)
     app = web.Application(middlewares=[cors_middleware],
                           client_max_size=MAX_FILE_SIZE + 1024 * 1024)
-    app["engine"] = engine
-    app["config_path"] = Path(config_path)
-    app["start_time"] = time.time()
+    app[ENGINE_KEY] = engine
+    app[CONFIG_PATH_KEY] = Path(config_path)
+    app[START_TIME_KEY] = time.time()
     if static_dir is None:
         static_dir = Path(__file__).resolve().parents[2] / "static"
-    app["static_dir"] = Path(static_dir)
-    app["profiler_state"] = {}
+    app[STATIC_DIR_KEY] = Path(static_dir)
+    app[PROFILER_KEY] = {}
 
     async def on_startup(app_: web.Application):
         if run_startup and not engine.ready:
@@ -272,7 +279,7 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
 
 
 def _register_routes(app: web.Application) -> None:
-    engine: VideoSearchEngine = app["engine"]
+    engine: VideoSearchEngine = app[ENGINE_KEY]
     routes = web.RouteTableDef()
 
     # -- system ----------------------------------------------------------
@@ -336,7 +343,7 @@ def _register_routes(app: web.Application) -> None:
     async def api_stats(request: web.Request):
         s = await asyncio.to_thread(engine.stats)
         return _json({
-            "uptime_seconds": time.time() - app["start_time"],
+            "uptime_seconds": time.time() - app[START_TIME_KEY],
             "system_ready": engine.ready,
             "video_count": s["video_count"],
             "total_frames_indexed": s["total_frames_indexed"],
@@ -368,7 +375,7 @@ def _register_routes(app: web.Application) -> None:
         trace_dir = body.get("trace_dir") or "/tmp/vqt_profile"
         try:
             jax.profiler.start_trace(trace_dir)
-            app["profiler_state"]["dir"] = trace_dir
+            app[PROFILER_KEY]["dir"] = trace_dir
             return _json({"success": True, "trace_dir": trace_dir})
         except Exception as e:
             return _error(409, f"profiler start failed: {e}")
@@ -379,7 +386,7 @@ def _register_routes(app: web.Application) -> None:
         try:
             jax.profiler.stop_trace()
             return _json({"success": True,
-                          "trace_dir": app["profiler_state"].get("dir")})
+                          "trace_dir": app[PROFILER_KEY].get("dir")})
         except Exception as e:
             return _error(409, f"profiler stop failed: {e}")
 
@@ -909,7 +916,7 @@ def _register_routes(app: web.Application) -> None:
         except ValueError as e:
             probe.api = old
             return _error(422, str(e))
-        ok = save_api_config(cfg, app["config_path"])
+        ok = save_api_config(cfg, app[CONFIG_PATH_KEY])
         if cfg.log_level in ("DEBUG", "INFO", "WARNING", "ERROR"):
             logging.getLogger().setLevel(getattr(logging, cfg.log_level))
         return _json({
@@ -922,7 +929,7 @@ def _register_routes(app: web.Application) -> None:
     async def reset_config(request: web.Request):
         cfg = ApiConfig()
         engine.config.api = cfg
-        ok = save_api_config(cfg, app["config_path"])
+        ok = save_api_config(cfg, app[CONFIG_PATH_KEY])
         return _json({
             "success": ok,
             "config": cfg.model_dump(),
@@ -1059,7 +1066,7 @@ def _register_routes(app: web.Application) -> None:
 
     @routes.get("/")
     async def root(request: web.Request):
-        index = app["static_dir"] / "index.html"
+        index = app[STATIC_DIR_KEY] / "index.html"
         if index.exists():
             return web.FileResponse(index)
         return web.Response(
@@ -1067,8 +1074,8 @@ def _register_routes(app: web.Application) -> None:
             content_type="text/html")
 
     app.add_routes(routes)
-    if app["static_dir"].exists():
-        app.router.add_static("/static", app["static_dir"])
+    if app[STATIC_DIR_KEY].exists():
+        app.router.add_static("/static", app[STATIC_DIR_KEY])
 
 
 def run(host: str = "0.0.0.0", port: int = 5001, **kwargs) -> None:
