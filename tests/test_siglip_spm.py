@@ -1,0 +1,209 @@
+"""Pure-Python SentencePiece (spiece.model) tokenizer tests.
+
+The reference gets tokenization for free from HuggingFace processors
+(video_search_overhaul.py:283-284); our SigLIP text path implements
+SentencePiece unigram inference from scratch (models/siglip/spm.py).
+These tests hand-encode ModelProto wire bytes (no sentencepiece / pb2
+needed) and verify decoding, Viterbi segmentation, unk/byte fallback,
+and the HF SiglipTokenizer-equivalent front end.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from video_quierer_tpu.models.siglip.spm import (
+    BYTE,
+    CONTROL,
+    NORMAL,
+    UNKNOWN,
+    SigLIPSPTokenizer,
+    UnigramEncoder,
+    canonicalize_text,
+    find_spiece_model,
+    load_model_proto,
+    normalize_nmt_nfkc,
+)
+
+# --- minimal ModelProto wire encoder (test-side inverse of spm.py) -------
+
+
+def _varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint((field << 3) | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _piece(piece: str, score: float, ptype: int) -> bytes:
+    return (_len_field(1, piece.encode("utf-8"))
+            + _tag(2, 5) + struct.pack("<f", score)
+            + _tag(3, 0) + _varint(ptype))
+
+
+def make_spiece(pieces, *, add_dummy_prefix=True, byte_fallback=False,
+                model_type=1) -> bytes:
+    out = b"".join(_len_field(1, _piece(*p)) for p in pieces)
+    trainer = _tag(3, 0) + _varint(model_type)
+    if byte_fallback:
+        trainer += _tag(35, 0) + _varint(1)
+    out += _len_field(2, trainer)
+    norm = (_tag(3, 0) + _varint(1 if add_dummy_prefix else 0)
+            + _tag(4, 0) + _varint(1) + _tag(5, 0) + _varint(1))
+    return out + _len_field(3, norm)
+
+
+# T5/SigLIP-style layout: pad, eos, unk first, then the learned pieces.
+BASE_PIECES = [
+    ("<pad>", 0.0, CONTROL),
+    ("</s>", 0.0, CONTROL),
+    ("<unk>", 0.0, UNKNOWN),
+    ("<", -4.0, NORMAL),
+    ("unk", -4.5, NORMAL),
+    (">", -4.0, NORMAL),
+    ("▁", -3.0, NORMAL),
+    ("▁hello", -1.0, NORMAL),
+    ("▁the", -1.2, NORMAL),
+    ("▁cat", -1.5, NORMAL),
+    ("▁c", -3.5, NORMAL),
+    ("a", -3.0, NORMAL),
+    ("t", -3.0, NORMAL),
+    ("c", -3.2, NORMAL),
+    ("▁sat", -1.7, NORMAL),
+    ("▁o", -2.8, NORMAL),
+    ("n", -2.9, NORMAL),
+    ("s", -3.1, NORMAL),
+]
+IDX = {p: i for i, (p, _, _) in enumerate(BASE_PIECES)}
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_model_proto(make_spiece(BASE_PIECES))
+
+
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    path = tmp_path_factory.mktemp("spm") / "spiece.model"
+    path.write_bytes(make_spiece(BASE_PIECES))
+    return SigLIPSPTokenizer(path, context_length=64)
+
+
+def test_proto_decoding(model):
+    assert [p for p, _, _ in model.pieces] == [p for p, _, _ in BASE_PIECES]
+    assert model.pieces[IDX["▁hello"]][1] == pytest.approx(-1.0)
+    assert model.model_type == 1
+    assert model.add_dummy_prefix is True
+    assert model.unk_id == IDX["<unk>"]
+    assert model.eos_id == IDX["</s>"]
+    assert model.pad_id == IDX["<pad>"]
+
+
+def test_viterbi_prefers_high_score_segmentation(model):
+    enc = UnigramEncoder(model)
+    # "▁cat" (-1.5) beats "▁c"+"a"+"t" (-9.5)
+    assert enc.encode("▁cat") == [IDX["▁cat"]]
+    # "▁ca" has no single piece: best is "▁c"+"a" (-6.5) vs unk paths
+    assert enc.encode("▁ca") == [IDX["▁c"], IDX["a"]]
+
+
+def test_unknown_chars_fall_back_per_char(model):
+    enc = UnigramEncoder(model)
+    assert enc.encode("▁zq") == [IDX["▁"], IDX["<unk>"], IDX["<unk>"]]
+
+
+def test_byte_fallback():
+    pieces = BASE_PIECES + [(f"<0x{b:02X}>", -6.0, BYTE)
+                            for b in range(256)]
+    m = load_model_proto(make_spiece(pieces, byte_fallback=True))
+    assert m.byte_fallback
+    enc = UnigramEncoder(m)
+    ids = enc.encode("▁é")  # é = 0xC3 0xA9 in UTF-8
+    names = [pieces[i][0] for i in ids]
+    assert names == ["▁", "<0xC3>", "<0xA9>"]
+
+
+def test_normalizer_escapes_and_collapses():
+    s = normalize_nmt_nfkc("the\tcat  sat on", add_dummy_prefix=True,
+                           remove_extra_whitespaces=True,
+                           escape_whitespaces=True)
+    assert s == "▁the▁cat▁sat▁on"
+    # NFKC folding: fullwidth + ligature
+    s2 = normalize_nmt_nfkc("ﬁt", add_dummy_prefix=False,
+                            remove_extra_whitespaces=True,
+                            escape_whitespaces=True)
+    assert s2 == "fit"
+
+
+def test_canonicalize_matches_big_vision():
+    assert canonicalize_text("The cat's   hat!?") == "The cats hat"
+    assert canonicalize_text("  a  b  ") == "a b"
+
+
+def test_tokenizer_leading_underline_preserved(tok):
+    # With add_dummy_prefix disabled, the "<unk>"+text trick must keep
+    # the leading ▁ so "hello" maps to ▁hello, not h-e-l-l-o.
+    assert tok.encode("hello") == [IDX["▁hello"]]
+    assert tok.encode("the cat sat") == [IDX["▁the"], IDX["▁cat"],
+                                         IDX["▁sat"]]
+
+
+def test_tokenizer_batch_shape_eos_pad(tok):
+    ids = tok(["the cat", "hello"])
+    assert ids.shape == (2, 64) and ids.dtype == np.int32
+    row = list(ids[0])
+    content = [IDX["▁the"], IDX["▁cat"]]
+    assert row[: len(content)] == content
+    assert row[len(content)] == IDX["</s>"]
+    assert all(v == IDX["</s>"] for v in row[len(content):])  # pad == eos
+
+
+def test_tokenizer_punctuation_and_truncation(tok):
+    # punctuation canonicalized away before encoding
+    assert tok.encode("the, cat!") == [IDX["▁the"], IDX["▁cat"]]
+    long = " ".join(["cat"] * 100)
+    row = tok([long])[0]
+    assert row.shape == (64,)
+    assert row[63] == IDX["</s>"]
+    assert row[62] == IDX["▁cat"]  # content fills right up to the eos
+
+
+def test_embedder_factory_picks_spm(tmp_path, monkeypatch):
+    path = tmp_path / "spiece.model"
+    path.write_bytes(make_spiece(BASE_PIECES))
+    monkeypatch.setenv("VQT_SIGLIP_SPIECE", str(path))
+    assert find_spiece_model(None) == path
+    from video_quierer_tpu.models.siglip.embedder import siglip_tokenizer
+    t = siglip_tokenizer()
+    assert isinstance(t, SigLIPSPTokenizer)
+    out = t(["hello"])
+    assert out.shape == (1, 64)
+    monkeypatch.delenv("VQT_SIGLIP_SPIECE")
+    from video_quierer_tpu.models.clip.tokenizer import HashTokenizer
+    assert isinstance(siglip_tokenizer(), HashTokenizer)
+
+
+def test_checkpoint_dir_lookup(tmp_path):
+    (tmp_path / "spiece.model").write_bytes(make_spiece(BASE_PIECES))
+    assert find_spiece_model(tmp_path) == tmp_path / "spiece.model"
+    assert find_spiece_model(tmp_path / "nope") is None
+
+
+def test_non_unigram_rejected(tmp_path):
+    path = tmp_path / "bpe.model"
+    path.write_bytes(make_spiece(BASE_PIECES, model_type=2))
+    with pytest.raises(ValueError, match="unigram"):
+        SigLIPSPTokenizer(path)

@@ -5,9 +5,10 @@ Same bucketed-batching contract (``embed_frames`` / ``embed_text(s)`` /
 ``ModelConfig.family``. Notes:
 
 - image normalization is SigLIP's ``[-1, 1]`` (mean=std=0.5);
-- text uses SentencePiece in the real model — unavailable offline, so the
-  parameterized hash tokenizer stands in (32k vocab, 64 context); a real
-  ``spiece.model`` alongside a checkpoint would slot in here;
+- text uses SentencePiece: a real ``spiece.model`` (``VQT_SIGLIP_SPIECE``
+  or alongside the checkpoint) loads into the from-scratch unigram
+  implementation in ``spm.py``; otherwise the parameterized hash
+  tokenizer stands in (32k vocab, 64 context);
 - embed_dim is the tower width (768) — no projection head in SigLIP.
 """
 
@@ -41,10 +42,17 @@ from video_quierer_tpu.ops.preprocess import (
 logger = logging.getLogger(__name__)
 
 
-def siglip_tokenizer(cfg=None) -> HashTokenizer:
-    """Offline stand-in tokenizer matching SigLIP's text geometry
-    (64 context, 32k vocab)."""
+def siglip_tokenizer(cfg=None, checkpoint_dir: Optional[Path] = None):
+    """Real SentencePiece tokenizer when a ``spiece.model`` is available
+    (``VQT_SIGLIP_SPIECE`` or next to the checkpoint); otherwise the
+    offline stand-in matching SigLIP's text geometry (64 ctx, 32k vocab)."""
     t = (cfg or siglip_base_patch16()).text
+    from video_quierer_tpu.models.siglip.spm import (SigLIPSPTokenizer,
+                                                     find_spiece_model)
+    spiece = find_spiece_model(checkpoint_dir)
+    if spiece is not None:
+        logger.info("SigLIP text: SentencePiece tokenizer from %s", spiece)
+        return SigLIPSPTokenizer(spiece, context_length=t.context_length)
     return HashTokenizer(context_length=t.context_length,
                          vocab_size=t.vocab_size,
                          sot=t.vocab_size - 2, eot=t.vocab_size - 1)
@@ -76,7 +84,7 @@ class SigLIPEmbedder:
             logger.warning("No local SigLIP checkpoint — seeded init")
             self.params = siglip_init_params(self.model, seed=seed)
             self.pretrained = False
-        self.tokenizer = siglip_tokenizer(self.cfg)
+        self.tokenizer = siglip_tokenizer(self.cfg, checkpoint_dir)
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
 
