@@ -21,12 +21,15 @@ def save_checkpoint(ckpt_dir: Path, trainer, step: int) -> Path:
     import orbax.checkpoint as ocp
     ckpt_dir = Path(ckpt_dir).resolve()
     path = ckpt_dir / f"step_{step}"
+    tree = {
+        "params": trainer.state.params,
+        "opt_state": trainer.state.opt_state,
+        "step": np.asarray(step),
+    }
+    if trainer.state.ema_params is not None:
+        tree["ema_params"] = trainer.state.ema_params
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, {
-            "params": trainer.state.params,
-            "opt_state": trainer.state.opt_state,
-            "step": np.asarray(step),
-        })
+        ckptr.save(path, tree)
     logger.info("checkpoint saved: %s", path)
     return path
 
@@ -55,14 +58,27 @@ def restore_checkpoint(ckpt_dir: Path, trainer,
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = Path(ckpt_dir).resolve() / f"step_{step}"
     with ocp.PyTreeCheckpointer() as ckptr:
+        saved_keys = set(ckptr.metadata(path).item_metadata.keys())
+        disk_ema = "ema_params" in saved_keys
         target = {
             "params": trainer.state.params,
             "opt_state": trainer.state.opt_state,
             "step": np.asarray(0),
         }
+        if disk_ema:
+            # item structure must match what's on disk, even if this
+            # trainer doesn't track EMA (restored copy is then dropped)
+            target["ema_params"] = (trainer.state.ema_params
+                                    if trainer.state.ema_params is not None
+                                    else trainer.state.params)
         restored = ckptr.restore(path, item=target)
+    ema = None
+    if trainer.state.ema_params is not None:
+        # resuming a pre-EMA checkpoint seeds the average from the
+        # restored live weights
+        ema = restored["ema_params"] if disk_ema else restored["params"]
     trainer.state = trainer.state.replace(
         params=restored["params"], opt_state=restored["opt_state"],
-        step=int(restored["step"]))
+        step=int(restored["step"]), ema_params=ema)
     logger.info("checkpoint restored: %s", path)
     return int(restored["step"])
