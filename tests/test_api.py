@@ -124,6 +124,52 @@ def test_search_validation(server):
                          data="junk").status_code == 422
 
 
+def test_search_pagination(server):
+    b = server["base"]
+    full = requests.post(b + "/api/search",
+                         json={"query": "paged", "k": 10}).json()["results"]
+    page1 = requests.post(b + "/api/search",
+                          json={"query": "paged", "k": 5}).json()["results"]
+    page2 = requests.post(
+        b + "/api/search",
+        json={"query": "paged", "k": 5, "offset": 5}).json()["results"]
+    assert page1 == full[:5]
+    assert page2 == full[5:]
+    # page 2 again → served from the shared full-page cache entry
+    r = requests.post(
+        b + "/api/search",
+        json={"query": "paged", "k": 5, "offset": 5}).json()
+    assert r["from_cache"] is True
+    assert r["results"] == page2
+    # a different page of the same query also hits that entry
+    r3 = requests.post(
+        b + "/api/search",
+        json={"query": "paged", "k": 5, "offset": 10}).json()
+    assert r3["from_cache"] is True
+    # validation: offset+k beyond the top-64 page set, negative offset
+    assert requests.post(
+        b + "/api/search",
+        json={"query": "x", "k": 50, "offset": 20}).status_code == 422
+    assert requests.post(
+        b + "/api/search",
+        json={"query": "x", "k": 5, "offset": -1}).status_code == 422
+
+
+def test_search_pagination_dedup(server):
+    b = server["base"]
+    full = requests.post(
+        b + "/api/search",
+        json={"query": "paged dedup", "k": 2,
+              "dedup_videos": True}).json()["results"]
+    page2 = requests.post(
+        b + "/api/search",
+        json={"query": "paged dedup", "k": 1, "offset": 1,
+              "dedup_videos": True}).json()["results"]
+    assert page2 == full[1:2]
+    names = {r["video_name"] for r in full}
+    assert len(names) == len(full)  # dedup still holds under paging
+
+
 def test_batch_search_shape(server):
     r = requests.post(server["base"] + "/api/search/batch",
                       json={"queries": ["a", "b"], "k": 3}).json()

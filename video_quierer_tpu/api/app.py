@@ -399,13 +399,19 @@ def _register_routes(app: web.Application) -> None:
         if not query:
             return _error(400, "No query provided")
         t0 = time.time()
+        if req.offset and req.offset + req.k > 64:
+            return _error(422, "offset + k must be <= 64")
         image = _decode_image_query(query)
         if image is not None:
             coro = asyncio.to_thread(engine.search_by_image_ex, image,
                                      req.k)
-        elif req.dedup_videos:
+        elif req.dedup_videos or req.offset:
+            # pagination takes the direct path (the coalescer batches by
+            # uniform k; a paginated fetch already shares its device scan
+            # across pages via the full-page cache entry)
             coro = asyncio.to_thread(engine.search_ex, query, req.k,
-                                     req.use_cache, True)
+                                     req.use_cache, req.dedup_videos,
+                                     req.offset)
         elif engine.config.api.enhanced_mode:
             # enhanced_mode → coalesce concurrent searches into one
             # device pass (engine/batching.py)

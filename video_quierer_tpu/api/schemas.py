@@ -18,6 +18,9 @@ class SearchRequest(BaseModel):
     use_cache: bool = True
     # extension: at most one result per video (dead-path D6 capability)
     dedup_videos: bool = False
+    # extension: pagination — results [offset, offset+k); offset+k must
+    # stay within the device scan's top-MAX_K (64) page set
+    offset: int = Field(0, ge=0, le=63)
 
 
 class BatchSearchRequest(BaseModel):

@@ -327,36 +327,54 @@ class VideoSearchEngine:
 
     def search_ex(self, query: str, k: int = 5,
                   use_cache: bool = True,
-                  dedup_videos: bool = False
+                  dedup_videos: bool = False,
+                  offset: int = 0
                   ) -> Tuple[List[Dict], bool]:
         """Search returning ``(results, from_cache)`` — per-call cache
         attribution (a shared-counter inference would misattribute under
-        concurrency)."""
+        concurrency).
+
+        ``offset`` pages through the ranking: results [offset, offset+k).
+        A paginated query fetches (and caches) the full top-``MAX_K`` page
+        set in ONE device scan, so every page of the same query shares one
+        scan and one cache entry; ``offset + k`` beyond MAX_K (64) raises.
+        """
+        from video_quierer_tpu.ops.topk import MAX_K
+        offset = max(0, int(offset))
+        if offset and offset + k > MAX_K:
+            raise ValueError(f"offset + k must be <= {MAX_K}")
         self.metrics.inc("searches")
         cache_on = (use_cache and self.config.api.cache_search
                     and not dedup_videos)
+        # paginated requests cache the full top-MAX_K list under one key
+        cache_k = MAX_K if offset else k
         if cache_on:
-            hit = self.query_cache.get_text(query, k)
+            hit = self.query_cache.get_text(query, cache_k)
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
-                return [dict(r) for r in hit], True
-        fetch_k = min(k * 2, 64) if dedup_videos else k
+                return [dict(r) for r in hit[offset: offset + k]], True
+        if offset:
+            fetch_k = MAX_K
+        else:
+            fetch_k = min(k * 2, MAX_K) if dedup_videos else k
         with self.lock, self.metrics.timer("search_latency"):
             with self.metrics.timer("text_encode"):
                 q = self.encode_text(query)
             with self.metrics.timer("index_scan"):
                 results = self.index.search(q, fetch_k)
             if dedup_videos:
-                results = self._dedup_by_video(results, k)
+                results = self._dedup_by_video(results, offset + k)
             results = self._format(results)
         if cache_on:
-            self.query_cache.put_text(query, k, [dict(r) for r in results])
-        return results, False
+            self.query_cache.put_text(query, cache_k,
+                                      [dict(r) for r in results])
+        return results[offset: offset + k], False
 
     def search(self, query: str, k: int = 5,
                use_cache: bool = True,
-               dedup_videos: bool = False) -> List[Dict]:
-        return self.search_ex(query, k, use_cache, dedup_videos)[0]
+               dedup_videos: bool = False,
+               offset: int = 0) -> List[Dict]:
+        return self.search_ex(query, k, use_cache, dedup_videos, offset)[0]
 
     def search_batch(self, queries: Sequence[str], k: int = 5
                      ) -> List[List[Dict]]:
