@@ -96,7 +96,10 @@ class DeviceVideoIndex:
         device mirror is then row-sharded across it and every search runs
         the per-shard fused scan + ICI merge (index/sharded.py) with exact
         single-device parity ordering. Capacity stays a multiple of
-        ``n_shards * BLOCK_ROWS`` so shards divide evenly.
+        ``n_shards * BLOCK_ROWS`` so shards divide evenly. A 2-D
+        ``(dcn, corpus)`` multi-slice mesh
+        (parallel/mesh.py:multislice_corpus_mesh) shards across slices
+        and merges hierarchically (ICI within a slice, then DCN).
         """
         if device_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported device_dtype {device_dtype!r}")
@@ -104,8 +107,11 @@ class DeviceVideoIndex:
         self.device_dtype = device_dtype
         self.mesh = mesh
         if mesh is not None:
-            from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+            from video_quierer_tpu.parallel.mesh import (CORPUS_AXIS,
+                                                         DCN_AXIS)
             self._n_shards = mesh.shape[CORPUS_AXIS]
+            if DCN_AXIS in mesh.axis_names:
+                self._n_shards *= mesh.shape[DCN_AXIS]
         else:
             self._n_shards = 1
         self.video_hashes: Dict[str, str] = {}
@@ -337,10 +343,12 @@ class DeviceVideoIndex:
             return self._search_batch_int8(q, k)
         emb = self._sync_device()
         if self.mesh is not None:
-            from video_quierer_tpu.index.sharded import sharded_cosine_topk
-            vals, idxs = sharded_cosine_topk(emb, jnp.asarray(q),
-                                             self._count, k=k,
-                                             mesh=self.mesh)
+            from video_quierer_tpu.index.sharded import (
+                is_multislice, multislice_cosine_topk, sharded_cosine_topk)
+            scan = (multislice_cosine_topk if is_multislice(self.mesh)
+                    else sharded_cosine_topk)
+            vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k,
+                              mesh=self.mesh)
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
         vals = np.asarray(vals)
@@ -376,9 +384,13 @@ class DeviceVideoIndex:
         self._sync_device_int8()
         fetch = min(max(4 * k, k + 16), MAX_K)
         if self.mesh is not None:
-            from video_quierer_tpu.index.sharded import \
-                sharded_cosine_topk_int8
-            _, idxs = sharded_cosine_topk_int8(
+            from video_quierer_tpu.index.sharded import (
+                is_multislice, multislice_cosine_topk_int8,
+                sharded_cosine_topk_int8)
+            scan8 = (multislice_cosine_topk_int8
+                     if is_multislice(self.mesh)
+                     else sharded_cosine_topk_int8)
+            _, idxs = scan8(
                 self._device_emb, self._device_scales, jnp.asarray(q),
                 self._count, k=fetch, mesh=self.mesh)
         else:

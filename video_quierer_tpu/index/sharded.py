@@ -12,6 +12,13 @@ Merge exactness: shard ``i`` owns rows ``[i*S, (i+1)*S)``; candidates are
 gathered in ascending shard order, and within a shard in descending-stable
 order, so ``lax.top_k``'s first-occurrence tie rule yields the global
 descending-stable order (see ops/topk.py docstring).
+
+Multi-slice growth path: on a 2-D ``(dcn, corpus)`` mesh
+(parallel/mesh.py:multislice_corpus_mesh) the merge is hierarchical —
+per-shard candidates merge within each slice over ICI first, then only the
+``[B, k]`` slice winners cross DCN, so inter-slice traffic is k candidates
+per slice instead of ``shards_per_slice × k``. Same exact ordering: both
+gather stages run in ascending owner order.
 """
 
 from __future__ import annotations
@@ -30,17 +37,41 @@ from video_quierer_tpu.ops.topk import (
     cosine_topk_int8,
     merge_topk,
 )
-from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+from video_quierer_tpu.parallel.mesh import CORPUS_AXIS, DCN_AXIS
+
+
+def is_multislice(mesh: Mesh) -> bool:
+    return mesh is not None and DCN_AXIS in mesh.axis_names
+
+
+def corpus_spec(mesh: Mesh) -> P:
+    """Row-shard spec for the mesh: over ``(dcn, corpus)`` on a
+    multi-slice mesh, else over ``corpus``."""
+    if is_multislice(mesh):
+        return P((DCN_AXIS, CORPUS_AXIS), None)
+    return P(CORPUS_AXIS, None)
 
 
 def shard_corpus(emb, mesh: Mesh) -> jax.Array:
-    """Place an ``[N_pad, D]`` matrix row-sharded over the corpus axis.
+    """Place an ``[N_pad, D]`` matrix row-sharded over the corpus axis
+    (both mesh axes on a multi-slice mesh).
 
-    ``N_pad`` must be divisible by the corpus axis size (the sharded index
-    keeps capacity a multiple of ``n_shards * _CHUNK``).
+    ``N_pad`` must be divisible by the total shard count (the sharded
+    index keeps capacity a multiple of ``n_shards * _CHUNK``).
     """
-    sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
-    return jax.device_put(emb, sharding)
+    return jax.device_put(emb, NamedSharding(mesh, corpus_spec(mesh)))
+
+
+def _gather_merge(vals: jax.Array, idxs: jax.Array, axis_name: str,
+                  n: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """all_gather per-participant ``[B, k]`` candidates over ``axis_name``
+    (ascending owner order) and merge to the axis-wide top-k."""
+    all_vals = jax.lax.all_gather(vals, axis_name)    # [n, B, k]
+    all_idxs = jax.lax.all_gather(idxs, axis_name)
+    b = vals.shape[0]
+    cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n * k)
+    cand_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(b, n * k)
+    return merge_topk(cand_vals, cand_idxs, k=k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mesh"))
@@ -71,17 +102,51 @@ def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
         local_valid = jnp.clip(valid - offset, 0, shard_rows)
         vals, idxs = cosine_topk(emb_shard, q, local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
-        # gather candidates from every shard: [n_shards, B, k]
-        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
-        all_idxs = jax.lax.all_gather(idxs, CORPUS_AXIS)
-        b = q.shape[0]
-        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(b, n_shards * k)
-        cand_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(b, n_shards * k)
-        return merge_topk(cand_vals, cand_idxs, k=k)
+        return _gather_merge(vals, idxs, CORPUS_AXIS, n_shards, k)
 
     fn = shard_map(
         local_scan, mesh=mesh,
         in_specs=(P(CORPUS_AXIS, None), P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(emb, jnp.asarray(queries, jnp.float32),
+              jnp.asarray(valid_count, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def multislice_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
+                           *, k: int, mesh: Mesh
+                           ) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a corpus sharded across slices: per-shard scan →
+    ICI merge within each slice → DCN merge of the slice winners.
+
+    Args match :func:`sharded_cosine_topk`; ``emb`` is sharded
+    ``P(('dcn', 'corpus'), None)`` over a 2-D multi-slice mesh.
+    """
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    n_slices = mesh.shape[DCN_AXIS]
+    per_slice = mesh.shape[CORPUS_AXIS]
+    n_shards = n_slices * per_slice
+    n_pad = emb.shape[0]
+    if n_pad % n_shards:
+        raise ValueError(f"N_pad={n_pad} not divisible by {n_shards} shards")
+    shard_rows = n_pad // n_shards
+
+    def local_scan(emb_shard, q, valid):
+        s = jax.lax.axis_index(DCN_AXIS)
+        c = jax.lax.axis_index(CORPUS_AXIS)
+        offset = (s * per_slice + c) * shard_rows
+        local_valid = jnp.clip(valid - offset, 0, shard_rows)
+        vals, idxs = cosine_topk(emb_shard, q, local_valid, k=k)
+        idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
+        vals, idxs = _gather_merge(vals, idxs, CORPUS_AXIS, per_slice, k)
+        return _gather_merge(vals, idxs, DCN_AXIS, n_slices, k)
+
+    fn = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(P((DCN_AXIS, CORPUS_AXIS), None), P(None, None), P()),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )
@@ -112,19 +177,52 @@ def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
         vals, idxs = cosine_topk_int8(codes_shard, scales_shard, q,
                                       local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
-        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
-        all_idxs = jax.lax.all_gather(idxs, CORPUS_AXIS)
-        b = q.shape[0]
-        cand_vals = jnp.transpose(all_vals, (1, 0, 2)).reshape(
-            b, n_shards * k)
-        cand_idxs = jnp.transpose(all_idxs, (1, 0, 2)).reshape(
-            b, n_shards * k)
-        return merge_topk(cand_vals, cand_idxs, k=k)
+        return _gather_merge(vals, idxs, CORPUS_AXIS, n_shards, k)
 
     fn = shard_map(
         local_scan, mesh=mesh,
         in_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS, None),
                   P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(codes, scales, jnp.asarray(queries, jnp.float32),
+              jnp.asarray(valid_count, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+def multislice_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
+                                queries: jax.Array, valid_count,
+                                *, k: int, mesh: Mesh
+                                ) -> Tuple[jax.Array, jax.Array]:
+    """Int8 hierarchical variant: per-shard quantized scan → ICI merge →
+    DCN merge. Candidate semantics match cosine_topk_int8 (callers
+    re-rank in f32)."""
+    if k <= 0 or k > MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    n_slices = mesh.shape[DCN_AXIS]
+    per_slice = mesh.shape[CORPUS_AXIS]
+    n_shards = n_slices * per_slice
+    n_pad = codes.shape[0]
+    if n_pad % n_shards:
+        raise ValueError(f"N_pad={n_pad} not divisible by {n_shards}")
+    shard_rows = n_pad // n_shards
+
+    def local_scan(codes_shard, scales_shard, q, valid):
+        s = jax.lax.axis_index(DCN_AXIS)
+        c = jax.lax.axis_index(CORPUS_AXIS)
+        offset = (s * per_slice + c) * shard_rows
+        local_valid = jnp.clip(valid - offset, 0, shard_rows)
+        vals, idxs = cosine_topk_int8(codes_shard, scales_shard, q,
+                                      local_valid, k=k)
+        idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
+        vals, idxs = _gather_merge(vals, idxs, CORPUS_AXIS, per_slice, k)
+        return _gather_merge(vals, idxs, DCN_AXIS, n_slices, k)
+
+    spec = P((DCN_AXIS, CORPUS_AXIS), None)
+    fn = shard_map(
+        local_scan, mesh=mesh,
+        in_specs=(spec, spec, P(None, None), P()),
         out_specs=(P(None, None), P(None, None)),
         check_vma=False,
     )

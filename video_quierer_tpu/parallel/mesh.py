@@ -22,6 +22,11 @@ from jax.sharding import Mesh
 CORPUS_AXIS = "corpus"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# Outer axis for multi-slice deployments: collectives over this axis cross
+# DCN (data-center network) between slices; CORPUS_AXIS stays within a
+# slice and rides ICI. SURVEY.md §2.3: "DCN via jax.distributed only if
+# multi-slice is ever needed" — this is that growth path.
+DCN_AXIS = "dcn"
 
 
 def corpus_mesh(n_devices: int | None = None) -> Mesh:
@@ -30,6 +35,41 @@ def corpus_mesh(n_devices: int | None = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (CORPUS_AXIS,))
+
+
+def initialize_distributed() -> bool:
+    """Multi-process (multi-slice / multi-host) runtime init, gated on env:
+    ``VQT_COORDINATOR`` (host:port), ``VQT_NUM_PROCESSES``,
+    ``VQT_PROCESS_ID``. No-op (returns False) when unset, so single-slice
+    serving never pays the rendezvous."""
+    import os
+    coord = os.environ.get("VQT_COORDINATOR")
+    if not coord:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(os.environ["VQT_NUM_PROCESSES"]),
+        process_id=int(os.environ["VQT_PROCESS_ID"]))
+    return True
+
+
+def multislice_corpus_mesh(n_slices: int,
+                           n_devices: int | None = None) -> Mesh:
+    """2-D ``(dcn, corpus)`` mesh for a corpus sharded across slices.
+
+    Row-major device order: devices of one slice stay contiguous on the
+    inner (corpus/ICI) axis; the outer axis crosses slices over DCN. On a
+    real multi-slice job ``jax.devices()`` already enumerates
+    slice-by-slice, so the reshape maps axes onto the physical topology.
+    """
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % n_slices:
+        raise ValueError(f"{n} devices not divisible into {n_slices} slices")
+    arr = np.array(devs).reshape(n_slices, n // n_slices)
+    return Mesh(arr, (DCN_AXIS, CORPUS_AXIS))
 
 
 def data_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
