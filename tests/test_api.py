@@ -277,6 +277,44 @@ def test_upload_and_delete(server, tmp_path):
                            "/api/videos/absent").status_code == 404
 
 
+def test_upload_progress_tracking(server, tmp_path):
+    b = server["base"]
+    src = make_synthetic_video(tmp_path / "tracked.mp4", n_frames=30)
+    uid = "test-upload-123"
+    with open(src, "rb") as f:
+        r = requests.post(b + f"/api/videos/upload?upload_id={uid}",
+                          files={"file": ("tracked.mp4", f, "video/mp4")})
+    assert r.status_code == 200, r.text
+    p = requests.get(b + f"/api/videos/upload/progress/{uid}")
+    assert p.status_code == 200
+    snap = p.json()
+    assert snap["phase"] == "done" and snap["done"] is True
+    assert snap["frames_indexed"] == 10
+    assert snap["bytes_received"] == src.stat().st_size
+    # unknown id → 404
+    assert requests.get(b + "/api/videos/upload/progress/nope"
+                        ).status_code == 404
+    # SSE stream replays the final state and closes
+    s = requests.get(b + f"/api/videos/upload/progress/{uid}/stream",
+                     stream=True, timeout=10)
+    assert s.headers["Content-Type"].startswith("text/event-stream")
+    text = b"".join(s.iter_content(4096)).decode()
+    assert "event: progress" in text
+    assert '"phase": "done"' in text
+    # a failed upload records the error phase
+    with open(src, "rb") as f:
+        bad = requests.post(b + "/api/videos/upload?upload_id=bad-1",
+                            files={"file": ("evil.exe", f)})
+    assert bad.status_code == 400
+    snap = requests.get(b + "/api/videos/upload/progress/bad-1").json()
+    assert snap["phase"] == "error" and snap["done"] is True
+    # cleanup: remove the tracked upload so other tests see 2 base videos
+    vid = requests.get(b + "/api/videos").json()
+    for v in vid["videos"]:
+        if "tracked" in v["filename"]:
+            requests.delete(b + f"/api/videos/{v['video_id']}")
+
+
 def test_youtube_endpoint_gated(server):
     b = server["base"]
     assert requests.post(b + "/api/videos/download-youtube",

@@ -66,6 +66,11 @@ CONFIG_PATH_KEY = web.AppKey("config_path", Path)
 START_TIME_KEY = web.AppKey("start_time", float)
 STATIC_DIR_KEY = web.AppKey("static_dir", Path)
 PROFILER_KEY = web.AppKey("profiler_state", dict)
+UPLOADS_KEY = web.AppKey("upload_progress", dict)
+
+# Progress entries kept after completion so a client can read the final
+# state; the table is bounded FIFO.
+_MAX_UPLOAD_ENTRIES = 256
 
 
 # ---------------------------------------------------------------------------
@@ -240,6 +245,7 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
         static_dir = Path(__file__).resolve().parents[2] / "static"
     app[STATIC_DIR_KEY] = Path(static_dir)
     app[PROFILER_KEY] = {}
+    app[UPLOADS_KEY] = {}
 
     async def on_startup(app_: web.Application):
         if run_startup and not engine.ready:
@@ -589,6 +595,34 @@ def _register_routes(app: web.Application) -> None:
 
     # -- videos ----------------------------------------------------------
 
+    def _progress_entry(request: web.Request) -> Optional[dict]:
+        """Register a progress record when the client passed
+        ``?upload_id=`` (extension: the reference's UI had no way to see
+        server-side upload state; this + the progress endpoints stream
+        it)."""
+        upload_id = request.query.get("upload_id")
+        if not upload_id:
+            return None
+        table = request.app[UPLOADS_KEY]
+        while len(table) >= _MAX_UPLOAD_ENTRIES:
+            table.pop(next(iter(table)))
+        entry = {
+            "upload_id": upload_id,
+            "phase": "receiving",
+            "bytes_received": 0,
+            "total_bytes": request.content_length,
+            "frames_indexed": None,
+            "error": None,
+            "done": False,
+            "updated_at": time.time(),
+        }
+        table[upload_id] = entry
+        return entry
+
+    def _progress(entry: Optional[dict], **kw) -> None:
+        if entry is not None:
+            entry.update(kw, updated_at=time.time())
+
     @routes.post("/api/videos/upload")
     async def upload_video(request: web.Request):
         reader = await request.multipart()
@@ -596,6 +630,12 @@ def _register_routes(app: web.Application) -> None:
         tmp_path: Optional[Path] = None
         saved_path: Optional[Path] = None
         filename = None
+        prog = _progress_entry(request)
+
+        def _reject(msg: str):
+            _progress(prog, phase="error", done=True, error=msg)
+            return _error(400, msg)
+
         try:
             # stream the file to a temp name first: the video_id part may
             # arrive before OR after the file part (field order is
@@ -610,12 +650,11 @@ def _register_routes(app: web.Application) -> None:
                 elif part.name == "file":
                     filename = part.filename
                     if not filename:
-                        return _error(400, "No file provided")
+                        return _reject("No file provided")
                     filename = sanitize_filename(filename)
                     ext = Path(filename).suffix.lower()
                     if ext not in VIDEO_EXTENSIONS:
-                        return _error(
-                            400, f"Unsupported file type: {ext}")
+                        return _reject(f"Unsupported file type: {ext}")
                     tmp_path = engine.videos_dir / \
                         f".upload_{uuid.uuid4().hex}{ext}"
                     size = 0
@@ -625,6 +664,7 @@ def _register_routes(app: web.Application) -> None:
                             if not chunk:
                                 break
                             size += len(chunk)
+                            _progress(prog, bytes_received=size)
                             if size > MAX_FILE_SIZE:
                                 raise web.HTTPRequestEntityTooLarge(
                                     max_size=MAX_FILE_SIZE,
@@ -635,16 +675,19 @@ def _register_routes(app: web.Application) -> None:
                                     content_type="application/json")
                             f.write(chunk)
             if tmp_path is None:
-                return _error(400, "No file provided")
+                return _reject("No file provided")
             video_id = video_id or str(uuid.uuid4())
             saved_path = engine.videos_dir / f"{video_id}_{filename}"
             tmp_path.replace(saved_path)
             tmp_path = None
             t0 = time.time()
+            _progress(prog, phase="processing")
             frames = await asyncio.to_thread(engine.process_video,
                                              saved_path)
+            _progress(prog, phase="saving", frames_indexed=frames)
             await asyncio.to_thread(engine.save)
             dt = time.time() - t0
+            _progress(prog, phase="done", done=True)
             return _json({
                 "video_id": video_id,
                 "status": "success",
@@ -653,17 +696,66 @@ def _register_routes(app: web.Application) -> None:
                 "performance": {
                     "frames_per_second": frames / dt if dt > 0 else 0},
             })
-        except web.HTTPException:
+        except web.HTTPException as e:
+            _progress(prog, phase="error", done=True,
+                      error=getattr(e, "text", str(e)))
             for p in (tmp_path, saved_path):
                 if p is not None and p.exists():
                     p.unlink()
             raise
         except Exception as e:
             logger.exception("Upload failed")
+            _progress(prog, phase="error", done=True, error=str(e))
             for p in (tmp_path, saved_path):
                 if p is not None and p.exists():
                     p.unlink()
             return _error(500, f"Upload failed: {e}")
+
+    @routes.get("/api/videos/upload/progress/{upload_id}")
+    async def upload_progress(request: web.Request):
+        entry = request.app[UPLOADS_KEY].get(
+            request.match_info["upload_id"])
+        if entry is None:
+            return _error(404, "Unknown upload_id")
+        return _json(entry)
+
+    @routes.get("/api/videos/upload/progress/{upload_id}/stream")
+    async def upload_progress_stream(request: web.Request):
+        """Server-sent events: one ``progress`` event per state change
+        until the upload completes or errors."""
+        table = request.app[UPLOADS_KEY]
+        upload_id = request.match_info["upload_id"]
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        })
+        await resp.prepare(request)
+        last = None
+        deadline = time.time() + 600
+        # a UI opens this stream BEFORE (or while) the POST registers the
+        # entry — wait a grace window for it to appear
+        grace = time.time() + 10
+        while time.time() < deadline:
+            entry = table.get(upload_id)
+            if entry is None:
+                if time.time() < grace:
+                    await asyncio.sleep(0.1)
+                    continue
+                await resp.write(b"event: error\n"
+                                 b"data: {\"detail\": \"Unknown "
+                                 b"upload_id\"}\n\n")
+                break
+            snap = json.dumps(entry, default=str)
+            if snap != last:
+                last = snap
+                await resp.write(
+                    f"event: progress\ndata: {snap}\n\n".encode())
+            if entry.get("done"):
+                break
+            await asyncio.sleep(0.15)
+        await resp.write_eof()
+        return resp
 
     @routes.get("/api/videos")
     async def list_videos(request: web.Request):
