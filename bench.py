@@ -64,20 +64,22 @@ def main() -> None:
     params = init_params(model, seed=0)
     tokenizer = load_tokenizer()
 
+    # The engine's fused serving path (engine/system.py:_search_fused /
+    # DeviceVideoIndex.search_batch_fused): text tower + scan in ONE
+    # jitted dispatch per request.
     @jax.jit
-    def encode_and_normalize(params, ids):
+    def fused_search(params, ids, emb, valid):
         feats = model.apply({"params": params}, ids,
                             method=CLIP.encode_text)
-        return feats / (jnp.linalg.norm(feats, axis=-1,
-                                        keepdims=True) + 1e-10)
+        q = feats / (jnp.linalg.norm(feats, axis=-1,
+                                     keepdims=True) + 1e-10)
+        return cosine_topk(emb, q, valid, k=k)
 
     def one_search(ids):
-        q = encode_and_normalize(params, ids)
-        return cosine_topk(emb, q[0], n_rows, k=k)
+        return fused_search(params, ids, emb, n_rows)
 
     def batch_search(ids_batch):
-        q = encode_and_normalize(params, ids_batch)
-        return cosine_topk(emb, q, n_rows, k=k)
+        return fused_search(params, ids_batch, emb, n_rows)
 
     # tokenize all queries up front (host-side, microseconds each)
     texts = [f"a video of scene number {i} with people" for i in

@@ -40,7 +40,12 @@ _ENDPOINTS = [
      "Image search by multipart upload", None),
     ("post", "/search", "search", "Legacy search", None),
     ("post", "/api/videos/upload", "videos",
-     "Upload and index a video (multipart)", None),
+     "Upload and index a video (multipart; ?upload_id= enables progress "
+     "tracking)", None),
+    ("get", "/api/videos/upload/progress/{upload_id}", "videos",
+     "Upload progress snapshot", None),
+    ("get", "/api/videos/upload/progress/{upload_id}/stream", "videos",
+     "Upload progress stream (SSE)", None),
     ("post", "/api/videos/download-youtube", "videos",
      "Download and index from YouTube", None),
     ("get", "/api/videos", "videos", "List indexed videos", None),

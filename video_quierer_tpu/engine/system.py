@@ -30,6 +30,7 @@ TPU-native deltas (SURVEY.md §7):
 from __future__ import annotations
 
 import logging
+import os
 import threading
 import time
 from pathlib import Path
@@ -325,6 +326,34 @@ class VideoSearchEngine:
                 break
         return out
 
+    def _search_fused(self, query: str, fetch_k: int
+                      ) -> Optional[List[Dict]]:
+        """Single-dispatch text search: tokenize on host, then the text
+        tower + fused scan run as ONE jitted call
+        (DeviceVideoIndex.search_batch_fused) — halves the per-query
+        device round-trips vs encode → host → scan. Returns None when the
+        configuration can't fuse (no jit embedder, int8 index, disabled
+        via ``VQT_FUSED_SEARCH=0``) and the caller takes the two-step
+        path."""
+        if os.environ.get("VQT_FUSED_SEARCH", "1") == "0":
+            return None
+        emb = self._get_embedder()
+        emb = getattr(emb, "inner", emb)  # unwrap the frame memo
+        if emb is None or not hasattr(emb, "text_encode_fn"):
+            return None
+        if not hasattr(self.index, "search_batch_fused"):
+            return None
+        try:
+            ids = emb.tokenizer([query])
+            return self.index.search_batch_fused(
+                emb.text_encode_fn, emb.params, ids, fetch_k)[0]
+        except NotImplementedError:
+            return None
+        except Exception:
+            logger.exception("fused search failed — using two-step path")
+            self.metrics.inc("fused_search_fallbacks")
+            return None
+
     def search_ex(self, query: str, k: int = 5,
                   use_cache: bool = True,
                   dedup_videos: bool = False,
@@ -358,10 +387,12 @@ class VideoSearchEngine:
         else:
             fetch_k = min(k * 2, MAX_K) if dedup_videos else k
         with self.lock, self.metrics.timer("search_latency"):
-            with self.metrics.timer("text_encode"):
-                q = self.encode_text(query)
-            with self.metrics.timer("index_scan"):
-                results = self.index.search(q, fetch_k)
+            results = self._search_fused(query, fetch_k)
+            if results is None:
+                with self.metrics.timer("text_encode"):
+                    q = self.encode_text(query)
+                with self.metrics.timer("index_scan"):
+                    results = self.index.search(q, fetch_k)
             if dedup_videos:
                 results = self._dedup_by_video(results, offset + k)
             results = self._format(results)

@@ -115,6 +115,8 @@ class DeviceVideoIndex:
         else:
             self._n_shards = 1
         self.video_hashes: Dict[str, str] = {}
+        # fused text-encode+scan executables, keyed (encoder id, k)
+        self._fused_jits: Dict = {}
         self._reset_storage()
 
     # ------------------------------------------------------------------
@@ -351,8 +353,11 @@ class DeviceVideoIndex:
                               mesh=self.mesh)
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
-        vals = np.asarray(vals)
-        idxs = np.asarray(idxs)
+        return self._rows_from(np.asarray(vals), np.asarray(idxs))
+
+    def _rows_from(self, vals: np.ndarray, idxs: np.ndarray
+                   ) -> List[List[Dict]]:
+        """Candidate (scores, indices) → reference result rows."""
         out: List[List[Dict]] = []
         for b in range(vals.shape[0]):
             rows: List[Dict] = []
@@ -368,6 +373,54 @@ class DeviceVideoIndex:
                 })
             out.append(rows)
         return out
+
+    def search_batch_fused(self, encode_fn, params, ids, k: int = 5
+                           ) -> List[List[Dict]]:
+        """Text search with the encoder FUSED into the scan dispatch.
+
+        ``encode_fn(params, ids) -> [B, D]`` (the embedder's raw text
+        tower) runs in the SAME jit as the cosine top-k, so a query costs
+        one device round-trip instead of encode → host → scan. Ordering
+        and scores match search_batch exactly (the tower already
+        L2-normalizes; the scan is identical).
+
+        Raises NotImplementedError for the int8 mode (its exact re-rank
+        needs the candidates on host first — callers fall back).
+        """
+        if self.device_dtype == "int8":
+            raise NotImplementedError("fused search: int8 re-ranks on host")
+        n_q = int(np.asarray(ids).shape[0])
+        if self._count == 0:
+            return [[] for _ in range(n_q)]
+        k = max(1, min(int(k), MAX_K))
+        emb = self._sync_device()
+        key = (id(encode_fn), k)
+        fn = self._fused_jits.get(key)
+        if fn is None:
+            if self.mesh is not None:
+                from video_quierer_tpu.index.sharded import (
+                    is_multislice, multislice_cosine_topk,
+                    sharded_cosine_topk)
+                scan = (multislice_cosine_topk if is_multislice(self.mesh)
+                        else sharded_cosine_topk)
+                mesh = self.mesh
+
+                def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                    q = encode_fn(params, ids_dev)
+                    q = q / (jnp.linalg.norm(q, axis=-1,
+                                             keepdims=True) + 1e-10)
+                    return scan(emb_dev, q, valid, k=k, mesh=mesh)
+            else:
+                def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                    q = encode_fn(params, ids_dev)
+                    q = q / (jnp.linalg.norm(q, axis=-1,
+                                             keepdims=True) + 1e-10)
+                    return cosine_topk(emb_dev, q, valid, k=k)
+            fn = jax.jit(fused)
+            self._fused_jits[key] = fn
+        vals, idxs = fn(params, jnp.asarray(ids), emb,
+                        jnp.int32(self._count))
+        return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
     def _search_batch_int8(self, q: np.ndarray, k: int
                            ) -> List[List[Dict]]:

@@ -112,6 +112,11 @@ class CLIPEmbedder:
 
         self._encode_image_jit = jax.jit(self._encode_image_fn)
         self._encode_text_jit = jax.jit(self._encode_text_fn)
+        # bound ONCE: callers key fused executables on this object's
+        # identity (DeviceVideoIndex.search_batch_fused), and a fresh
+        # bound method per access would defeat both that cache and
+        # jax.jit's own
+        self.text_encode_fn = self._encode_text_fn
 
     # -- jitted cores ----------------------------------------------------
 

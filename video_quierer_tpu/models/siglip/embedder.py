@@ -87,6 +87,8 @@ class SigLIPEmbedder:
         self.tokenizer = siglip_tokenizer(self.cfg, checkpoint_dir)
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
+        # stable identity for fused-executable caches (see CLIPEmbedder)
+        self.text_encode_fn = self._encode_text
 
     @property
     def embed_dim(self) -> int:
