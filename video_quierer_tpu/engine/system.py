@@ -414,13 +414,46 @@ class VideoSearchEngine:
         (routes.py:628-634)."""
         self.metrics.inc("searches", len(queries))
         with self.lock, self.metrics.timer("batch_search_latency"):
-            emb = self._get_embedder()
-            if emb is None:
-                q = self._fallback_text.embed_texts(queries)
-            else:
-                q = emb.embed_texts(queries)
-            batches = self.index.search_batch(q, k)
+            batches = self._search_batch_fused(queries, k)
+            if batches is None:
+                emb = self._get_embedder()
+                if emb is None:
+                    q = self._fallback_text.embed_texts(queries)
+                else:
+                    q = emb.embed_texts(queries)
+                batches = self.index.search_batch(q, k)
         return [self._format(r) for r in batches]
+
+    def _search_batch_fused(self, queries: Sequence[str], k: int
+                            ) -> Optional[List[List[Dict]]]:
+        """Batched twin of _search_fused: B queries, one device dispatch.
+        Pads the token batch to the embedder's buckets so the executable
+        count stays bounded."""
+        if os.environ.get("VQT_FUSED_SEARCH", "1") == "0":
+            return None
+        emb = self._get_embedder()
+        emb = getattr(emb, "inner", emb)
+        if emb is None or not hasattr(emb, "text_encode_fn"):
+            return None
+        if not hasattr(self.index, "search_batch_fused"):
+            return None
+        try:
+            from video_quierer_tpu.models.clip.embedder import (
+                TEXT_BUCKETS, _bucket_for)
+            ids = emb.tokenizer(list(queries))
+            n = ids.shape[0]
+            bucket = _bucket_for(n, TEXT_BUCKETS)
+            if n < bucket:
+                ids = np.concatenate([ids, np.tile(ids[-1:],
+                                                   (bucket - n, 1))])
+            return self.index.search_batch_fused(
+                emb.text_encode_fn, emb.params, ids, k)[:n]
+        except NotImplementedError:
+            return None
+        except Exception:
+            logger.exception("fused batch search failed — two-step path")
+            self.metrics.inc("fused_search_fallbacks")
+            return None
 
     def search_by_vector_ex(self, vector: np.ndarray, k: int = 5,
                             use_cache: bool = True
