@@ -41,11 +41,15 @@ def main() -> None:
     n_rows = n_videos * frames_per_video            # 2.0 M frames
     n_pad = -(-n_rows // BLOCK_ROWS) * BLOCK_ROWS
     k = 10
-    # Keep the total dispatch count low: the remote-TPU transport in this
-    # environment wedges after ~60 dispatches that touch the 4 GB corpus
-    # in one process. 8 timed single-stream queries + 2 coalesced batches
-    # measure the same quantities with ~30 dispatches.
-    queries = 8
+    # Methodology note (remote-TPU tunnel): synchronous per-query timing
+    # here measures the tunnel's RTT (~40-70 ms), not the device — and
+    # block_until_ready is not a reliable sync on this backend (it has
+    # returned in 0.3 ms for a scan whose HBM floor is ~5 ms). So the
+    # bench measures SUSTAINED throughput the way a loaded server runs:
+    # enqueue all fused queries (distinct inputs — identical dispatches
+    # get memoized), then force completion of every result via a value
+    # fetch (checksum), and divide.
+    queries = 64
     coalesce_batches = 2
 
     # Corpus generated directly on device (4 GB in HBM) — unit-normalized
@@ -102,55 +106,51 @@ def main() -> None:
     bv.block_until_ready()
     log(f"compiled in {time.time() - t0:.1f}s")
 
-    # warm
-    for ids in all_ids[:2]:
-        vals, idxs = one_search(ids)
-        vals.block_until_ready()
+    # warm the single-query executable with a REAL sync (value fetch)
+    _ = np.asarray(one_search(all_ids[0])[0])
 
-    # (a) single-query synchronous latency — block per search (deep
-    # dispatch queues can stall remote-TPU transports; per-dispatch RTT
-    # is negligible next to the scan itself).
-    log(f"running {queries} sequential end-to-end searches...")
+    # (a) pipelined single-query throughput: every request its own fused
+    # dispatch (the engine's per-request serving path), all in flight,
+    # forced complete by the checksum fetch.
+    log(f"running {queries} pipelined end-to-end searches...")
     t0 = time.time()
-    results = []
-    for i, ids in enumerate(all_ids):
-        results.append(one_search(ids))
-        results[-1][0].block_until_ready()
-        log(f"  {i + 1}/{queries}")
+    outs = [one_search(ids) for ids in all_ids]
+    checksum = float(sum(o[0].sum() for o in outs))
     wall = time.time() - t0
     per_query_ms = wall / queries * 1000.0
     single_tput = queries / wall
 
     # sanity: results are real top-k
-    v = np.asarray(results[0][0])
+    v = np.asarray(outs[0][0])
     assert np.isfinite(v).all() and (np.diff(v) <= 1e-6).all()
-    log(f"single-stream: {per_query_ms:.2f} ms/query, "
-        f"{single_tput:.1f} searches/s over {n_rows} frames")
+    assert np.isfinite(checksum)
+    log(f"pipelined single-query: {per_query_ms:.2f} ms/query, "
+        f"{single_tput:.1f} searches/s over {n_rows} frames "
+        f"[checksum {checksum:.1f}]")
 
     # (b) coalesced serving throughput (the API's enhanced_mode path:
     # concurrent requests share one text-encode + scan device pass)
-    bw, _ = batch_search(batches[0])
-    bw.block_until_ready()  # warm the batched executables
+    _ = np.asarray(batch_search(batches[0])[0])  # warm + real sync
     t0 = time.time()
-    outs = []
-    for b in batches:
-        outs.append(batch_search(b))
-        outs[-1][0].block_until_ready()
+    outs_b = [batch_search(b) for b in batches]
+    checksum_b = float(sum(o[0].sum() for o in outs_b))
     wall_b = time.time() - t0
     coalesced_tput = len(batches) * coalesce / wall_b
+    assert np.isfinite(checksum_b)
     log(f"coalesced x{coalesce}: "
         f"{wall_b / len(batches) * 1000:.2f} ms/batch, "
         f"{coalesced_tput:.0f} searches/s")
 
     best = max(single_tput, coalesced_tput)
     mode = ("16-way coalesced" if coalesced_tput >= single_tput
-            else "single-stream")
+            else "per-request fused dispatch")
     print(json.dumps({
         "metric": "e2e_text_search_throughput_10kvideo_corpus",
         "value": round(best, 1),
-        "unit": "searches/sec (CLIP text encode + exact 2M-frame scan, "
-                f"1 chip, best serving mode: {mode}; single-stream "
-                f"{per_query_ms:.2f} ms/query)",
+        "unit": "searches/sec sustained (CLIP text encode + exact "
+                "2M-frame scan fused per dispatch, 1 chip, completion-"
+                f"forced; best mode: {mode}; per-query "
+                f"{per_query_ms:.2f} ms pipelined)",
         "vs_baseline": round(best / 100.0, 2),
     }))
 
