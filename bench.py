@@ -50,7 +50,9 @@ def main() -> None:
     # get memoized), then force completion of every result via a value
     # fetch (checksum), and divide.
     queries = 64
-    coalesce_batches = 2
+    # enough batches in flight that per-dispatch tunnel RTT amortizes
+    # (2 batches measured 213 ms/batch; 12 pipelined measure ~20)
+    coalesce_batches = 8
 
     # Corpus generated directly on device (4 GB in HBM) — unit-normalized
     # rows, the layout the engine serves from.
