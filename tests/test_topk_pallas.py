@@ -54,3 +54,23 @@ def test_pallas_tie_breaking(pallas_interpret):
     _, idxs = topk_mod.cosine_topk(jnp.asarray(emb), jnp.asarray(q), 1536,
                                    k=3)
     np.testing.assert_array_equal(np.asarray(idxs)[0], [2, 600, 1100])
+
+
+@pytest.mark.parametrize("vpu", [True, False], ids=["vpu", "mxu"])
+def test_b1_scoring_engines_agree(rng, pallas_interpret, monkeypatch, vpu):
+    """Both single-query scoring engines (VPU multiply+reduce — the
+    default — and the MXU matmul behind VQT_SCAN_VPU=0) must match the
+    oracle exactly, including tie order."""
+    monkeypatch.setattr(topk_mod, "SCAN_VPU_B1", vpu)
+    emb = rng.standard_normal((2048, 512), dtype=np.float32)
+    emb[77] = emb[1300]  # cross-block tie
+    q = rng.standard_normal((1, 512), dtype=np.float32)
+    q /= np.linalg.norm(q)
+    vals, idxs = topk_mod.cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                      2048, k=7)
+    ov, oi = oracle_topk(emb, q[0], 2048, 7)
+    np.testing.assert_allclose(np.asarray(vals)[0], ov, rtol=1e-5,
+                               atol=1e-5)
+    sep = np.abs(np.diff(ov)) > 1e-5
+    keep = np.concatenate([[True], sep]) & np.concatenate([sep, [True]])
+    np.testing.assert_array_equal(np.asarray(idxs)[0][keep], oi[keep])

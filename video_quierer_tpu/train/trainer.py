@@ -216,15 +216,9 @@ class CLIPTrainer:
         data_sharding_img = NamedSharding(
             self.mesh, P(DATA_AXIS, None, None, None))
         data_sharding_ids = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        p_shardings = param_shardings(self.state.params, self.mesh)
-        state_shardings = jax.tree.map(
-            lambda _: NamedSharding(self.mesh, P()), self.state)
-        # params, adam moments, and the EMA tree follow the TP rules
-        state_shardings = state_shardings.replace(
-            params=p_shardings,
-            ema_params=p_shardings if ema_decay is not None else None,
-            opt_state=jax.tree.map(
-                lambda s: s, state_shardings.opt_state))
+        # state sharding (params/moments/EMA per the TP rules) is inferred
+        # from the committed input placement done by shard_params at
+        # construction — in_shardings=None keeps it
         return jax.jit(
             train_step,
             in_shardings=(None, data_sharding_img, data_sharding_ids),
