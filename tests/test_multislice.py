@@ -131,6 +131,24 @@ def test_device_index_on_multislice_mesh(rng):
                                [r["score"] for r in want], rtol=1e-5)
 
 
+def test_engine_builds_multislice_mesh_from_config(rng, tmp_path):
+    """corpus_shards=8 + corpus_slices=2 (VQT_CORPUS_SLICES) gives the
+    engine a (dcn, corpus) index mesh; search works end to end."""
+    from tests.fake_embedder import FakeEmbedder
+    from video_quierer_tpu.engine import EngineConfig, VideoSearchEngine
+    from video_quierer_tpu.engine.config import IndexConfig
+    cfg = EngineConfig(index=IndexConfig(corpus_shards=8, corpus_slices=2))
+    eng = VideoSearchEngine(str(tmp_path), config=cfg,
+                            embedder=FakeEmbedder())
+    assert set(eng.index.mesh.axis_names) == {DCN_AXIS, CORPUS_AXIS}
+    assert eng.index._n_shards == 8
+    emb = rng.standard_normal((50, 512)).astype(np.float32)
+    for i in range(50):
+        eng.index.add_frame(emb[i], "v.mp4", float(i))
+    rows = eng.index.search(emb[7], k=3)
+    assert rows[0]["frame_id"] == 7
+
+
 def test_device_index_int8_on_multislice_mesh(rng):
     from video_quierer_tpu.index.device_index import DeviceVideoIndex
     mesh = multislice_corpus_mesh(2, n_devices=8)

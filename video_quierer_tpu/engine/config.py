@@ -80,6 +80,9 @@ class IndexConfig:
     initial_capacity: int = 0
     # corpus sharding: 0 = single device
     corpus_shards: int = 0
+    # multi-slice: >1 splits corpus_shards devices into this many slices
+    # on a (dcn, corpus) mesh — hierarchical ICI→DCN top-k merge
+    corpus_slices: int = 1
     # device mirror dtype: "bfloat16" halves scan HBM traffic
     device_dtype: str = "float32"
 
@@ -139,6 +142,7 @@ _ENV_OVERRIDES = {
     "VQT_MODEL_NAME": ("model.name", str),
     "VQT_DTYPE": ("model.dtype", str),
     "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
+    "VQT_CORPUS_SLICES": ("index.corpus_slices", int),
     "VQT_INDEX_DTYPE": ("index.device_dtype", str),
     "VQT_MODEL_FAMILY": ("model.family", str),
 }

@@ -81,9 +81,21 @@ class VideoSearchEngine:
         self.videos_dir.mkdir(parents=True, exist_ok=True)
         self.cache_path = self.videos_dir / "video_search_cache.pkl"
         if corpus_mesh is None and self.config.index.corpus_shards > 0:
-            from video_quierer_tpu.parallel.mesh import corpus_mesh as \
-                make_corpus_mesh
-            corpus_mesh = make_corpus_mesh(self.config.index.corpus_shards)
+            if self.config.index.corpus_slices > 1:
+                # multi-slice deployment: corpus_shards total devices
+                # split across corpus_slices slices; initialize the
+                # jax.distributed rendezvous when VQT_COORDINATOR is set
+                from video_quierer_tpu.parallel.mesh import (
+                    initialize_distributed, multislice_corpus_mesh)
+                initialize_distributed()
+                corpus_mesh = multislice_corpus_mesh(
+                    self.config.index.corpus_slices,
+                    n_devices=self.config.index.corpus_shards)
+            else:
+                from video_quierer_tpu.parallel.mesh import corpus_mesh \
+                    as make_corpus_mesh
+                corpus_mesh = make_corpus_mesh(
+                    self.config.index.corpus_shards)
         self.index = DeviceVideoIndex(
             dim=self.config.index.embed_dim,
             device_dtype=self.config.index.device_dtype,
