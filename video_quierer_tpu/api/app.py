@@ -261,13 +261,17 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
                                "serving anyway", startup_timeout)
         import os
         if os.environ.get("VQT_WARMUP") == "1" and engine.use_clip:
-            # pre-compile the embedder buckets + one query so the first
-            # real request doesn't absorb device compiles
+            # pre-compile the embedder buckets + the fused search
+            # executables for the ks real traffic uses (fused executables
+            # are per-k) so the first real request doesn't absorb device
+            # compiles
             def _warm():
                 emb = engine._get_embedder()
                 if hasattr(emb, "warmup"):
                     emb.warmup()
-                engine.search("warmup", k=1, use_cache=False)
+                for k in sorted({1, engine.config.api.default_results,
+                                 10}):
+                    engine.search("warmup", k=k, use_cache=False)
             asyncio.get_running_loop().run_in_executor(None, _warm)
 
     async def on_shutdown(app_: web.Application):
