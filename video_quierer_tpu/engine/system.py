@@ -338,6 +338,18 @@ class VideoSearchEngine:
                 break
         return out
 
+    # fused executables are compiled per k; fetching at the next bucket
+    # and trimming makes every k in [1, 64] hit one of six executables
+    # (boot warm-up covers the first three)
+    _K_BUCKETS = (1, 5, 10, 16, 32, 64)
+
+    @classmethod
+    def _bucket_k(cls, k: int) -> int:
+        for b in cls._K_BUCKETS:
+            if b >= k:
+                return b
+        return cls._K_BUCKETS[-1]
+
     def _search_fused(self, query: str, fetch_k: int
                       ) -> Optional[List[Dict]]:
         """Single-dispatch text search: tokenize on host, then the text
@@ -357,8 +369,10 @@ class VideoSearchEngine:
             return None
         try:
             ids = emb.tokenizer([query])
-            return self.index.search_batch_fused(
-                emb.text_encode_fn, emb.params, ids, fetch_k)[0]
+            rows = self.index.search_batch_fused(
+                emb.text_encode_fn, emb.params, ids,
+                self._bucket_k(fetch_k))[0]
+            return rows[:fetch_k]
         except NotImplementedError:
             return None
         except Exception:
@@ -458,8 +472,9 @@ class VideoSearchEngine:
             if n < bucket:
                 ids = np.concatenate([ids, np.tile(ids[-1:],
                                                    (bucket - n, 1))])
-            return self.index.search_batch_fused(
-                emb.text_encode_fn, emb.params, ids, k)[:n]
+            batches = self.index.search_batch_fused(
+                emb.text_encode_fn, emb.params, ids, self._bucket_k(k))
+            return [rows[:k] for rows in batches[:n]]
         except NotImplementedError:
             return None
         except Exception:
