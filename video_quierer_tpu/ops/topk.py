@@ -66,6 +66,17 @@ BLOCK_ROWS = int(_os.environ.get("VQT_BLOCK_ROWS", "1024"))
 # completion-forced): 13.6 ms/q VPU vs 18.8 ms/q MXU, identical results.
 # VQT_SCAN_VPU=0 restores the MXU path.
 SCAN_VPU_B1 = _os.environ.get("VQT_SCAN_VPU", "1") == "1"
+
+# MXU contract precision for batched (B>1) f32 scans. "highest" (the
+# default) is exact to 1e-6 vs the NumPy oracle via multi-pass fp32
+# emulation; "default" is single-pass bf16 — measured 1.47× faster on
+# v5e (19.96 → 13.62 ms per 16-query batch over 2M×512) at ~1e-2 score
+# drift, which can flip near-tied ranks. Opt in per deployment with
+# VQT_SCAN_PRECISION=default when throughput beats exact tie ordering.
+_SCAN_PRECISION_F32 = (
+    jax.lax.Precision.DEFAULT
+    if _os.environ.get("VQT_SCAN_PRECISION", "highest") == "default"
+    else jax.lax.Precision.HIGHEST)
 # Upper bound on k (reference API caps k at 50, routes.py:58).
 MAX_K = 64
 
@@ -178,7 +189,7 @@ def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, *, k: int):
         scores = jnp.sum(emb_ref[:].astype(jnp.float32) * q[None, :],
                          axis=1, keepdims=True)
     else:
-        precision = (jax.lax.Precision.HIGHEST
+        precision = (_SCAN_PRECISION_F32
                      if emb_ref.dtype == jnp.float32 else None)
         scores = jnp.dot(emb_ref[:], qt_ref[:],
                          preferred_element_type=jnp.float32,
