@@ -57,9 +57,11 @@ def main() -> None:
     print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    for i in range(args.steps):
-        out = forward(params, all_frames[i])
-    out.block_until_ready()
+    outs = [forward(params, all_frames[i]) for i in range(args.steps)]
+    # force completion of EVERY step with a value fetch —
+    # block_until_ready is not a reliable sync on the tunnel backend
+    checksum = float(sum(o.sum() for o in outs))
+    assert checksum == checksum  # not NaN
     dt = time.time() - t0
     fps = args.batch * args.steps / dt
     flops = 2 * 4.36e9 * args.batch * args.steps  # ~4.36 GFLOP/image fwd
