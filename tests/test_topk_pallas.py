@@ -74,3 +74,85 @@ def test_b1_scoring_engines_agree(rng, pallas_interpret, monkeypatch, vpu):
     sep = np.abs(np.diff(ov)) > 1e-5
     keep = np.concatenate([[True], sep]) & np.concatenate([sep, [True]])
     np.testing.assert_array_equal(np.asarray(idxs)[0][keep], oi[keep])
+
+
+# ---------------------------------------------------------------------------
+# Deferred macro-block selection (scores stashed across SELECT_BLOCKS grid
+# steps, one k-round selection per macro-block — ops/topk.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n,valid,b,k,s", [
+    (10240, 10240, 1, 7, 8),    # partial last macro (10 blocks, s=8)
+    (10240, 9000, 1, 7, 3),     # macros of 3,3,3,1 + tail masking
+    (8192, 8192, 4, 5, 4),      # batched, exact macro split
+    (5120, 4100, 16, 9, 8),     # batched, single partial macro path
+])
+def test_deferred_selection_matches_oracle(rng, pallas_interpret,
+                                           monkeypatch, n, valid, b, k, s):
+    monkeypatch.setattr(topk_mod, "SELECT_BLOCKS", s)
+    topk_mod._pallas_block_scan.clear_cache()
+    emb = rng.standard_normal((n, 512), dtype=np.float32)
+    q = rng.standard_normal((b, 512), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    vals, idxs = topk_mod.cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                      valid, k=k)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    for row in range(b):
+        ov, oi = oracle_topk(emb, q[row], valid, k)
+        np.testing.assert_allclose(vals[row], ov, rtol=1e-5, atol=1e-5)
+        sep = np.abs(np.diff(ov)) > 1e-5
+        keep = np.concatenate([[True], sep]) & np.concatenate([sep, [True]])
+        np.testing.assert_array_equal(idxs[row][keep], oi[keep])
+
+
+def test_deferred_selection_stale_slots_masked(pallas_interpret,
+                                               monkeypatch):
+    """The last (partial) macro reuses scratch slots still holding the
+    previous macro's scores; a huge score planted there must NOT leak."""
+    monkeypatch.setattr(topk_mod, "SELECT_BLOCKS", 4)
+    topk_mod._pallas_block_scan.clear_cache()
+    n = 5 * 1024  # 5 blocks -> macros of 4 + 1; slots 1..3 stale in macro 2
+    emb = np.zeros((n, 512), dtype=np.float32)
+    emb[1024 + 7] = 5.0     # lands in scratch slot 1 of macro 0
+    emb[4096 + 3] = 1.0     # the only live row of macro 1 (slot 0)
+    q = np.zeros((1, 512), dtype=np.float32)
+    q[0, 0] = 1.0
+    vals, idxs = topk_mod.cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                      n, k=2)
+    np.testing.assert_array_equal(np.asarray(idxs)[0], [1024 + 7, 4096 + 3])
+    np.testing.assert_allclose(np.asarray(vals)[0], [5.0, 1.0], rtol=1e-6)
+
+
+def test_deferred_tie_break_across_macros(pallas_interpret, monkeypatch):
+    monkeypatch.setattr(topk_mod, "SELECT_BLOCKS", 2)
+    topk_mod._pallas_block_scan.clear_cache()
+    n = 6 * 1024
+    emb = np.zeros((n, 512), dtype=np.float32)
+    for r in (5000, 17, 3000):  # ties spanning macro boundaries
+        emb[r] = 1.0
+    q = np.full((1, 512), 1.0 / np.sqrt(512), dtype=np.float32)
+    _, idxs = topk_mod.cosine_topk(jnp.asarray(emb), jnp.asarray(q), n, k=3)
+    np.testing.assert_array_equal(np.asarray(idxs)[0], [17, 3000, 5000])
+
+
+def test_deferred_selection_int8(rng, pallas_interpret, monkeypatch):
+    from video_quierer_tpu.ops.quantize import quantize_rows
+    monkeypatch.setattr(topk_mod, "SELECT_BLOCKS", 3)
+    topk_mod._pallas_block_scan_int8.clear_cache()
+    n, valid, k = 7 * 1024, 6500, 6
+    emb = rng.standard_normal((n, 512), dtype=np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    for b in (1, 4):
+        q = rng.standard_normal((b, 512), dtype=np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        codes, scales = quantize_rows(jnp.asarray(emb))
+        vals, idxs = topk_mod.cosine_topk_int8(
+            codes, scales, jnp.asarray(q), valid, k=k)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        for row in range(b):
+            ov, oi = oracle_topk(emb, q[row], valid, 3 * k)
+            # int8 carries ~1e-2 quantization error; top candidates must
+            # come from the oracle's over-fetched set with close scores
+            assert set(idxs[row]) <= set(oi)
+            np.testing.assert_allclose(vals[row], ov[:k], atol=3e-2)

@@ -11,11 +11,15 @@ Design
 Two stages:
 
 1. **Block scan** (Pallas on TPU, XLA elsewhere): grid over row blocks of the
-   ``[N_pad, D]`` matrix. Each step computes ``scores = E_blk @ Q^T`` on the
-   MXU and maintains a per-block top-k in VMEM (iterative max+mask — k is
-   small, ≤ MAX_K). Only ``[n_blocks, B, k]`` candidates ever leave the chip's
-   compute pipeline, so HBM traffic ≈ one read of E.
-2. **Merge** (tiny XLA op): top-k over the concatenated block candidates.
+   ``[N_pad, D]`` matrix. Each step computes ``scores = E_blk @ Q^T`` (MXU
+   for batched queries, exact f32 VPU multiply+reduce for B=1) and stashes
+   them in a VMEM scratch; once every ``SELECT_BLOCKS`` steps the k-round
+   selection runs over the whole macro-block of scores (*deferred
+   selection*). The selection loop is the scan's main non-DMA cost — k
+   sequential reduce rounds — so amortizing it over ``SELECT_BLOCKS`` blocks
+   keeps each grid step under the block's HBM DMA time and the kernel
+   bandwidth-bound. Only ``[n_macros, B, k]`` candidates leave the pipeline.
+2. **Merge** (tiny XLA op): top-k over the concatenated macro candidates.
 
 Ordering semantics
 ------------------
@@ -67,16 +71,25 @@ BLOCK_ROWS = int(_os.environ.get("VQT_BLOCK_ROWS", "1024"))
 # VQT_SCAN_VPU=0 restores the MXU path.
 SCAN_VPU_B1 = _os.environ.get("VQT_SCAN_VPU", "1") == "1"
 
-# MXU contract precision for batched (B>1) f32 scans. "highest" (the
-# default) is exact to 1e-6 vs the NumPy oracle via multi-pass fp32
-# emulation; "default" is single-pass bf16 — measured 1.47× faster on
-# v5e (19.96 → 13.62 ms per 16-query batch over 2M×512) at ~1e-2 score
-# drift, which can flip near-tied ranks. Opt in per deployment with
-# VQT_SCAN_PRECISION=default when throughput beats exact tie ordering.
-_SCAN_PRECISION_F32 = (
-    jax.lax.Precision.DEFAULT
-    if _os.environ.get("VQT_SCAN_PRECISION", "highest") == "default"
-    else jax.lax.Precision.HIGHEST)
+# Number of row blocks whose scores accumulate in VMEM scratch before one
+# k-round selection pass runs over the whole macro-block (deferred
+# selection, see module docstring). Larger values amortize selection
+# further at (s · BLOCK_ROWS · B · 4) bytes of scratch.
+SELECT_BLOCKS = int(_os.environ.get("VQT_SELECT_BLOCKS", "8"))
+
+# MXU contract precision for batched (B>1) f32 scans:
+#   "highest" (default) — exact vs the NumPy oracle (multi-pass fp32
+#       emulation; bf16x6).
+#   "high"    — bf16x3 emulation, ~1e-6 score drift; can only flip ranks
+#       tied within that.
+#   "default" — single-pass bf16, ~1e-2 drift; flips near-tied ranks.
+# Opt in per deployment with VQT_SCAN_PRECISION when throughput beats
+# exact tie ordering.
+_SCAN_PRECISION_F32 = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+}.get(_os.environ.get("VQT_SCAN_PRECISION", "highest"),
+      jax.lax.Precision.HIGHEST)
 # Upper bound on k (reference API caps k at 50, routes.py:58).
 MAX_K = 64
 
@@ -116,21 +129,37 @@ def _block_topk_body(scores: jax.Array, row_ids: jax.Array, k: int
 _LANES = 128
 
 
-def _block_topk_flat(scores: jax.Array, row_ids: jax.Array, k: int
-                     ) -> Tuple[jax.Array, jax.Array]:
-    """Single-query (B=1) top-k with full VPU lane utilization.
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel — deferred macro-block selection
+# ---------------------------------------------------------------------------
+#
+# Scores for SELECT_BLOCKS consecutive row blocks accumulate in a VMEM
+# scratch; the k-round selection loop runs ONCE per macro-block, on the
+# last grid step that feeds it. Two scratch layouts:
+#
+# - B == 1 (``flat``): scratch [s, BLOCK_ROWS/128, 128] — the score column
+#   re-tiled so all 8 sublanes × 128 lanes work in every selection round.
+# - B >= 2 (``rows``): scratch [s, B, BLOCK_ROWS] — scores transposed to
+#   query-major so each query's scores span full 128-lane tiles (the
+#   [rows, B] layout would pad B lanes to 128 and waste 8×).
 
-    ``_block_topk_body`` reduces ``[R, 1]`` arrays — 1 of 128 lanes live,
-    and the k-iteration loop dominates the scan's critical path at
-    serving batch sizes. Reshaping the score column to ``[R/128, 128]``
-    puts every lane to work: each of the k rounds is a full-array max, a
-    tie-breaking full-array min over candidate row ids, and one mask
-    store, all on a 128-lane-wide layout (~16× fewer VPU cycles).
-    Same descending-stable (lowest-row-first) semantics.
+
+def _macro_topk_flat(sc, slot, macro_base, valid, k: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Selection over flat scratch ``sc [s, R, 128]`` (B=1).
+
+    Element (t, r, c) holds the score of global row
+    ``macro_base + t*R*128 + r*128 + c``. Slots > ``slot`` are stale
+    (previous macro-block) and masked. Returns ``([1, k], [1, k])``.
     """
-    r = scores.shape[0]
-    s = scores.reshape(r // _LANES, _LANES)
-    rid = row_ids.reshape(r // _LANES, _LANES)
+    shape = sc.shape
+    blk = shape[1] * shape[2]
+    slot_i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    rid = macro_base + slot_i * blk + row_i * _LANES + col_i
+    live = jnp.logical_and(slot_i <= slot, rid < valid)
+    s0 = jnp.where(live, sc, NEG_INF)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     vals0 = jnp.full((1, k), NEG_INF, dtype=jnp.float32)
     idxs0 = jnp.full((1, k), jnp.int32(2**31 - 1), dtype=jnp.int32)
@@ -146,60 +175,125 @@ def _block_topk_flat(scores: jax.Array, row_ids: jax.Array, k: int
         s = jnp.where(rid == am, NEG_INF, s)
         return s, vals, idxs
 
-    _, vals, idxs = jax.lax.fori_loop(0, k, body, (s, vals0, idxs0))
+    _, vals, idxs = jax.lax.fori_loop(0, k, body, (s0, vals0, idxs0))
     return vals, idxs
 
 
-def _block_topk(scores: jax.Array, row_ids: jax.Array, k: int
-                ) -> Tuple[jax.Array, jax.Array]:
-    """Dispatch: flat lane-packed selection for B=1 when the block is a
-    multiple of 128 rows; generic column selection otherwise."""
-    if scores.shape[1] == 1 and scores.shape[0] % _LANES == 0:
-        return _block_topk_flat(scores[:, 0], row_ids[:, 0], k)
-    return _block_topk_body(scores, row_ids, k)
+def _macro_topk_rows(sc, slot, macro_base, valid, k: int
+                     ) -> Tuple[jax.Array, jax.Array]:
+    """Selection over query-major scratch ``sc [s, B, blk]``.
+
+    Element (t, q, c) holds query q's score for global row
+    ``macro_base + t*blk + c``. Returns ``([B, k], [B, k])`` with the same
+    descending-stable lowest-row-first semantics as `_block_topk_body`.
+    """
+    s_slots, b, blk = sc.shape
+    slot_i = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 2)
+    rid = macro_base + slot_i * blk + col_i
+    live = jnp.logical_and(slot_i <= slot, rid < valid)
+    s0 = jnp.where(live, sc, NEG_INF)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    vals0 = jnp.full((b, k), NEG_INF, dtype=jnp.float32)
+    idxs0 = jnp.full((b, k), jnp.int32(2**31 - 1), dtype=jnp.int32)
+
+    def body(j, carry):
+        s, vals, idxs = carry
+        m = jnp.max(s, axis=(0, 2))  # [B]
+        cand = jnp.where(s == m[None, :, None], rid, jnp.int32(2**31 - 1))
+        am = jnp.min(cand, axis=(0, 2))  # [B]
+        sel = col_ids == j
+        vals = jnp.where(sel, m[:, None], vals)
+        idxs = jnp.where(sel, am[:, None], idxs)
+        s = jnp.where(rid == am[None, :, None], NEG_INF, s)
+        return s, vals, idxs
+
+    _, vals, idxs = jax.lax.fori_loop(0, k, body, (s0, vals0, idxs0))
+    return vals, idxs
 
 
-# ---------------------------------------------------------------------------
-# Pallas TPU kernel
-# ---------------------------------------------------------------------------
+def _use_flat_layout(b: int) -> bool:
+    return b == 1 and SCAN_VPU_B1 and BLOCK_ROWS % _LANES == 0
 
 
-def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, *, k: int):
-    """One grid step: score a row block against all queries, emit block top-k.
+def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, sc_ref,
+                 *, k: int, s: int):
+    """One grid step: score a row block, stash scores; select per macro.
 
     valid_ref : SMEM scalar-prefetch, [1] int32 — number of valid rows.
-    emb_ref   : VMEM [BLOCK_ROWS, D] f32 — row block of the matrix.
-    qt_ref    : VMEM [D, B] f32 — normalized queries, transposed.
-    vals_ref  : VMEM [1, B, k] f32 out block.
+    emb_ref   : VMEM [BLOCK_ROWS, D] f32/bf16 — row block of the matrix.
+    qt_ref    : VMEM [D, B] — normalized queries, transposed.
+    vals_ref  : VMEM [1, B, k] f32 out block (one per macro-block).
     idxs_ref  : VMEM [1, B, k] i32 out block.
+    sc_ref    : VMEM scratch — [s, R, 128] (B=1) or [s, B, BLOCK_ROWS].
     """
     i = pl.program_id(0)
     blk = emb_ref.shape[0]
     b = qt_ref.shape[1]
-    # f32 inputs: HIGHEST precision (full-f32 MXU passes — free, the scan
-    # is HBM-bound, and scores stay within 1e-6 of the NumPy oracle; the
-    # default bf16x1 drifts ~4e-3, enough to flip near-tied ranks).
-    # bf16 inputs: default precision — Mosaic rejects fp32 contract
-    # precision on a bf16 lhs, and bf16 mode trades exactness for
-    # bandwidth anyway (accumulation stays f32).
-    if b == 1 and SCAN_VPU_B1:
+    slot = jax.lax.rem(i, s)
+    flat = _use_flat_layout(b)
+    if flat:
         # exact f32 elementwise multiply + lane reduction — no 128-lane
-        # rhs padding, no fp32 MXU emulation passes
+        # rhs padding, no fp32 MXU emulation passes. The block is viewed
+        # as [R, 128, D] (a free leading-dim split) so the lane reduction
+        # lands DIRECTLY in the scratch's [R, 128] tile layout — scoring
+        # into a [blk] column and reshaping would relayout lanes→sublanes
+        # every step (measured 2.3× slower end-to-end on v5e).
         q = qt_ref[:][:, 0]
-        scores = jnp.sum(emb_ref[:].astype(jnp.float32) * q[None, :],
-                         axis=1, keepdims=True)
+        e3 = emb_ref[:].astype(jnp.float32).reshape(
+            blk // _LANES, _LANES, emb_ref.shape[1])
+        sc_ref[slot] = jnp.sum(e3 * q[None, None, :], axis=2)
     else:
+        # f32 inputs: HIGHEST precision by default (exact vs the NumPy
+        # oracle; see _SCAN_PRECISION_F32 for the bf16x3/bf16x1 opt-ins).
+        # bf16 inputs: default precision — Mosaic rejects fp32 contract
+        # precision on a bf16 lhs, and bf16 mode trades exactness for
+        # bandwidth anyway (accumulation stays f32).
         precision = (_SCAN_PRECISION_F32
                      if emb_ref.dtype == jnp.float32 else None)
-        scores = jnp.dot(emb_ref[:], qt_ref[:],
-                         preferred_element_type=jnp.float32,
-                         precision=precision)
-    local_rows = jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
-    row_ids = local_rows + i * blk
-    scores = jnp.where(row_ids < valid_ref[0], scores, NEG_INF)
-    vals, idxs = _block_topk(scores, row_ids, k)
-    vals_ref[0] = vals
-    idxs_ref[0] = idxs
+        scores_t = jax.lax.dot_general(
+            qt_ref[:], emb_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)  # [B, blk], query-major
+        sc_ref[slot] = scores_t
+
+    is_last = jnp.logical_or(slot == s - 1, i == pl.num_programs(0) - 1)
+
+    @pl.when(is_last)
+    def _():
+        macro_base = (i - slot) * blk
+        select = _macro_topk_flat if flat else _macro_topk_rows
+        vals, idxs = select(sc_ref[:], slot, macro_base, valid_ref[0], k)
+        vals_ref[0] = vals
+        idxs_ref[0] = idxs
+
+
+def _scan_grid_spec(d: int, b: int, k: int, n_blocks: int, s: int,
+                    extra_in_specs=()):
+    """Grid spec shared by the f32/bf16 and int8 deferred-selection scans."""
+    flat = _use_flat_layout(b)
+    scratch = (pltpu.VMEM((s, BLOCK_ROWS // _LANES, _LANES), jnp.float32)
+               if flat else
+               pltpu.VMEM((s, b, BLOCK_ROWS), jnp.float32))
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_in_specs,
+            pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, k), lambda i, *_: (i // s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, k), lambda i, *_: (i // s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[scratch],
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -209,33 +303,25 @@ def _pallas_block_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
     n_pad, d = emb.shape
     b = qt.shape[1]
     n_blocks = n_pad // BLOCK_ROWS
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, b), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
+    s = max(1, min(SELECT_BLOCKS, n_blocks))
+    n_macros = -(-n_blocks // s)
     vals, idxs = pl.pallas_call(
-        functools.partial(_scan_kernel, k=k),
+        functools.partial(_scan_kernel, k=k, s=s),
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_macros, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_macros, b, k), jnp.int32),
         ],
-        grid_spec=grid_spec,
+        grid_spec=_scan_grid_spec(d, b, k, n_blocks, s),
         interpret=interpret,
+        # grid steps are order-dependent (scratch accumulates across
+        # steps; the macro's last step selects), so the single grid
+        # dimension must not be treated as reorderable
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d * b,
-            bytes_accessed=n_pad * d * 4 + d * b * 4 + 2 * n_blocks * b * k * 4,
+            bytes_accessed=n_pad * d * emb.dtype.itemsize + d * b * 4
+            + 2 * n_macros * b * k * 4,
             transcendentals=0,
         ),
     )(valid_count.reshape(1).astype(jnp.int32), emb, qt)
@@ -243,22 +329,40 @@ def _pallas_block_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
 
 
 def _scan_kernel_int8(valid_ref, emb_ref, scales_ref, qt_ref, vals_ref,
-                      idxs_ref, *, k: int):
-    """Int8 variant: codes upcast to bf16 in VMEM, scores rescaled by the
-    per-row f32 scale. HBM reads 1 byte/element — the point of the mode."""
+                      idxs_ref, sc_ref, *, k: int, s: int):
+    """Int8 variant of the deferred-selection scan: codes upcast in VMEM,
+    scores rescaled by the per-row f32 scale. HBM reads 1 byte/element —
+    the point of the mode. Same scratch layouts as `_scan_kernel`."""
     i = pl.program_id(0)
     blk = emb_ref.shape[0]
     b = qt_ref.shape[1]
-    codes = emb_ref[:].astype(jnp.bfloat16)
-    scores = jnp.dot(codes, qt_ref[:].astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
-    scores = scores * scales_ref[:]  # [blk, 1] broadcast
-    local_rows = jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
-    row_ids = local_rows + i * blk
-    scores = jnp.where(row_ids < valid_ref[0], scores, NEG_INF)
-    vals, idxs = _block_topk(scores, row_ids, k)
-    vals_ref[0] = vals
-    idxs_ref[0] = idxs
+    slot = jax.lax.rem(i, s)
+    flat = _use_flat_layout(b)
+    row_scale = scales_ref[:][:, 0]  # [blk]
+    if flat:
+        # B=1: exact f32 VPU multiply + lane reduce on the upcast codes
+        q = qt_ref[:][:, 0]
+        e3 = emb_ref[:].astype(jnp.float32).reshape(
+            blk // _LANES, _LANES, emb_ref.shape[1])
+        col = jnp.sum(e3 * q[None, None, :], axis=2)
+        sc_ref[slot] = col * row_scale.reshape(blk // _LANES, _LANES)
+    else:
+        codes = emb_ref[:].astype(jnp.bfloat16)
+        scores_t = jax.lax.dot_general(
+            qt_ref[:].astype(jnp.bfloat16), codes,
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [B, blk]
+        sc_ref[slot] = scores_t * row_scale[None, :]
+
+    is_last = jnp.logical_or(slot == s - 1, i == pl.num_programs(0) - 1)
+
+    @pl.when(is_last)
+    def _():
+        macro_base = (i - slot) * blk
+        select = _macro_topk_flat if flat else _macro_topk_rows
+        vals, idxs = select(sc_ref[:], slot, macro_base, valid_ref[0], k)
+        vals_ref[0] = vals
+        idxs_ref[0] = idxs
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -269,36 +373,28 @@ def _pallas_block_scan_int8(emb_i8: jax.Array, scales: jax.Array,
     n_pad, d = emb_i8.shape
     b = qt.shape[1]
     n_blocks = n_pad // BLOCK_ROWS
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, b), lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, k), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
+    s = max(1, min(SELECT_BLOCKS, n_blocks))
+    n_macros = -(-n_blocks // s)
+    scales_spec = pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
     vals, idxs = pl.pallas_call(
-        functools.partial(_scan_kernel_int8, k=k),
+        functools.partial(_scan_kernel_int8, k=k, s=s),
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, b, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_macros, b, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_macros, b, k), jnp.int32),
         ],
-        grid_spec=grid_spec,
+        grid_spec=_scan_grid_spec(d, b, k, n_blocks, s,
+                                  extra_in_specs=(scales_spec,)),
         interpret=interpret,
+        # grid steps are order-dependent (scratch accumulates across
+        # steps; the macro's last step selects), so the single grid
+        # dimension must not be treated as reorderable
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * d * b,
             bytes_accessed=n_pad * d + n_pad * 4 + d * b * 4
-            + 2 * n_blocks * b * k * 4,
+            + 2 * n_macros * b * k * 4,
             transcendentals=0,
         ),
     )(valid_count.reshape(1).astype(jnp.int32), emb_i8, scales, qt)
