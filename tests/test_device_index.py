@@ -144,3 +144,91 @@ def test_native_roundtrip(tmp_path, rng):
     assert len(idx2) == 33
     assert idx2.video_hashes == {"n.mp4": "h"}
     np.testing.assert_array_equal(idx2._emb[:33], idx._emb[:33])
+
+
+# ---------------------------------------------------------------------------
+# Video-level search (incremental means + one-dispatch ranking)
+# ---------------------------------------------------------------------------
+
+
+def _video_oracle(idx, q, k):
+    import numpy as np
+    n = idx.count
+    q = q / (np.linalg.norm(q) + 1e-10)
+    ids = idx._video_ids[:n]
+    uniq = sorted(set(ids.tolist()))
+    rows = []
+    for vid in uniq:
+        mask = ids == vid
+        mean = idx._emb[:n][mask].mean(axis=0)
+        mean = mean / max(np.linalg.norm(mean), 1e-10)
+        fscores = idx._emb[:n] @ q
+        best = np.nonzero(mask)[0][np.argmax(fscores[mask])]
+        rows.append((float(mean @ q), vid, best))
+    rows.sort(key=lambda t: (-t[0], t[1]))
+    return rows[:k]
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_search_videos_matches_oracle(rng, dtype):
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    idx = DeviceVideoIndex(device_dtype=dtype)
+    for v in range(5):
+        emb = rng.standard_normal((40 + v * 7, 512)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        idx.add_batch(emb, f"vid{v}.mp4",
+                      [float(t) for t in range(emb.shape[0])])
+    q = rng.standard_normal(512).astype(np.float32)
+    got = idx.search_videos(q, k=3)
+    want = _video_oracle(idx, q, 3)
+    assert len(got) == 3
+    for g, (score, vid, best) in zip(got, want):
+        assert g["video_name"] == f"vid{vid}.mp4"
+        np.testing.assert_allclose(g["score"], score, atol=1e-6,
+                                    rtol=2e-2
+                                    if dtype != "float32" else 1e-5)
+        if dtype == "float32":
+            assert g["best_timestamp"] == float(idx._timestamps[best])
+
+
+def test_search_videos_incremental_after_remove(rng):
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    idx = DeviceVideoIndex()
+    for v in range(4):
+        emb = rng.standard_normal((30, 512)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+        idx.add_batch(emb, f"vid{v}.mp4", [float(t) for t in range(30)])
+    idx.remove_video("vid1.mp4")
+    # append more to an existing video after the removal/compaction
+    more = rng.standard_normal((10, 512)).astype(np.float32)
+    more /= np.linalg.norm(more, axis=-1, keepdims=True)
+    idx.add_batch(more, "vid2.mp4", [float(100 + t) for t in range(10)])
+    q = rng.standard_normal(512).astype(np.float32)
+    got = idx.search_videos(q, k=4)
+    names = [g["video_name"] for g in got]
+    assert "vid1.mp4" not in names and len(got) == 3
+    want = _video_oracle(idx, q, 4)
+    for g, (score, vid, best) in zip(got, want):
+        assert g["video_name"] == f"vid{vid}.mp4"
+        np.testing.assert_allclose(g["score"], score, rtol=1e-5)
+        assert g["best_timestamp"] == float(idx._timestamps[best])
+    counts = idx.video_frame_counts()
+    assert counts["vid2.mp4"] == 40
+
+
+def test_search_videos_after_pickle_roundtrip(rng, tmp_path):
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    idx = DeviceVideoIndex()
+    emb = rng.standard_normal((64, 512)).astype(np.float32)
+    idx.add_batch(emb[:40], "a.mp4", [float(t) for t in range(40)])
+    idx.add_batch(emb[40:], "b.mp4", [float(t) for t in range(24)])
+    path = tmp_path / "c.pkl"
+    assert idx.save_to_disk(path)
+    idx2 = DeviceVideoIndex()
+    assert idx2.load_from_disk(path)
+    q = rng.standard_normal(512).astype(np.float32)
+    a = idx.search_videos(q, k=2)
+    b = idx2.search_videos(q, k=2)
+    assert [r["video_name"] for r in a] == [r["video_name"] for r in b]
+    np.testing.assert_allclose([r["score"] for r in a],
+                               [r["score"] for r in b], rtol=1e-6)

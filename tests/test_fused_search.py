@@ -70,12 +70,45 @@ def test_fused_on_multislice_mesh(rng):
         [r["frame_id"] for r in want[0]]
 
 
-def test_fused_int8_raises(rng):
+def test_fused_int8_matches_two_step(rng):
+    """Round-1 VERDICT item 9: the int8 mode must keep the single-dispatch
+    fused path (encoder + over-fetching int8 scan fused, f32 re-rank on
+    host) and return exactly what the two-step int8 path returns."""
     idx = _filled_index(rng, device_dtype="int8")
     params, encode_fn = _toy_encoder()
-    with pytest.raises(NotImplementedError):
-        idx.search_batch_fused(encode_fn, params,
-                               np.zeros((1, 8), np.int32), k=3)
+    ids = rng.integers(0, 100, (2, 8)).astype(np.int32)
+    q = np.asarray(jax.jit(encode_fn)(params, jnp.asarray(ids)))
+    want = idx.search_batch(q, k=7)
+    got = idx.search_batch_fused(encode_fn, params, ids, k=7)
+    assert len(got) == 2
+    for g, w in zip(got, want):
+        assert [r["frame_id"] for r in g] == [r["frame_id"] for r in w]
+        np.testing.assert_allclose([r["score"] for r in g],
+                                   [r["score"] for r in w], rtol=1e-5)
+
+
+def test_fused_int8_matches_f32_ranking(rng):
+    """The fused int8 results must agree with the exact f32 index on the
+    same corpus (the re-rank restores exact ordering)."""
+    idx8 = _filled_index(rng, device_dtype="int8")
+    idxf = DeviceVideoIndex(dim=64)
+    idxf._emb = idx8._emb.copy()
+    n = idx8.count
+    idxf._video_ids = idx8._video_ids.copy()
+    idxf._timestamps = idx8._timestamps.copy()
+    idxf._frame_ids = idx8._frame_ids.copy()
+    idxf._video_names = list(idx8._video_names)
+    idxf._video_name_to_id = dict(idx8._video_name_to_id)
+    idxf._count = n
+    params, encode_fn = _toy_encoder()
+    ids = rng.integers(0, 100, (1, 8)).astype(np.int32)
+    q = np.asarray(jax.jit(encode_fn)(params, jnp.asarray(ids)))
+    want = idxf.search_batch(q, k=5)
+    got = idx8.search_batch_fused(encode_fn, params, ids, k=5)
+    assert [r["frame_id"] for r in got[0]] == \
+        [r["frame_id"] for r in want[0]]
+    np.testing.assert_allclose([r["score"] for r in got[0]],
+                               [r["score"] for r in want[0]], rtol=1e-5)
 
 
 def test_fused_empty_index():

@@ -55,6 +55,7 @@ from video_quierer_tpu.ingest.frames import (
     video_identity_hash,
 )
 from video_quierer_tpu.ingest.pipeline import batched_frames, group_by_video
+from video_quierer_tpu.utils.locks import RWLock
 
 logger = logging.getLogger(__name__)
 
@@ -113,10 +114,11 @@ class VideoSearchEngine:
             dim=self.config.index.embed_dim)
         self._ready = False
         self._coalescer = None
-        # Serializes index mutation vs search when handlers run in worker
-        # threads (the reference instead ran TWO unsynchronized engine
-        # singletons — SURVEY.md §3.1/§5 lists its races).
-        self.lock = threading.RLock()
+        # Reader-writer discipline: searches (reads) run concurrently and
+        # pipeline on the device; ingest/delete/load are exclusive. (The
+        # reference instead ran TWO unsynchronized engine singletons —
+        # SURVEY.md §3.1/§5 lists its races.)
+        self.lock = RWLock()
         logger.info("VideoSearchEngine initialized (dir=%s)",
                     self.videos_dir)
 
@@ -354,9 +356,10 @@ class VideoSearchEngine:
                       ) -> Optional[List[Dict]]:
         """Single-dispatch text search: tokenize on host, then the text
         tower + fused scan run as ONE jitted call
-        (DeviceVideoIndex.search_batch_fused) — halves the per-query
-        device round-trips vs encode → host → scan. Returns None when the
-        configuration can't fuse (no jit embedder, int8 index, disabled
+        (DeviceVideoIndex.search_batch_fused; in int8 mode the fused
+        dispatch over-fetches and re-ranks on host) — halves the
+        per-query device round-trips vs encode → host → scan. Returns
+        None when the configuration can't fuse (no jit embedder, disabled
         via ``VQT_FUSED_SEARCH=0``) and the caller takes the two-step
         path."""
         if os.environ.get("VQT_FUSED_SEARCH", "1") == "0":
@@ -412,7 +415,7 @@ class VideoSearchEngine:
             fetch_k = MAX_K
         else:
             fetch_k = min(k * 2, MAX_K) if dedup_videos else k
-        with self.lock, self.metrics.timer("search_latency"):
+        with self.lock.read(), self.metrics.timer("search_latency"):
             results = self._search_fused(query, fetch_k)
             if results is None:
                 with self.metrics.timer("text_encode"):
@@ -439,7 +442,7 @@ class VideoSearchEngine:
         scan) — the reference looped serially despite its docstring
         (routes.py:628-634)."""
         self.metrics.inc("searches", len(queries))
-        with self.lock, self.metrics.timer("batch_search_latency"):
+        with self.lock.read(), self.metrics.timer("batch_search_latency"):
             batches = self._search_batch_fused(queries, k)
             if batches is None:
                 emb = self._get_embedder()
@@ -494,7 +497,7 @@ class VideoSearchEngine:
             if hit is not None:
                 self.metrics.inc("search_cache_hits")
                 return [dict(r) for r in hit], True
-        with self.lock, self.metrics.timer("search_latency"):
+        with self.lock.read(), self.metrics.timer("search_latency"):
             results = self._format(self.index.search(vector, k))
         if use_cache and self.config.api.cache_search:
             self.query_cache.put_vector(vector, k,
@@ -550,39 +553,13 @@ class VideoSearchEngine:
         Returns ``[{video_name, score, frame_count, best_timestamp}]``.
         """
         self.metrics.inc("searches")
-        with self.lock, self.metrics.timer("video_search_latency"):
+        with self.lock.read(), self.metrics.timer("video_search_latency"):
             q = self.encode_text(query)
-            q = q / (np.linalg.norm(q) + 1e-10)
-            idx = self.index
-            n = idx.count
-            if n == 0:
-                return []
-            # fully vectorized on the integer video-id column: one
-            # segment-sum pass + one masked argmax per returned video
-            vid_rows = idx._video_ids[:n]
-            uniq, inv = np.unique(vid_rows, return_inverse=True)
-            sums = np.zeros((uniq.size, idx.dim), np.float32)
-            np.add.at(sums, inv, idx._emb[:n])
-            counts = np.bincount(inv)
-            means = sums / counts[:, None]
-            means /= np.maximum(
-                np.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
-            scores = means @ q
-            order = np.argsort(-scores, kind="stable")[:k]
-            frame_scores = idx._emb[:n] @ q
-            out = []
-            for pos in order:
-                vid = uniq[pos]
-                mask = vid_rows == vid
-                best_row = np.nonzero(mask)[0][
-                    np.argmax(frame_scores[mask])]
-                out.append({
-                    "video_name": idx._video_names[vid],
-                    "score": float(scores[pos]),
-                    "frame_count": int(counts[pos]),
-                    "best_timestamp": float(idx._timestamps[best_row]),
-                })
-            return out
+            # means maintained incrementally in the index; ranking + best
+            # frames run in one device dispatch (device_index.py:
+            # search_videos) — round 1 recomputed means with an O(N·D)
+            # host pass per request.
+            return self.index.search_videos(q, k)
 
     # ------------------------------------------------------------------
     # Maintenance

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import io
+import threading
 import logging
 import pickle
 from pathlib import Path
@@ -82,6 +83,38 @@ def safe_pickle_loads(payload: bytes):
     return _SafeUnpickler(io.BytesIO(payload)).load()
 
 
+_LANES_PAD = 128  # video-table padding granularity (lax.top_k friendly)
+_NEG_INF = float("-inf")
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _video_rank_device(emb, scales, vid_ids, means, counts, q, valid, *,
+                       k: int):
+    """One-dispatch video ranking: normalize the per-video means, take the
+    top-k videos by cosine, then find each winner's best frame with k
+    masked argmaxes over the frame scores. ``scales`` is the int8 mode's
+    per-row dequant column (None otherwise)."""
+    mnorm = means / jnp.maximum(
+        jnp.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
+    vscores = jnp.where(counts > 0, mnorm @ q, _NEG_INF)
+    top_vals, top_vids = jax.lax.top_k(vscores, k)
+    if scales is not None:  # int8 codes
+        fscores = jnp.dot(emb.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32) * scales[:, 0]
+    else:
+        precision = (jax.lax.Precision.HIGHEST
+                     if emb.dtype == jnp.float32 else None)
+        fscores = jnp.dot(emb, q.astype(emb.dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=precision)
+    rows = jnp.arange(fscores.shape[0], dtype=jnp.int32)
+    fscores = jnp.where(rows < valid, fscores, _NEG_INF)
+    best = jnp.stack([
+        jnp.argmax(jnp.where(vid_ids == top_vids[j], fscores, _NEG_INF))
+        for j in range(k)])
+    return top_vals, top_vids, best
+
+
 class DeviceVideoIndex:
     """Exact-scan frame index, host-authoritative with a device mirror."""
 
@@ -117,6 +150,11 @@ class DeviceVideoIndex:
         self.video_hashes: Dict[str, str] = {}
         # fused text-encode+scan executables, keyed (encoder id, k)
         self._fused_jits: Dict = {}
+        # Guards the lazy device-mirror sync (and fused-executable build)
+        # so concurrent SEARCHES are safe: the engine holds only a shared
+        # read lock around searches (utils/locks.py), and the first search
+        # after an append mutates the mirror state.
+        self._sync_lock = threading.Lock()
         self._reset_storage()
 
     # ------------------------------------------------------------------
@@ -137,11 +175,23 @@ class DeviceVideoIndex:
         self._count = 0
         self._video_names: List[str] = []
         self._video_name_to_id: Dict[str, int] = {}
+        # per-video embedding sums/counts, maintained INCREMENTALLY on
+        # add/remove (round-1 VERDICT item 8: video-level search used to
+        # recompute means with an O(N·D) host pass per query). f64 sums so
+        # means stay exact over long append streams.
+        self._video_sums = np.zeros((8, self.dim), dtype=np.float64)
+        self._video_counts = np.zeros(8, dtype=np.int64)
         # device mirror state
         self._device_emb: Optional[jax.Array] = None
         self._device_scales: Optional[jax.Array] = None  # int8 mode
         self._device_rows = 0      # rows synced to device
         self._device_cap = 0       # capacity of the device mirror
+        # video-level device mirror (means + id column), versioned
+        self._video_rev = 0
+        self._dev_video_rev = -1
+        self._dev_means: Optional[jax.Array] = None
+        self._dev_counts: Optional[jax.Array] = None
+        self._dev_vid_ids: Optional[jax.Array] = None
 
     def _ensure_capacity(self, n: int) -> None:
         cap = self._emb.shape[0]
@@ -161,6 +211,13 @@ class DeviceVideoIndex:
             vid = len(self._video_names)
             self._video_names.append(video_name)
             self._video_name_to_id[video_name] = vid
+            if vid >= self._video_sums.shape[0]:
+                grow = max(8, 2 * self._video_sums.shape[0])
+                self._video_sums = np.concatenate(
+                    [self._video_sums,
+                     np.zeros((grow, self.dim), np.float64)])
+                self._video_counts = np.concatenate(
+                    [self._video_counts, np.zeros(grow, np.int64)])
         return vid
 
     # ------------------------------------------------------------------
@@ -214,6 +271,10 @@ class DeviceVideoIndex:
         # (video_search_overhaul.py:37: len(embeddings) - 1 at append time).
         self._frame_ids[lo:hi] = np.arange(lo, hi, dtype=np.int64)
         self._count = hi
+        vid = self._video_ids[lo]
+        self._video_sums[vid] += embeddings.sum(axis=0, dtype=np.float64)
+        self._video_counts[vid] += n
+        self._video_rev += 1
 
     def remove_video(self, video_name: str) -> int:
         """Drop all frames of a video, compacting rows.
@@ -234,6 +295,9 @@ class DeviceVideoIndex:
                 arr[:n] = arr[: self._count][keep]
             self._count = n
             self._device_rows = 0  # force a refresh of the mirror
+            self._video_sums[vid] = 0.0
+            self._video_counts[vid] = 0
+            self._video_rev += 1
         self.video_hashes.pop(video_name, None)
         return removed
 
@@ -265,6 +329,10 @@ class DeviceVideoIndex:
         return arr
 
     def _sync_device_int8(self) -> None:
+        with self._sync_lock:
+            self._sync_device_int8_locked()
+
+    def _sync_device_int8_locked(self) -> None:
         """int8 mirror: host-side per-row quantization, full refresh on
         change (codes are 1/4 the bytes of f32, so even a full upload is
         cheaper than one f32 incremental pass at scale)."""
@@ -289,6 +357,10 @@ class DeviceVideoIndex:
         self._device_rows = self._count
 
     def _sync_device(self) -> jax.Array:
+        with self._sync_lock:
+            return self._sync_device_locked()
+
+    def _sync_device_locked(self) -> jax.Array:
         """Bring the device mirror up to date; returns the device matrix."""
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" \
             else jnp.float32
@@ -384,43 +456,96 @@ class DeviceVideoIndex:
         and scores match search_batch exactly (the tower already
         L2-normalizes; the scan is identical).
 
-        Raises NotImplementedError for the int8 mode (its exact re-rank
-        needs the candidates on host first — callers fall back).
+        int8 mode fuses the encoder into the over-fetching int8 scan (one
+        dispatch returns candidates AND the encoded queries), then re-ranks
+        the candidates exactly in f32 on host — same results as the
+        two-step int8 path.
         """
         if self.device_dtype == "int8":
-            raise NotImplementedError("fused search: int8 re-ranks on host")
+            return self._search_batch_fused_int8(encode_fn, params, ids, k)
         n_q = int(np.asarray(ids).shape[0])
         if self._count == 0:
             return [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
         emb = self._sync_device()
         key = (id(encode_fn), k)
-        fn = self._fused_jits.get(key)
-        if fn is None:
-            if self.mesh is not None:
-                from video_quierer_tpu.index.sharded import (
-                    is_multislice, multislice_cosine_topk,
-                    sharded_cosine_topk)
-                scan = (multislice_cosine_topk if is_multislice(self.mesh)
-                        else sharded_cosine_topk)
-                mesh = self.mesh
+        with self._sync_lock:
+            fn = self._fused_jits.get(key)
+            if fn is None:
+                if self.mesh is not None:
+                    from video_quierer_tpu.index.sharded import (
+                        is_multislice, multislice_cosine_topk,
+                        sharded_cosine_topk)
+                    scan = (multislice_cosine_topk
+                            if is_multislice(self.mesh)
+                            else sharded_cosine_topk)
+                    mesh = self.mesh
 
-                def fused(params, ids_dev, emb_dev, valid, *, k=k):
-                    q = encode_fn(params, ids_dev)
-                    q = q / (jnp.linalg.norm(q, axis=-1,
-                                             keepdims=True) + 1e-10)
-                    return scan(emb_dev, q, valid, k=k, mesh=mesh)
-            else:
-                def fused(params, ids_dev, emb_dev, valid, *, k=k):
-                    q = encode_fn(params, ids_dev)
-                    q = q / (jnp.linalg.norm(q, axis=-1,
-                                             keepdims=True) + 1e-10)
-                    return cosine_topk(emb_dev, q, valid, k=k)
-            fn = jax.jit(fused)
-            self._fused_jits[key] = fn
+                    def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                        q = encode_fn(params, ids_dev)
+                        q = q / (jnp.linalg.norm(q, axis=-1,
+                                                 keepdims=True) + 1e-10)
+                        return scan(emb_dev, q, valid, k=k, mesh=mesh)
+                else:
+                    def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                        q = encode_fn(params, ids_dev)
+                        q = q / (jnp.linalg.norm(q, axis=-1,
+                                                 keepdims=True) + 1e-10)
+                        return cosine_topk(emb_dev, q, valid, k=k)
+                fn = jax.jit(fused)
+                self._fused_jits[key] = fn
         vals, idxs = fn(params, jnp.asarray(ids), emb,
                         jnp.int32(self._count))
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
+
+    def _search_batch_fused_int8(self, encode_fn, params, ids, k: int
+                                 ) -> List[List[Dict]]:
+        """Fused int8 path: text tower + over-fetching int8 scan in ONE
+        dispatch (the queries come back with the candidates for the host
+        f32 re-rank). Round-1 VERDICT item 9: the lowest-HBM-traffic mode
+        used to lose the single-dispatch optimization."""
+        from video_quierer_tpu.ops.topk import cosine_topk_int8
+        n_q = int(np.asarray(ids).shape[0])
+        if self._count == 0:
+            return [[] for _ in range(n_q)]
+        k = max(1, min(int(k), MAX_K))
+        fetch = min(max(4 * k, k + 16), MAX_K)
+        self._sync_device_int8()
+        key = (id(encode_fn), fetch, "int8")
+        with self._sync_lock:
+            fn = self._fused_jits.get(key)
+            if fn is None:
+                if self.mesh is not None:
+                    from video_quierer_tpu.index.sharded import (
+                        is_multislice, multislice_cosine_topk_int8,
+                        sharded_cosine_topk_int8)
+                    scan8 = (multislice_cosine_topk_int8
+                             if is_multislice(self.mesh)
+                             else sharded_cosine_topk_int8)
+                    mesh = self.mesh
+
+                    def fused(params, ids_dev, codes, scales, valid,
+                              *, k=fetch):
+                        q = encode_fn(params, ids_dev)
+                        q = q / (jnp.linalg.norm(q, axis=-1,
+                                                 keepdims=True) + 1e-10)
+                        _, idxs = scan8(codes, scales, q, valid, k=k,
+                                        mesh=mesh)
+                        return idxs, q
+                else:
+                    def fused(params, ids_dev, codes, scales, valid,
+                              *, k=fetch):
+                        q = encode_fn(params, ids_dev)
+                        q = q / (jnp.linalg.norm(q, axis=-1,
+                                                 keepdims=True) + 1e-10)
+                        _, idxs = cosine_topk_int8(codes, scales, q,
+                                                   valid, k=k)
+                        return idxs, q
+                fn = jax.jit(fused)
+                self._fused_jits[key] = fn
+        idxs, q = fn(params, jnp.asarray(ids), self._device_emb,
+                     self._device_scales, jnp.int32(self._count))
+        return self._rerank_int8(np.asarray(q), np.asarray(idxs), k)
 
     def _search_batch_int8(self, q: np.ndarray, k: int
                            ) -> List[List[Dict]]:
@@ -451,7 +576,11 @@ class DeviceVideoIndex:
                                        self._device_scales,
                                        jnp.asarray(q), self._count,
                                        k=fetch)
-        idxs = np.asarray(idxs)
+        return self._rerank_int8(q, np.asarray(idxs), k)
+
+    def _rerank_int8(self, q: np.ndarray, idxs: np.ndarray, k: int
+                     ) -> List[List[Dict]]:
+        """Exact f32 re-rank of int8-scan candidates against host rows."""
         out: List[List[Dict]] = []
         for b in range(idxs.shape[0]):
             cand = idxs[b][idxs[b] < self._count]
@@ -471,6 +600,99 @@ class DeviceVideoIndex:
                     "score": float(-neg_score),
                 })
             out.append(rows_out)
+        return out
+
+    # ------------------------------------------------------------------
+    # Video-level search (means maintained incrementally; one device pass)
+    # ------------------------------------------------------------------
+
+    def _sync_video_state(self) -> None:
+        """Mirror per-video means/counts + the frame→video id column to the
+        device. Full upload on change — video metadata is ~1000× smaller
+        than the embedding matrix."""
+        with self._sync_lock:
+            cap = self._emb.shape[0]
+            if (self._dev_video_rev == self._video_rev
+                    and self._dev_vid_ids is not None
+                    and self._dev_vid_ids.shape[0] == cap):
+                return
+            v = len(self._video_names)
+            v_pad = max(_LANES_PAD, -(-max(v, 1) // _LANES_PAD) * _LANES_PAD)
+            counts = self._video_counts[:v]
+            means = np.zeros((v_pad, self.dim), np.float32)
+            means[:v] = (self._video_sums[:v]
+                         / np.maximum(counts, 1)[:, None]).astype(np.float32)
+            cnt = np.zeros(v_pad, np.int32)
+            cnt[:v] = counts
+            ids = np.full(cap, -1, np.int32)
+            ids[: self._count] = self._video_ids[: self._count]
+            self._dev_means = jnp.asarray(means)
+            self._dev_counts = jnp.asarray(cnt)
+            self._dev_vid_ids = jnp.asarray(ids)
+            self._dev_video_rev = self._video_rev
+
+    def search_videos(self, query_embedding: np.ndarray, k: int = 5
+                      ) -> List[Dict]:
+        """Rank whole videos by cosine(query, mean frame embedding).
+
+        Replaces round 1's per-query host pass (engine/system.py used to
+        run ``np.add.at`` + an O(N·D) host matmul per request): means are
+        maintained incrementally on add/remove and the ranking + each
+        winner's best frame run in ONE device dispatch. On a corpus mesh
+        the video means are ranked on host (they are tiny) and the best
+        frame falls back to the host matmul.
+
+        Returns ``[{video_name, score, frame_count, best_timestamp}]``.
+        """
+        if self._count == 0:
+            return []
+        k = max(1, min(int(k), MAX_K))
+        q = self.normalize_query(query_embedding)
+        if self.mesh is not None:
+            return self._search_videos_host(q, k)
+        if self.device_dtype == "int8":
+            self._sync_device_int8()
+            emb, scales = self._device_emb, self._device_scales
+        else:
+            emb, scales = self._sync_device(), None
+        self._sync_video_state()
+        tv, tvid, best = _video_rank_device(
+            emb, scales, self._dev_vid_ids, self._dev_means,
+            self._dev_counts, jnp.asarray(q), jnp.int32(self._count), k=k)
+        return self._video_rows(np.asarray(tv), np.asarray(tvid),
+                                np.asarray(best))
+
+    def _search_videos_host(self, q: np.ndarray, k: int) -> List[Dict]:
+        v = len(self._video_names)
+        counts = self._video_counts[:v]
+        means = (self._video_sums[:v]
+                 / np.maximum(counts, 1)[:, None]).astype(np.float32)
+        means /= np.maximum(
+            np.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
+        scores = means @ q
+        scores = np.where(counts > 0, scores, -np.inf)
+        order = np.argsort(-scores, kind="stable")[:k]
+        fscores = self._emb[: self._count] @ q
+        best = []
+        for vid in order:
+            m = np.where(self._video_ids[: self._count] == vid, fscores,
+                         -np.inf)
+            best.append(int(np.argmax(m)))
+        return self._video_rows(scores[order], order, np.asarray(best))
+
+    def _video_rows(self, vals: np.ndarray, vids: np.ndarray,
+                    best_rows: np.ndarray) -> List[Dict]:
+        out: List[Dict] = []
+        for score, vid, row in zip(vals, vids, best_rows):
+            if not np.isfinite(score):
+                continue
+            vid = int(vid)
+            out.append({
+                "video_name": self._video_names[vid],
+                "score": float(score),
+                "frame_count": int(self._video_counts[vid]),
+                "best_timestamp": float(self._timestamps[int(row)]),
+            })
         return out
 
     # ------------------------------------------------------------------
@@ -532,6 +754,21 @@ class DeviceVideoIndex:
         self._device_scales = None
         self._device_rows = 0
         self._device_cap = 0
+        self._rebuild_video_stats()
+
+    def _rebuild_video_stats(self) -> None:
+        """Recompute the per-video sums/counts from scratch (load paths;
+        the live paths maintain them incrementally)."""
+        v = max(8, len(self._video_names))
+        self._video_sums = np.zeros((v, self.dim), np.float64)
+        self._video_counts = np.zeros(v, np.int64)
+        n = self._count
+        if n:
+            ids = self._video_ids[:n]
+            np.add.at(self._video_sums, ids,
+                      self._emb[:n].astype(np.float64))
+            self._video_counts[:] = np.bincount(ids, minlength=v)
+        self._video_rev += 1
 
     @staticmethod
     def _sidecar(cache_path: Path) -> Path:
@@ -614,3 +851,4 @@ class DeviceVideoIndex:
         keys, vals = data["video_hashes"]
         self.video_hashes = dict(zip(keys, vals))
         self._count = n
+        self._rebuild_video_stats()
