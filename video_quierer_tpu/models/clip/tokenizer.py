@@ -57,7 +57,32 @@ except ImportError:  # pragma: no cover
     )
 
 
+# CJK Unified Ideograph blocks (transformers BasicTokenizer._is_chinese_char):
+# the HF CLIPTokenizer (the reference's tokenizer, video_search_overhaul.py:
+# 283-284) routes text through BasicTokenizer when ftfy is absent, which
+# emits each CJK character as its own word — so each gets its own
+# end-of-word byte token. Matched here for byte-exact parity
+# (tests/fixtures/tokenizer_goldens.json).
+_CJK_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _space_cjk(text: str) -> str:
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if any(lo <= cp <= hi for lo, hi in _CJK_RANGES):
+            out.append(f" {ch} ")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _clean(text: str) -> str:
+    text = _space_cjk(text)
     text = re.sub(r"\s+", " ", text.strip())
     return text.lower()
 
