@@ -176,3 +176,104 @@ def test_ivf_incremental_add_and_merge(rng):
 def test_ivf_add_requires_build(rng):
     with pytest.raises(RuntimeError):
         IVFIndex().add(_unit(rng, 2))
+
+
+def test_ivf_pallas_batched_pair_grid(rng, monkeypatch):
+    """The single-launch (query, tile) pair-grid kernel must match the XLA
+    gather path for batches well beyond the old B<=4 limit."""
+    emb, _ = _clustered(rng, n_clusters=8, per=150)
+    ivf = IVFIndex(nlist=8, nprobe=3, seed=0)
+    ivf.build(emb)
+    q = emb[rng.integers(0, emb.shape[0], 12)]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    vals_xla, idxs_xla = ivf.search(q, k=5)
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    vals_pl, idxs_pl = ivf.search(q, k=5)
+    for b in range(q.shape[0]):
+        live = idxs_pl[b] >= 0
+        assert set(idxs_pl[b][live].tolist()) == \
+            set(idxs_xla[b][idxs_xla[b] >= 0].tolist())
+        np.testing.assert_allclose(np.sort(vals_pl[b][live]),
+                                   np.sort(vals_xla[b][vals_xla[b] > -1e30]),
+                                   atol=1e-5)
+
+
+def test_ivf_stats(rng):
+    emb = _unit(rng, 1200)
+    ivf = IVFIndex(nlist=8, nprobe=3, seed=0)
+    assert ivf.stats() == {"built": False}
+    ivf.build(emb)
+    s = ivf.stats()
+    assert s["built"] and s["nlist"] == 8 and s["rows"] == 1200
+    assert s["nprobe"] == 3 and s["fresh_rows"] == 0
+    ivf.add(_unit(rng, 50))
+    assert ivf.stats()["fresh_rows"] == 50
+
+
+# ---------------------------------------------------------------------------
+# Mesh-distributed IVF (ROADMAP round-1 design: replicated centroids,
+# greedy cluster->device packing, per-device pair-grid scan, ICI merge)
+# ---------------------------------------------------------------------------
+
+
+def _mesh8():
+    from video_quierer_tpu.parallel.mesh import corpus_mesh
+    return corpus_mesh(8)
+
+
+def test_sharded_ivf_matches_single_device(rng):
+    emb, _ = _clustered(rng, n_clusters=8, per=200)
+    single = IVFIndex(nlist=8, nprobe=3, seed=0)
+    single.build(emb)
+    sharded = IVFIndex(nlist=8, nprobe=3, seed=0, mesh=_mesh8())
+    sharded.build(emb)
+    q = emb[rng.integers(0, emb.shape[0], 6)]
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    v1, i1 = single.search(q, k=5)
+    v2, i2 = sharded.search(q, k=5)
+    for b in range(q.shape[0]):
+        assert set(i2[b][i2[b] >= 0].tolist()) == \
+            set(i1[b][i1[b] >= 0].tolist())
+        np.testing.assert_allclose(np.sort(v2[b][i2[b] >= 0]),
+                                   np.sort(v1[b][i1[b] >= 0]), atol=1e-5)
+
+
+def test_sharded_ivf_full_probe_exact(rng):
+    emb = _unit(rng, 2048)
+    ivf = IVFIndex(nlist=8, nprobe=8, seed=0, mesh=_mesh8())
+    ivf.build(emb)
+    q = _unit(rng, 2)
+    exact_vals, exact_idx = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                        2048, k=5)
+    vals, idxs = ivf.search(q, k=5)
+    for b in range(2):
+        assert set(idxs[b].tolist()) == \
+            set(np.asarray(exact_idx)[b].tolist())
+        np.testing.assert_allclose(np.sort(vals[b]),
+                                   np.sort(np.asarray(exact_vals)[b]),
+                                   atol=1e-5)
+
+
+def test_sharded_ivf_balanced_packing(rng):
+    emb, _ = _clustered(rng, n_clusters=16, per=100)
+    ivf = IVFIndex(nlist=16, nprobe=4, seed=0, mesh=_mesh8())
+    ivf.build(emb)
+    s = ivf.stats()
+    assert s["devices"] == 8
+    load = np.asarray(s["tiles_per_device"])
+    assert load.sum() == s["tiles"]
+    # greedy balance: no device holds more than the max cluster above the
+    # mean
+    assert load.max() - load.min() <= s["max_tiles_per_cluster"]
+
+
+def test_sharded_ivf_fresh_buffer_merge(rng):
+    emb = _unit(rng, 1500)
+    ivf = IVFIndex(nlist=8, nprobe=8, seed=0, mesh=_mesh8())
+    ivf.build(emb)
+    fresh = _unit(rng, 30)
+    ivf.add(fresh)
+    q = fresh[11]
+    vals, idxs = ivf.search(q, k=1)
+    assert idxs[0] == 1500 + 11
+    np.testing.assert_allclose(vals[0], 1.0, rtol=1e-5)

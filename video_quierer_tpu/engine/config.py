@@ -85,6 +85,16 @@ class IndexConfig:
     corpus_slices: int = 1
     # device mirror dtype: "bfloat16" halves scan HBM traffic
     device_dtype: str = "float32"
+    # search tier: "exact" = fused full scan (the default; exact-scan
+    # mandate, SURVEY.md §6); "ivf" = cluster-pruned ANN (index/ivf.py,
+    # the TPU-idiomatic stand-in for the dead path's HNSW,
+    # src/indexes/hnsw.py + src/utils/config.py:103-108). IVF serves
+    # searches only once built (startup/ingest/rebuild build it); until
+    # then — and below ivf_min_rows — queries take the exact scan.
+    kind: str = "exact"
+    ivf_nlist: int = 0       # 0 = auto (~sqrt(N))
+    ivf_nprobe: int = 8
+    ivf_min_rows: int = 4096
 
 
 @dataclasses.dataclass
@@ -132,6 +142,10 @@ class EngineConfig:
             raise ValueError("max_frames must be positive")
         if self.ingest.batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if self.index.kind not in ("exact", "ivf"):
+            raise ValueError("index.kind must be 'exact' or 'ivf'")
+        if self.index.ivf_nprobe <= 0:
+            raise ValueError("ivf_nprobe must be positive")
 
 
 _ENV_OVERRIDES = {
@@ -144,6 +158,9 @@ _ENV_OVERRIDES = {
     "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
     "VQT_CORPUS_SLICES": ("index.corpus_slices", int),
     "VQT_INDEX_DTYPE": ("index.device_dtype", str),
+    "VQT_INDEX_KIND": ("index.kind", str),
+    "VQT_IVF_NLIST": ("index.ivf_nlist", int),
+    "VQT_IVF_NPROBE": ("index.ivf_nprobe", int),
     "VQT_MODEL_FAMILY": ("model.family", str),
 }
 

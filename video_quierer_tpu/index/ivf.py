@@ -53,8 +53,8 @@ _ASSIGN_CHUNK = 65536
 # ---------------------------------------------------------------------------
 
 
-def _ivf_scan_kernel(tiles_ref, emb_tile_ref, ids_tile_ref, qt_ref,
-                     vals_ref, idxs_ref, *, k: int):
+def _ivf_scan_kernel(tiles_ref, qidx_ref, emb_tile_ref, ids_tile_ref,
+                     qt_ref, vals_ref, idxs_ref, *, k: int):
     b = qt_ref.shape[1]
     emb = emb_tile_ref[0]                       # [BLOCK_ROWS, D]
     ids = ids_tile_ref[0, :, 0]                 # [BLOCK_ROWS]
@@ -72,49 +72,110 @@ def _ivf_scan_kernel(tiles_ref, emb_tile_ref, ids_tile_ref, qt_ref,
     idxs_ref[0] = idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tiles", "interpret"))
-def _pallas_probe_scan(tiled_emb, tiled_ids, tile_list, qt,
-                       *, k: int, tiles: int, interpret: bool = False):
-    """Scan the ``tiles`` HBM tiles named by ``tile_list`` against ``qt``.
+@functools.partial(jax.jit, static_argnames=("k", "total", "interpret"))
+def _pallas_probe_scan(tiled_emb, tiled_ids, tile_list, qidx, qt,
+                       *, k: int, total: int, interpret: bool = False):
+    """Scan ``total`` (query, tile) pairs in ONE kernel launch.
+
+    The grid walks runtime-selected work pairs: step ``i`` DMAs HBM tile
+    ``tile_list[i]`` and scores it against query column ``qidx[i]`` — both
+    scalar-prefetch operands driving the BlockSpec index maps, so the
+    selected clusters are scanned in place (never gathered into a
+    contiguous copy) and ANY batch size runs in a single launch (round-1
+    VERDICT item 7: the old kernel launched once per query and only for
+    B<=4).
 
     tiled_emb: [T, BLOCK_ROWS, D]; tiled_ids: [T, BLOCK_ROWS, 1] (−1 pad;
     the unit lane dim satisfies Mosaic's block-tiling rule);
-    tile_list: [tiles] int32; qt: [D, B].
-    Returns per-tile candidates ([tiles, B, k], [tiles, B, k]).
+    tile_list/qidx: [total] int32; qt: [D, B].
+    Returns per-pair candidates ([total, 1, k], [total, 1, k]).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     d = tiled_emb.shape[2]
-    b = qt.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tiles,),
+        num_scalar_prefetch=2,
+        grid=(total,),
         in_specs=[
             pl.BlockSpec((1, BLOCK_ROWS, d),
-                         lambda i, tiles_ref: (tiles_ref[i], 0, 0),
+                         lambda i, tiles_ref, qidx_ref: (tiles_ref[i], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_ROWS, 1),
-                         lambda i, tiles_ref: (tiles_ref[i], 0, 0),
+                         lambda i, tiles_ref, qidx_ref: (tiles_ref[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, b), lambda i, tiles_ref: (0, 0),
+            pl.BlockSpec((d, 1),
+                         lambda i, tiles_ref, qidx_ref: (0, qidx_ref[i]),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, k), lambda i, tiles_ref: (i, 0, 0),
+            pl.BlockSpec((1, 1, k),
+                         lambda i, tiles_ref, qidx_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, k), lambda i, tiles_ref: (i, 0, 0),
+            pl.BlockSpec((1, 1, k),
+                         lambda i, tiles_ref, qidx_ref: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     return pl.pallas_call(
         functools.partial(_ivf_scan_kernel, k=k),
         out_shape=[
-            jax.ShapeDtypeStruct((tiles, b, k), jnp.float32),
-            jax.ShapeDtypeStruct((tiles, b, k), jnp.int32),
+            jax.ShapeDtypeStruct((total, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((total, 1, k), jnp.int32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_list.astype(jnp.int32), tiled_emb, tiled_ids, qt)
+    )(tile_list.astype(jnp.int32), qidx.astype(jnp.int32),
+      tiled_emb, tiled_ids, qt)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "dev_slots", "b", "mesh",
+                                    "interpret"))
+def _sharded_probe_scan(sh_tiled, sh_ids, tile_lists, qidx, qt,
+                        *, k: int, dev_slots: int, b: int, mesh,
+                        interpret: bool = False):
+    """Mesh-distributed IVF probe: each device pair-grid-scans its local
+    tile slots, then candidates all_gather over ICI and every device
+    computes the same global top-k (the sharded_cosine_topk merge shape).
+
+    sh_tiled: [n_dev, T_local+1, BR, D] sharded P(corpus, ...);
+    sh_ids:   [n_dev, T_local+1, BR] (global row ids, -1 pad);
+    tile_lists: [n_dev, b*dev_slots] per-device slot lists (sharded);
+    qidx: [b*dev_slots] replicated; qt: [D, B] replicated.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from video_quierer_tpu.ops.topk import merge_topk
+    from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+
+    n_dev = mesh.shape[CORPUS_AXIS]
+    total = b * dev_slots
+
+    def local_probe(tiled_l, ids_l, tlist_l, qidx_r, qt_r):
+        vals, idxs = _pallas_probe_scan(
+            tiled_l[0], ids_l[0][:, :, None], tlist_l[0], qidx_r, qt_r,
+            k=k, total=total, interpret=interpret)
+        vals = vals.reshape(b, dev_slots * k)
+        idxs = idxs.reshape(b, dev_slots * k)
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)  # [n_dev, b, ...]
+        all_idxs = jax.lax.all_gather(idxs, CORPUS_AXIS)
+        cand_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(
+            b, n_dev * dev_slots * k)
+        cand_i = jnp.transpose(all_idxs, (1, 0, 2)).reshape(
+            b, n_dev * dev_slots * k)
+        return merge_topk(cand_v, cand_i, k=k)
+
+    fn = shard_map(
+        local_probe, mesh=mesh,
+        in_specs=(P(CORPUS_AXIS, None, None, None),
+                  P(CORPUS_AXIS, None, None),
+                  P(CORPUS_AXIS, None),
+                  P(None), P(None, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return fn(sh_tiled, sh_ids, tile_lists, qidx, qt)
 
 
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
@@ -243,12 +304,24 @@ class IVFIndex:
     the exact-scan DeviceVideoIndex remains the incremental serving path).
     ``balance_factor`` caps clusters at ``factor * N/nlist`` rows
     (0 disables balancing).
+
+    ``mesh``: a corpus mesh distributes the tier (ROADMAP round-1 design):
+    centroids replicate on every device; clusters are assigned to devices
+    greedily by descending size; each device packs ITS clusters into a
+    local tile array padded to a uniform per-device tile count. A query
+    computes probe clusters globally (replicated centroid scores on host),
+    maps them to (device, local tiles), and every device runs the SAME
+    zero-copy pair-grid scan over its slots (misses point at its padding
+    tile); candidates merge over ICI exactly like sharded_cosine_topk.
+    Expected per-device HBM traffic: ~nprobe/nlist of its shard, with no
+    cross-device tile movement.
     """
 
     def __init__(self, nlist: Optional[int] = None, nprobe: int = 8,
                  kmeans_iters: int = 10, seed: int = 0,
                  balance_factor: float = 2.0,
-                 rebuild_fraction: float = 0.25):
+                 rebuild_fraction: float = 0.25,
+                 mesh=None):
         self.nlist = nlist
         self.nprobe = nprobe
         self.kmeans_iters = kmeans_iters
@@ -258,6 +331,12 @@ class IVFIndex:
         # it exceeds this fraction of the built corpus, rebuild() folds
         # them into the clustered tiles (classic IVF + fresh-list design)
         self.rebuild_fraction = rebuild_fraction
+        self.mesh = mesh
+        if mesh is not None:
+            from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+            self._n_dev = mesh.shape[CORPUS_AXIS]
+        else:
+            self._n_dev = 1
         self._built = False
         self._fresh: Optional[np.ndarray] = None
         self._n_built = 0
@@ -317,9 +396,75 @@ class IVFIndex:
         self._median_tiles = int(np.median(tiles_per_cluster))
         self._n_built = n
         self._fresh = None
+        if self.mesh is not None:
+            self._pack_sharded(tiled[:total_tiles], row_ids[:total_tiles],
+                               tile_start[:-1], tiles_per_cluster)
         self._built = True
         logger.info("IVF built: %d tiles (%.1f%% padding)", total_tiles,
                     100 * (1 - n / (total_tiles * BLOCK_ROWS)))
+
+    def _pack_sharded(self, tiled: np.ndarray, row_ids: np.ndarray,
+                      tile_start: np.ndarray,
+                      tiles_per_cluster: np.ndarray) -> None:
+        """Distribute cluster tiles over the corpus mesh: greedy balance
+        by descending cluster size; per-device tile arrays padded to a
+        uniform count (+1 padding tile each device's misses point at).
+        Row ids stay GLOBAL, so merged candidates need no offsetting."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from video_quierer_tpu.parallel.mesh import CORPUS_AXIS
+
+        n_dev = self._n_dev
+        nlist = int(tiles_per_cluster.shape[0])
+        d_model = tiled.shape[-1]
+        order = np.argsort(-tiles_per_cluster, kind="stable")
+        dev_of = np.zeros(nlist, np.int32)
+        local_start = np.zeros(nlist, np.int64)
+        load = np.zeros(n_dev, np.int64)
+        for c in order:
+            d = int(np.argmin(load))
+            dev_of[c] = d
+            local_start[c] = load[d]
+            load[d] += tiles_per_cluster[c]
+        t_local = max(1, int(load.max()))
+        lt = np.zeros((n_dev, t_local + 1, BLOCK_ROWS, d_model), np.float32)
+        li = np.full((n_dev, t_local + 1, BLOCK_ROWS), -1, np.int32)
+        for c in range(nlist):
+            d, s = dev_of[c], local_start[c]
+            g, n_t = tile_start[c], tiles_per_cluster[c]
+            lt[d, s: s + n_t] = tiled[g: g + n_t]
+            li[d, s: s + n_t] = row_ids[g: g + n_t]
+        spec = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None, None))
+        ispec = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
+        self._sh_tiled = jax.device_put(jnp.asarray(lt), spec)
+        self._sh_ids = jax.device_put(jnp.asarray(li), ispec)
+        self._cluster_dev = dev_of
+        self._cluster_local_start = local_start
+        self._local_pad_tile = t_local
+        self._dev_load = load
+
+    def stats(self) -> dict:
+        """Operator-facing tier stats (surfaced via /api/stats)."""
+        if not self._built:
+            return {"built": False}
+        total_tiles = int(self._tile_counts_np.sum())
+        return {
+            "built": True,
+            "nlist": int(self.nlist),
+            "nprobe": int(self.nprobe),
+            "rows": int(self._n_built),
+            "fresh_rows": 0 if self._fresh is None
+            else int(self._fresh.shape[0]),
+            "tiles": total_tiles,
+            "max_tiles_per_cluster": int(self._max_tiles),
+            "padding_pct": round(
+                100 * (1 - self._n_built
+                       / max(1, total_tiles * BLOCK_ROWS)), 2),
+            "scanned_fraction": round(
+                min(1.0, self.nprobe / max(1, self.nlist)), 4),
+            **({"devices": self._n_dev,
+                "tiles_per_device": self._dev_load.tolist()}
+               if self.mesh is not None and self._built else {}),
+        }
 
     def add(self, emb_new: np.ndarray) -> None:
         """Append rows without rebuilding: they land in a fresh buffer
@@ -373,10 +518,14 @@ class IVFIndex:
         budget = min(self._max_tiles, max(1, 4 * self._median_tiles))
         tiles = int(nprobe * budget)
         mode = _pallas_mode()
-        # the Pallas path launches one kernel per query (tile lists are
-        # per-query); for large batches the single vmapped XLA launch
-        # wins despite its gather copy
-        if mode != "off" and queries.shape[0] <= 4:
+        if self.mesh is not None:
+            # off-TPU without the interpret env still works: the pair-grid
+            # kernel runs through the Pallas interpreter
+            vals, idxs = self._search_sharded(
+                queries, k, nprobe, budget,
+                interpret=(mode != "compiled"))
+        # the Pallas pair-grid kernel handles any batch size in one launch
+        elif mode != "off":
             vals, idxs = self._search_pallas(
                 queries, k, nprobe, budget, tiles,
                 interpret=(mode == "interpret"))
@@ -410,37 +559,79 @@ class IVFIndex:
             out_i[b, : order.size] = cand_i[order]
         return out_v, out_i
 
+    def _search_sharded(self, queries: np.ndarray, k: int, nprobe: int,
+                        budget: int, interpret: bool
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Distributed probe scan: host routes each probed cluster to its
+        owning device's slot list; every device runs the pair-grid kernel
+        on its local tiles; candidates merge over ICI (merge_topk after
+        all_gather, as in sharded_cosine_topk)."""
+        b = queries.shape[0]
+        n_dev = self._n_dev
+        csims = queries @ self._centroids_np.T
+        # per-(query, device) slot budget: expected probes/device with 2×
+        # skew headroom; overflow drops the LOWEST-scored excess probes
+        # (approximation, bounded and static)
+        probes_per_dev = min(nprobe, 2 * (-(-nprobe // n_dev)))
+        dev_slots = probes_per_dev * budget
+        pad = self._local_pad_tile
+        tile_lists = np.full((n_dev, b * dev_slots), pad, np.int32)
+        for qi in range(b):
+            cl = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
+            cl = cl[np.argsort(-csims[qi][cl], kind="stable")]
+            cursor = (qi * dev_slots) * np.ones(n_dev, np.int64)
+            limit = (qi + 1) * dev_slots
+            for c in cl:
+                d = self._cluster_dev[c]
+                cnt = int(min(self._tile_counts_np[c], budget,
+                              limit - cursor[d]))
+                if cnt <= 0:
+                    continue
+                s = self._cluster_local_start[c]
+                tile_lists[d, cursor[d]: cursor[d] + cnt] = \
+                    np.arange(s, s + cnt)
+                cursor[d] += cnt
+        qidx = np.repeat(np.arange(b, dtype=np.int32), dev_slots)
+        vals, idxs = _sharded_probe_scan(
+            self._sh_tiled, self._sh_ids, jnp.asarray(tile_lists),
+            jnp.asarray(qidx), jnp.asarray(queries.T),
+            k=k, dev_slots=dev_slots, b=b, mesh=self.mesh,
+            interpret=interpret)
+        out_v = np.asarray(vals).astype(np.float32)
+        out_i = np.asarray(idxs).astype(np.int64)
+        out_i[~np.isfinite(out_v)] = -1
+        out_v[~np.isfinite(out_v)] = NEG_INF
+        return out_v, out_i
+
     def _search_pallas(self, queries: np.ndarray, k: int, nprobe: int,
                        budget: int, tiles: int, interpret: bool
                        ) -> Tuple[np.ndarray, np.ndarray]:
-        """Zero-copy probe scan: per query, build the tile list on host
-        (tiny) and let the Pallas grid DMA exactly those tiles."""
+        """Zero-copy probe scan: build the (query, tile) pair list on host
+        (tiny) and let ONE Pallas grid DMA exactly those tiles."""
         b = queries.shape[0]
         csims = queries @ self._centroids_np.T            # [B, C]
-        out_vals = np.full((b, k), NEG_INF, np.float32)
-        out_idxs = np.full((b, k), -1, np.int64)
-        # dispatch every query's kernel before fetching any result (the
-        # device pipelines them; only np.asarray synchronizes)
-        pending = []
+        tile_list = np.full(b * tiles, self._pad_tile, np.int32)
+        qidx = np.repeat(np.arange(b, dtype=np.int32), tiles)
         for qi in range(b):
             clusters = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
             starts = self._tile_start_np[clusters]
             counts = np.minimum(self._tile_counts_np[clusters], budget)
-            tile_list = np.full(tiles, self._pad_tile, np.int32)
-            pos = 0
+            pos = qi * tiles
             for s, c in zip(starts, counts):
                 tile_list[pos: pos + c] = np.arange(s, s + c)
                 pos += c
-            qt = jnp.asarray(queries[qi][:, None])        # [D, 1]
-            pending.append(_pallas_probe_scan(
-                self._tiled, self._row_ids[:, :, None],
-                jnp.asarray(tile_list), qt,
-                k=k, tiles=tiles, interpret=interpret))
-        for qi, (vals, idxs) in enumerate(pending):
-            flat_v = np.asarray(vals).reshape(-1)
-            flat_i = np.asarray(idxs).reshape(-1)
-            live = flat_i >= 0
-            flat_v, flat_i = flat_v[live], flat_i[live]
+        vals, idxs = _pallas_probe_scan(
+            self._tiled, self._row_ids[:, :, None],
+            jnp.asarray(tile_list), jnp.asarray(qidx),
+            jnp.asarray(queries.T),
+            k=k, total=b * tiles, interpret=interpret)
+        cand_v = np.asarray(vals).reshape(b, tiles * k)
+        cand_i = np.asarray(idxs).reshape(b, tiles * k)
+        out_vals = np.full((b, k), NEG_INF, np.float32)
+        out_idxs = np.full((b, k), -1, np.int64)
+        for qi in range(b):
+            live = cand_i[qi] >= 0
+            flat_v, flat_i = cand_v[qi][live], cand_i[qi][live]
             order = np.argsort(-flat_v, kind="stable")[:k]
             out_vals[qi, : order.size] = flat_v[order]
             out_idxs[qi, : order.size] = flat_i[order]
