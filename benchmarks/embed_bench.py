@@ -45,19 +45,25 @@ def main() -> None:
 
     # Distinct per-step batches, generated ON device (no host transfer,
     # and identical repeated dispatches can be memoized by the runtime —
-    # distinct inputs force real execution every step).
+    # distinct inputs force real execution every step). Each step's batch
+    # is MATERIALIZED before the timed loop: an eager slice issued inside
+    # the loop serializes dispatch on this transport (measured 2.6 s/batch
+    # vs 29 ms with pre-staged inputs — 90x of pure harness artifact), and
+    # a real server has its input batch staged before the forward anyway.
     key = jax.random.PRNGKey(0)
     all_frames = jax.random.randint(
         key, (args.steps, args.batch, 224, 224, 3), 0, 255, jnp.uint8)
-    all_frames.block_until_ready()
+    steps = [all_frames[i] for i in range(args.steps)]
+    for s in steps:
+        s.block_until_ready()
 
     t0 = time.time()
-    out = forward(params, all_frames[0])
-    out.block_until_ready()
+    out = forward(params, steps[0])
+    _ = float(out.sum())  # value fetch = the only real sync here
     print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    outs = [forward(params, all_frames[i]) for i in range(args.steps)]
+    outs = [forward(params, steps[i]) for i in range(args.steps)]
     # force completion of EVERY step with a value fetch —
     # block_until_ready is not a reliable sync on the tunnel backend
     checksum = float(sum(o.sum() for o in outs))

@@ -86,3 +86,14 @@ def data_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
         raise ValueError(f"{n} devices not divisible by mp={model_parallel}")
     arr = np.array(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def pipe_mesh(n_stages: int | None = None) -> Mesh:
+    """1-D (pipe,) mesh for pipeline-parallel encoder stages
+    (parallel/pipeline.py). Stage s holds encoder layers
+    ``[s·L/S, (s+1)·L/S)``."""
+    from video_quierer_tpu.parallel.pipeline import PIPE_AXIS
+    devs = jax.devices()
+    if n_stages is not None:
+        devs = devs[:n_stages]
+    return Mesh(np.array(devs), (PIPE_AXIS,))
