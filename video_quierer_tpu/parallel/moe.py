@@ -1,0 +1,163 @@
+"""Expert parallelism: Switch-style mixture-of-experts MLP over an
+``expert`` mesh axis.
+
+The reference has no MoE anywhere (SURVEY.md §2.3 row "EP": none) and
+round 1 declared EP a non-goal; this closes the row the TPU-native way.
+The design is the canonical Switch-Transformer top-1 router with
+capacity-based **dense dispatch** (the Mesh-TensorFlow/GShard einsum
+formulation): routing becomes two einsums against a ``[tokens, E, C]``
+dispatch mask — static shapes, MXU-friendly, no scatter/gather — and
+expert parallelism is pure sharding: expert weight stacks ``[E, ...]``
+are laid out ``P('expert', ...)``, the ``[E, C, d]`` expert batches are
+sharded on their leading axis, and XLA's GSPMD inserts the all-to-all
+collectives over ICI. No hand-written comms.
+
+Components:
+- :class:`SwitchMoEMLP` — drop-in replacement for ``models.clip.MLP``
+  inside an encoder block (returns an auxiliary load-balancing loss).
+- :class:`MoEEncoderBlock` — a pre-LN block whose MLP is the MoE (the
+  shape used by MoE towers).
+- :func:`expert_partition_spec` / :func:`shard_moe_params` — EP placement
+  rules (compose with the trainer's Megatron TP rules by name).
+
+Capacity semantics: each expert processes at most
+``C = ceil(capacity_factor · tokens / E)`` tokens; overflow tokens are
+dropped (their MoE output is zero — the block's residual connection
+carries them), exactly the Switch behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+EXPERT_AXIS = "expert"
+
+Dtype = Any
+
+
+class SwitchMoEMLP(nn.Module):
+    """Top-1-routed MoE feed-forward: ``[B, S, d] -> ([B, S, d], aux)``.
+
+    ``aux`` is the Switch load-balance loss (E · Σ_e f_e · p_e, minimized
+    at uniform routing); add ``aux_weight * aux`` to the training loss.
+    """
+
+    num_experts: int
+    ratio: int = 4
+    capacity_factor: float = 1.25
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        b, s, d = x.shape
+        n = b * s
+        e = self.num_experts
+        cap = max(1, math.ceil(self.capacity_factor * n / e))
+        xt = x.reshape(n, d)
+
+        # Router in f32 (softmax over few logits — precision matters more
+        # than speed here).
+        logits = nn.Dense(e, dtype=jnp.float32, name="router")(
+            xt.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)          # [N, E]
+        gate = jnp.max(probs, axis=-1)                   # [N]
+        expert_idx = jnp.argmax(probs, axis=-1)          # [N]
+        assign = jax.nn.one_hot(expert_idx, e, dtype=jnp.float32)  # [N, E]
+
+        # Position of each token within its expert's capacity buffer;
+        # tokens past capacity are dropped (residual carries them).
+        pos = jnp.cumsum(assign, axis=0) - assign        # [N, E] 0-based
+        within = pos < cap
+        keep = assign * within                            # [N, E]
+        pos_oh = jax.nn.one_hot(
+            jnp.sum(pos * assign, axis=-1).astype(jnp.int32), cap,
+            dtype=jnp.float32)                            # [N, C]
+        dispatch = keep[:, :, None] * pos_oh[:, None, :]  # [N, E, C]
+
+        # Expert batches, sharded over the expert axis under a mesh.
+        ein = jnp.einsum("nec,nd->ecd", dispatch,
+                         xt.astype(jnp.float32)).astype(self.dtype)
+
+        h = d * self.ratio
+        w1 = self.param("w1", nn.initializers.lecun_normal(), (e, d, h))
+        b1 = self.param("b1", nn.initializers.zeros, (e, h))
+        w2 = self.param("w2", nn.initializers.lecun_normal(), (e, h, d))
+        b2 = self.param("b2", nn.initializers.zeros, (e, d))
+
+        z = jnp.einsum("ecd,edh->ech", ein, w1.astype(self.dtype))
+        z = jax.nn.gelu(z + b1[:, None].astype(self.dtype),
+                        approximate=True)
+        y = jnp.einsum("ech,ehd->ecd", z, w2.astype(self.dtype))
+        y = y + b2[:, None].astype(self.dtype)
+
+        combine = dispatch * gate[:, None, None]          # [N, E, C]
+        out = jnp.einsum("ecd,nec->nd", y.astype(jnp.float32), combine)
+
+        # Switch aux loss: fraction-routed · mean-prob per expert.
+        frac = jnp.mean(assign, axis=0)                   # [E]
+        mean_p = jnp.mean(probs, axis=0)                  # [E]
+        aux = e * jnp.sum(frac * mean_p)
+
+        return out.reshape(b, s, d).astype(x.dtype), aux
+
+
+class MoEEncoderBlock(nn.Module):
+    """Pre-LN transformer block with an MoE feed-forward (the standard
+    every-other-layer MoE tower shape). Returns ``(x, aux)``."""
+
+    num_heads: int
+    num_experts: int
+    mlp_ratio: int
+    eps: float
+    capacity_factor: float = 1.25
+    causal: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        from video_quierer_tpu.models.clip.model import Attention
+
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="layer_norm1")(x)
+        x = x + Attention(self.num_heads, causal=self.causal,
+                          dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype,
+                         name="layer_norm2")(x)
+        moe_out, aux = SwitchMoEMLP(
+            self.num_experts, ratio=self.mlp_ratio,
+            capacity_factor=self.capacity_factor, dtype=self.dtype,
+            name="moe")(y)
+        return x + moe_out, aux
+
+
+def expert_partition_spec(path: Tuple[str, ...], leaf) -> P:
+    """EP placement rule: stacked expert weights ``w1/b1/w2/b2`` split on
+    their leading ``[E, ...]`` axis; router and everything else
+    replicated. Compose with the trainer's TP rules by name."""
+    names = [getattr(k, "key", str(k)) for k in path]
+    if names and names[-1] in ("w1", "b1", "w2", "b2"):
+        return P(EXPERT_AXIS, *([None] * (leaf.ndim - 1)))
+    return P()
+
+
+def shard_moe_params(params, mesh: Mesh):
+    """Place a param tree on an ``expert`` mesh per the EP rules."""
+    def place(path, leaf):
+        return jax.device_put(
+            leaf, NamedSharding(mesh, expert_partition_spec(path, leaf)))
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def expert_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D (expert,) mesh; ``num_experts`` must be divisible by its size."""
+    import numpy as np
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (EXPERT_AXIS,))
