@@ -232,3 +232,51 @@ def test_search_videos_after_pickle_roundtrip(rng, tmp_path):
     assert [r["video_name"] for r in a] == [r["video_name"] for r in b]
     np.testing.assert_allclose([r["score"] for r in a],
                                [r["score"] for r in b], rtol=1e-6)
+
+
+def test_bf16_search_is_f32_true(rng):
+    """bf16 mirror over-fetches + re-ranks on host: final results must be
+    EXACTLY the f32 index's (scores f32, same rows) despite the bf16 scan."""
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    b16 = DeviceVideoIndex(device_dtype="bfloat16")
+    emb = rng.standard_normal((600, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    # inject near-ties a bf16 scan alone would misorder
+    emb[100] = emb[50] + 1e-5 * emb[51]
+    emb[100] /= np.linalg.norm(emb[100])
+    for idx in (f32, b16):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(600)])
+    q = emb[50] + 0.01 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=8)
+    got = b16.search(q, k=8)
+    assert [r["frame_id"] for r in got] == [r["frame_id"] for r in want]
+    np.testing.assert_allclose([r["score"] for r in got],
+                               [r["score"] for r in want], rtol=1e-6)
+
+
+def test_bf16_fused_search_is_f32_true(rng):
+    from video_quierer_tpu.index.device_index import DeviceVideoIndex
+    import jax.numpy as jnp
+
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    b16 = DeviceVideoIndex(device_dtype="bfloat16")
+    emb = rng.standard_normal((600, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    for idx in (f32, b16):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(600)])
+
+    proj = rng.standard_normal((16, 512)).astype(np.float32)
+
+    def encode(params, ids_dev):
+        # toy "tower": one-hot mean -> projection (jit-traceable)
+        x = jnp.take(params, ids_dev % 16, axis=0).mean(axis=1)
+        return x
+
+    ids = np.asarray(rng.integers(0, 1000, (2, 7)), np.int32)
+    want = f32.search_batch_fused(encode, jnp.asarray(proj), ids, k=6)
+    got = b16.search_batch_fused(encode, jnp.asarray(proj), ids, k=6)
+    for wq, gq in zip(want, got):
+        assert [r["frame_id"] for r in gq] == [r["frame_id"] for r in wq]
+        np.testing.assert_allclose([r["score"] for r in gq],
+                                   [r["score"] for r in wq], rtol=1e-6)

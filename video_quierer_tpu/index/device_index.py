@@ -415,16 +415,24 @@ class DeviceVideoIndex:
         q = np.stack([self.normalize_query(r) for r in np.asarray(queries)])
         if self.device_dtype == "int8":
             return self._search_batch_int8(q, k)
+        bf16 = self.device_dtype == "bfloat16"
+        # bf16 scan scores carry ~1e-2 quantization error; over-fetch and
+        # re-rank the candidates in f32 on host (the int8 pattern), so
+        # bf16 mode's RESULTS are f32-true while its HBM traffic is halved
+        k_dev = min(max(4 * k, k + 16), MAX_K) if bf16 else k
         emb = self._sync_device()
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import (
                 is_multislice, multislice_cosine_topk, sharded_cosine_topk)
             scan = (multislice_cosine_topk if is_multislice(self.mesh)
                     else sharded_cosine_topk)
-            vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k,
+            vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k_dev,
                               mesh=self.mesh)
         else:
-            vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count, k=k)
+            vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count,
+                                     k=k_dev)
+        if bf16:
+            return self._rerank_f32(q, np.asarray(idxs), k)
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
     def _rows_from(self, vals: np.ndarray, idxs: np.ndarray
@@ -467,8 +475,12 @@ class DeviceVideoIndex:
         if self._count == 0:
             return [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
+        bf16 = self.device_dtype == "bfloat16"
+        # bf16 mirror: over-fetch on device, exact f32 re-rank on host
+        # (same contract as int8 mode — results are f32-true)
+        k_dev = min(max(4 * k, k + 16), MAX_K) if bf16 else k
         emb = self._sync_device()
-        key = (id(encode_fn), k)
+        key = (id(encode_fn), k_dev, bf16)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
@@ -481,21 +493,25 @@ class DeviceVideoIndex:
                             else sharded_cosine_topk)
                     mesh = self.mesh
 
-                    def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                    def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
                         q = encode_fn(params, ids_dev)
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
-                        return scan(emb_dev, q, valid, k=k, mesh=mesh)
+                        vals, idxs = scan(emb_dev, q, valid, k=k, mesh=mesh)
+                        return vals, idxs, q
                 else:
-                    def fused(params, ids_dev, emb_dev, valid, *, k=k):
+                    def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
                         q = encode_fn(params, ids_dev)
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
-                        return cosine_topk(emb_dev, q, valid, k=k)
+                        vals, idxs = cosine_topk(emb_dev, q, valid, k=k)
+                        return vals, idxs, q
                 fn = jax.jit(fused)
                 self._fused_jits[key] = fn
-        vals, idxs = fn(params, jnp.asarray(ids), emb,
-                        jnp.int32(self._count))
+        vals, idxs, q = fn(params, jnp.asarray(ids), emb,
+                           jnp.int32(self._count))
+        if bf16:
+            return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
     def _search_batch_fused_int8(self, encode_fn, params, ids, k: int
@@ -545,7 +561,7 @@ class DeviceVideoIndex:
                 self._fused_jits[key] = fn
         idxs, q = fn(params, jnp.asarray(ids), self._device_emb,
                      self._device_scales, jnp.int32(self._count))
-        return self._rerank_int8(np.asarray(q), np.asarray(idxs), k)
+        return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
 
     def _search_batch_int8(self, q: np.ndarray, k: int
                            ) -> List[List[Dict]]:
@@ -576,9 +592,9 @@ class DeviceVideoIndex:
                                        self._device_scales,
                                        jnp.asarray(q), self._count,
                                        k=fetch)
-        return self._rerank_int8(q, np.asarray(idxs), k)
+        return self._rerank_f32(q, np.asarray(idxs), k)
 
-    def _rerank_int8(self, q: np.ndarray, idxs: np.ndarray, k: int
+    def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int
                      ) -> List[List[Dict]]:
         """Exact f32 re-rank of int8-scan candidates against host rows."""
         out: List[List[Dict]] = []

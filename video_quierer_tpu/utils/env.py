@@ -22,5 +22,12 @@ def tpu_available() -> bool:
 
 
 def use_pallas() -> bool:
-    """Whether to use the Pallas TPU kernels (vs the portable XLA path)."""
+    """Whether to use the Pallas TPU kernels (vs the portable XLA path).
+
+    ``VQT_PALLAS=0`` forces the XLA path even on TPU (A/B benchmarking;
+    also the escape hatch if a Mosaic regression ever blocks serving).
+    """
+    import os
+    if os.environ.get("VQT_PALLAS") == "0":
+        return False
     return tpu_available()
