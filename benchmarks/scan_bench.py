@@ -72,8 +72,7 @@ def main() -> None:
     # timed loop would measure the tunnel's H2D RTT, and the eager wrapper
     # ops around cosine_topk would add per-iteration dispatches — one jit,
     # one dispatch per iteration, is the only honest shape on this link.
-    q_dev = [q.squeeze(0) if args.batch == 1 else q
-             for q in jnp.split(qs, args.iters)]
+    q_dev = [q[0] for q in jnp.split(qs, args.iters)]  # each [B, 512]
     for q in q_dev:
         q.block_until_ready()
 
@@ -107,9 +106,19 @@ def main() -> None:
         _ = float(np.asarray(v).sum())  # real sync (value fetch)
         log(f"[{mode}] compiled+warm in {time.time() - t0:.1f}s")
 
+        # settle pass: the first timed loop after a fresh compile has
+        # measured 3-6x steady state on this runtime; run the full loop
+        # once untimed before measuring.
+        _ = float(sum(run(q_dev[j])[0].sum() for j in range(args.iters)))
+
         t0 = time.time()
         outs = [run(q_dev[j]) for j in range(args.iters)]
-        checksum = float(sum(np.asarray(o[0]).sum() for o in outs))
+        # checksum stays ON DEVICE until one final scalar fetch: a
+        # np.asarray per output would serialize a ~25 ms host-fetch RTT
+        # per iteration and measure the tunnel, not the kernel (that
+        # exact mistake produced a flat "25 ms floor" across every
+        # dtype/engine/block-size config before this was fixed).
+        checksum = float(sum(o[0].sum() for o in outs))
         wall = time.time() - t0
         per_disp_ms = wall / args.iters * 1000.0
         per_q_ms = per_disp_ms / args.batch

@@ -1,0 +1,125 @@
+"""Approximate candidate stage (VQT_CANDIDATE_TOPK=approx).
+
+The bf16/int8 index modes fetch CANDIDATES that are exactly re-ranked in
+f32 on host; the approx stage swaps the Pallas scan's k-round selection
+for one XLA matmul + ``jax.lax.approx_max_k`` (the TPU's hardware
+partial-reduce — exact-fallback on CPU). Final results must remain
+f32-true, matching the float32 index bit-for-bit on scores/rows.
+
+Capability rebuilt: the candidate/re-rank contract of the reference's
+quantized-recall pattern has no direct analog (reference scans f32 only,
+video_search_overhaul.py:40-64); this guards our bf16/int8 extension.
+"""
+
+import numpy as np
+import pytest
+
+from video_quierer_tpu.index.device_index import DeviceVideoIndex
+from video_quierer_tpu.ops.topk import (
+    candidate_topk,
+    candidate_topk_int8,
+    cosine_topk,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+@pytest.fixture
+def approx_mode(monkeypatch):
+    monkeypatch.setenv("VQT_CANDIDATE_TOPK", "approx")
+
+
+def _unit_rows(rng, n, d=512):
+    e = rng.standard_normal((n, d)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def test_candidate_topk_defaults_to_exact(rng):
+    import jax.numpy as jnp
+    emb = _unit_rows(rng, 300)
+    q = _unit_rows(rng, 2)
+    want = cosine_topk(jnp.asarray(emb), jnp.asarray(q), 300, k=12)
+    got = candidate_topk(jnp.asarray(emb), jnp.asarray(q), 300, k=12)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_candidate_topk_approx_recovers_true_set(rng, approx_mode):
+    import jax.numpy as jnp
+    emb = _unit_rows(rng, 300)
+    q = _unit_rows(rng, 2)
+    vals, idxs = candidate_topk(
+        jnp.asarray(emb, jnp.bfloat16), jnp.asarray(q), 300, k=40)
+    assert idxs.shape == (2, 40)
+    # true f32 top-10 must be inside the 40 candidates (CPU fallback is
+    # exact; on TPU the recall target + over-fetch gives the same
+    # guarantee statistically — the engine-level tests below pin results)
+    scores = q @ emb.T
+    for b in range(2):
+        true10 = set(np.argsort(-scores[b], kind="stable")[:10].tolist())
+        assert true10 <= set(np.asarray(idxs[b]).tolist())
+
+
+def test_candidate_topk_int8_masks_padding(rng, approx_mode):
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops.quantize import quantize_rows
+    emb = _unit_rows(rng, 256)
+    codes, scales = quantize_rows(jnp.asarray(emb))
+    q = _unit_rows(rng, 1)
+    # only the first 100 rows are valid; no candidate may point past them
+    _, idxs = candidate_topk_int8(codes, scales, jnp.asarray(q), 100, k=20)
+    live = np.asarray(idxs[0])
+    assert (live[live < 2**31 - 1] < 100).all()
+
+
+def test_bf16_approx_results_are_f32_true(rng, approx_mode):
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    b16 = DeviceVideoIndex(device_dtype="bfloat16")
+    emb = _unit_rows(rng, 600)
+    # near-ties a bf16 scan alone would misorder
+    emb[100] = emb[50] + 1e-5 * emb[51]
+    emb[100] /= np.linalg.norm(emb[100])
+    for idx in (f32, b16):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(600)])
+    q = emb[50] + 0.01 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=8)
+    got = b16.search(q, k=8)
+    assert [r["frame_id"] for r in got] == [r["frame_id"] for r in want]
+    np.testing.assert_allclose([r["score"] for r in got],
+                               [r["score"] for r in want], rtol=1e-6)
+
+
+def test_int8_approx_top1_matches_f32(rng, approx_mode):
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    i8 = DeviceVideoIndex(device_dtype="int8")
+    emb = _unit_rows(rng, 400)
+    for idx in (f32, i8):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(400)])
+    q = emb[123] + 0.05 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=5)
+    got = i8.search(q, k=5)
+    assert got[0]["frame_id"] == want[0]["frame_id"]
+    np.testing.assert_allclose(got[0]["score"], want[0]["score"],
+                               rtol=1e-6)
+
+
+def test_bf16_approx_fused_matches_two_step(rng, approx_mode):
+    import jax.numpy as jnp
+    b16 = DeviceVideoIndex(device_dtype="bfloat16")
+    emb = _unit_rows(rng, 512)
+    b16.add_batch(emb, "a.mp4", [float(t) for t in range(512)])
+    proj = rng.standard_normal((16, 512)).astype(np.float32)
+
+    def encode(params, ids_dev):
+        return jnp.take(params, ids_dev % 16, axis=0).mean(axis=1)
+
+    ids = np.asarray(rng.integers(0, 1000, (2, 7)), np.int32)
+    fused = b16.search_batch_fused(encode, jnp.asarray(proj), ids, k=6)
+    q = np.asarray(encode(jnp.asarray(proj), jnp.asarray(ids)))
+    two_step = b16.search_batch(q, k=6)
+    for fq, tq in zip(fused, two_step):
+        assert [r["frame_id"] for r in fq] == [r["frame_id"] for r in tq]
+        np.testing.assert_allclose([r["score"] for r in fq],
+                                   [r["score"] for r in tq], rtol=1e-5)

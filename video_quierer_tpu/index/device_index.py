@@ -428,6 +428,10 @@ class DeviceVideoIndex:
                     else sharded_cosine_topk)
             vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k_dev,
                               mesh=self.mesh)
+        elif bf16:
+            from video_quierer_tpu.ops.topk import candidate_topk
+            vals, idxs = candidate_topk(emb, jnp.asarray(q), self._count,
+                                        k=k_dev)
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count,
                                      k=k_dev)
@@ -480,7 +484,9 @@ class DeviceVideoIndex:
         # (same contract as int8 mode — results are f32-true)
         k_dev = min(max(4 * k, k + 16), MAX_K) if bf16 else k
         emb = self._sync_device()
-        key = (id(encode_fn), k_dev, bf16)
+        from video_quierer_tpu.ops.topk import _candidate_mode
+        key = (id(encode_fn), k_dev, bf16,
+               _candidate_mode() if bf16 else None)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
@@ -500,11 +506,14 @@ class DeviceVideoIndex:
                         vals, idxs = scan(emb_dev, q, valid, k=k, mesh=mesh)
                         return vals, idxs, q
                 else:
+                    from video_quierer_tpu.ops.topk import candidate_topk
+                    scan1 = candidate_topk if bf16 else cosine_topk
+
                     def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
                         q = encode_fn(params, ids_dev)
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
-                        vals, idxs = cosine_topk(emb_dev, q, valid, k=k)
+                        vals, idxs = scan1(emb_dev, q, valid, k=k)
                         return vals, idxs, q
                 fn = jax.jit(fused)
                 self._fused_jits[key] = fn
@@ -527,7 +536,8 @@ class DeviceVideoIndex:
         k = max(1, min(int(k), MAX_K))
         fetch = min(max(4 * k, k + 16), MAX_K)
         self._sync_device_int8()
-        key = (id(encode_fn), fetch, "int8")
+        from video_quierer_tpu.ops.topk import _candidate_mode
+        key = (id(encode_fn), fetch, "int8", _candidate_mode())
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
@@ -549,13 +559,16 @@ class DeviceVideoIndex:
                                         mesh=mesh)
                         return idxs, q
                 else:
+                    from video_quierer_tpu.ops.topk import \
+                        candidate_topk_int8
+
                     def fused(params, ids_dev, codes, scales, valid,
                               *, k=fetch):
                         q = encode_fn(params, ids_dev)
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
-                        _, idxs = cosine_topk_int8(codes, scales, q,
-                                                   valid, k=k)
+                        _, idxs = candidate_topk_int8(codes, scales, q,
+                                                      valid, k=k)
                         return idxs, q
                 fn = jax.jit(fused)
                 self._fused_jits[key] = fn
@@ -588,10 +601,11 @@ class DeviceVideoIndex:
                 self._device_emb, self._device_scales, jnp.asarray(q),
                 self._count, k=fetch, mesh=self.mesh)
         else:
-            _, idxs = cosine_topk_int8(self._device_emb,
-                                       self._device_scales,
-                                       jnp.asarray(q), self._count,
-                                       k=fetch)
+            from video_quierer_tpu.ops.topk import candidate_topk_int8
+            _, idxs = candidate_topk_int8(self._device_emb,
+                                          self._device_scales,
+                                          jnp.asarray(q), self._count,
+                                          k=fetch)
         return self._rerank_f32(q, np.asarray(idxs), k)
 
     def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int
