@@ -62,6 +62,11 @@ def main() -> None:
     _ = float(out.sum())  # value fetch = the only real sync here
     print(f"compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # settle pass: the first timed loop after a fresh compile measures
+    # 3-6x steady state on this runtime (see CLAUDE.md)
+    _ = float(sum(forward(params, steps[i]).sum()
+                  for i in range(args.steps)))
+
     t0 = time.time()
     outs = [forward(params, steps[i]) for i in range(args.steps)]
     # force completion of EVERY step with a value fetch —

@@ -105,6 +105,38 @@ def test_int8_approx_top1_matches_f32(rng, approx_mode):
                                rtol=1e-6)
 
 
+def test_bf16_approx_sharded_matches_f32(rng, approx_mode):
+    """Corpus-mesh bf16 index with the approx per-shard candidate stage:
+    results still f32-true vs a single-device float32 index."""
+    from video_quierer_tpu.parallel.mesh import corpus_mesh
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    b16 = DeviceVideoIndex(device_dtype="bfloat16", mesh=corpus_mesh(8))
+    emb = _unit_rows(rng, 700)
+    for idx in (f32, b16):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(700)])
+    q = emb[42] + 0.02 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=8)
+    got = b16.search(q, k=8)
+    assert [r["frame_id"] for r in got] == [r["frame_id"] for r in want]
+    np.testing.assert_allclose([r["score"] for r in got],
+                               [r["score"] for r in want], rtol=1e-6)
+
+
+def test_int8_approx_sharded_top1(rng, approx_mode):
+    from video_quierer_tpu.parallel.mesh import corpus_mesh
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    i8 = DeviceVideoIndex(device_dtype="int8", mesh=corpus_mesh(8))
+    emb = _unit_rows(rng, 512)
+    for idx in (f32, i8):
+        idx.add_batch(emb, "a.mp4", [float(t) for t in range(512)])
+    q = emb[77] + 0.05 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=5)
+    got = i8.search(q, k=5)
+    assert got[0]["frame_id"] == want[0]["frame_id"]
+    np.testing.assert_allclose(got[0]["score"], want[0]["score"],
+                               rtol=1e-6)
+
+
 def test_bf16_approx_fused_matches_two_step(rng, approx_mode):
     import jax.numpy as jnp
     b16 = DeviceVideoIndex(device_dtype="bfloat16")

@@ -396,6 +396,14 @@ class DeviceVideoIndex:
     # ------------------------------------------------------------------
 
     @staticmethod
+    def _candidate_impl() -> str:
+        """Per-shard scan impl for the re-ranked candidate stages
+        (bf16/int8): hardware ApproxTopK by default, the exact Pallas
+        scan under VQT_CANDIDATE_TOPK=pallas."""
+        from video_quierer_tpu.ops.topk import _candidate_mode
+        return "approx" if _candidate_mode() == "approx" else "exact"
+
+    @staticmethod
     def normalize_query(query: np.ndarray) -> np.ndarray:
         """Reference query normalization (video_search_overhaul.py:49-50)."""
         q = np.asarray(query, np.float32)
@@ -427,7 +435,9 @@ class DeviceVideoIndex:
             scan = (multislice_cosine_topk if is_multislice(self.mesh)
                     else sharded_cosine_topk)
             vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k_dev,
-                              mesh=self.mesh)
+                              mesh=self.mesh,
+                              impl=self._candidate_impl() if bf16
+                              else "exact")
         elif bf16:
             from video_quierer_tpu.ops.topk import candidate_topk
             vals, idxs = candidate_topk(emb, jnp.asarray(q), self._count,
@@ -498,12 +508,14 @@ class DeviceVideoIndex:
                             if is_multislice(self.mesh)
                             else sharded_cosine_topk)
                     mesh = self.mesh
+                    impl = self._candidate_impl() if bf16 else "exact"
 
                     def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
                         q = encode_fn(params, ids_dev)
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
-                        vals, idxs = scan(emb_dev, q, valid, k=k, mesh=mesh)
+                        vals, idxs = scan(emb_dev, q, valid, k=k,
+                                          mesh=mesh, impl=impl)
                         return vals, idxs, q
                 else:
                     from video_quierer_tpu.ops.topk import candidate_topk
@@ -549,6 +561,7 @@ class DeviceVideoIndex:
                              if is_multislice(self.mesh)
                              else sharded_cosine_topk_int8)
                     mesh = self.mesh
+                    impl = self._candidate_impl()
 
                     def fused(params, ids_dev, codes, scales, valid,
                               *, k=fetch):
@@ -556,7 +569,7 @@ class DeviceVideoIndex:
                         q = q / (jnp.linalg.norm(q, axis=-1,
                                                  keepdims=True) + 1e-10)
                         _, idxs = scan8(codes, scales, q, valid, k=k,
-                                        mesh=mesh)
+                                        mesh=mesh, impl=impl)
                         return idxs, q
                 else:
                     from video_quierer_tpu.ops.topk import \
@@ -599,7 +612,8 @@ class DeviceVideoIndex:
                      else sharded_cosine_topk_int8)
             _, idxs = scan8(
                 self._device_emb, self._device_scales, jnp.asarray(q),
-                self._count, k=fetch, mesh=self.mesh)
+                self._count, k=fetch, mesh=self.mesh,
+                impl=self._candidate_impl())
         else:
             from video_quierer_tpu.ops.topk import candidate_topk_int8
             _, idxs = candidate_topk_int8(self._device_emb,

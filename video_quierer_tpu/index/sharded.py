@@ -33,11 +33,35 @@ from jax import shard_map
 
 from video_quierer_tpu.ops.topk import (
     MAX_K,
+    _approx_recall,
+    _approx_scan,
+    _approx_scan_int8,
     cosine_topk,
     cosine_topk_int8,
     merge_topk,
 )
 from video_quierer_tpu.parallel.mesh import CORPUS_AXIS, DCN_AXIS
+
+
+def _scan_impl(impl: str):
+    """Per-shard scan for ``impl``: "exact" = the Pallas/XLA exact scan;
+    "approx" = one matmul + hardware ApproxTopK over the local shard
+    (candidate stage of the re-ranked bf16 mode — see
+    ops/topk.py:candidate_topk; callers restore exact results with the
+    host f32 re-rank)."""
+    if impl == "approx":
+        recall = _approx_recall()
+        return lambda emb, q, valid, *, k: _approx_scan(
+            emb, q, jnp.asarray(valid, jnp.int32), k=k, recall=recall)
+    return cosine_topk
+
+
+def _scan_impl_int8(impl: str):
+    if impl == "approx":
+        recall = _approx_recall()
+        return lambda c, s, q, valid, *, k: _approx_scan_int8(
+            c, s, q, jnp.asarray(valid, jnp.int32), k=k, recall=recall)
+    return cosine_topk_int8
 
 
 def is_multislice(mesh: Mesh) -> bool:
@@ -74,9 +98,9 @@ def _gather_merge(vals: jax.Array, idxs: jax.Array, axis_name: str,
     return merge_topk(cand_vals, cand_idxs, k=k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "impl"))
 def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
-                        *, k: int, mesh: Mesh
+                        *, k: int, mesh: Mesh, impl: str = "exact"
                         ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a corpus-sharded matrix.
 
@@ -100,7 +124,7 @@ def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
         i = jax.lax.axis_index(CORPUS_AXIS)
         offset = i * shard_rows
         local_valid = jnp.clip(valid - offset, 0, shard_rows)
-        vals, idxs = cosine_topk(emb_shard, q, local_valid, k=k)
+        vals, idxs = _scan_impl(impl)(emb_shard, q, local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
         return _gather_merge(vals, idxs, CORPUS_AXIS, n_shards, k)
 
@@ -114,9 +138,9 @@ def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
               jnp.asarray(valid_count, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "impl"))
 def multislice_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
-                           *, k: int, mesh: Mesh
+                           *, k: int, mesh: Mesh, impl: str = "exact"
                            ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over a corpus sharded across slices: per-shard scan →
     ICI merge within each slice → DCN merge of the slice winners.
@@ -139,7 +163,7 @@ def multislice_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
         c = jax.lax.axis_index(CORPUS_AXIS)
         offset = (s * per_slice + c) * shard_rows
         local_valid = jnp.clip(valid - offset, 0, shard_rows)
-        vals, idxs = cosine_topk(emb_shard, q, local_valid, k=k)
+        vals, idxs = _scan_impl(impl)(emb_shard, q, local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
         vals, idxs = _gather_merge(vals, idxs, CORPUS_AXIS, per_slice, k)
         return _gather_merge(vals, idxs, DCN_AXIS, n_slices, k)
@@ -154,10 +178,10 @@ def multislice_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
               jnp.asarray(valid_count, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "impl"))
 def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
                              queries: jax.Array, valid_count,
-                             *, k: int, mesh: Mesh
+                             *, k: int, mesh: Mesh, impl: str = "exact"
                              ) -> Tuple[jax.Array, jax.Array]:
     """Int8 variant of the sharded scan: per-shard quantized scan + ICI
     merge. Same candidate semantics as cosine_topk_int8 (callers re-rank
@@ -174,8 +198,8 @@ def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
         i = jax.lax.axis_index(CORPUS_AXIS)
         offset = i * shard_rows
         local_valid = jnp.clip(valid - offset, 0, shard_rows)
-        vals, idxs = cosine_topk_int8(codes_shard, scales_shard, q,
-                                      local_valid, k=k)
+        vals, idxs = _scan_impl_int8(impl)(codes_shard, scales_shard, q,
+                                           local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
         return _gather_merge(vals, idxs, CORPUS_AXIS, n_shards, k)
 
@@ -190,10 +214,10 @@ def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
               jnp.asarray(valid_count, jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "mesh"))
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "impl"))
 def multislice_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
                                 queries: jax.Array, valid_count,
-                                *, k: int, mesh: Mesh
+                                *, k: int, mesh: Mesh, impl: str = "exact"
                                 ) -> Tuple[jax.Array, jax.Array]:
     """Int8 hierarchical variant: per-shard quantized scan → ICI merge →
     DCN merge. Candidate semantics match cosine_topk_int8 (callers
@@ -213,8 +237,8 @@ def multislice_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
         c = jax.lax.axis_index(CORPUS_AXIS)
         offset = (s * per_slice + c) * shard_rows
         local_valid = jnp.clip(valid - offset, 0, shard_rows)
-        vals, idxs = cosine_topk_int8(codes_shard, scales_shard, q,
-                                      local_valid, k=k)
+        vals, idxs = _scan_impl_int8(impl)(codes_shard, scales_shard, q,
+                                           local_valid, k=k)
         idxs = jnp.where(idxs < 2**31 - 1, idxs + offset, idxs)
         vals, idxs = _gather_merge(vals, idxs, CORPUS_AXIS, per_slice, k)
         return _gather_merge(vals, idxs, DCN_AXIS, n_slices, k)
