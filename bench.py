@@ -61,7 +61,7 @@ def main() -> None:
     k = 10
     fetch = min(max(4 * k, k + 16), 64)             # index over-fetch rule
     queries = 64
-    coalesce = 16       # the server's enhanced_mode coalescer width
+    coalesce = 64       # the server's enhanced_mode coalescer width
     coalesce_batches = 8
 
     # Corpus generated directly on device (4 GB f32 + 2 GB bf16 mirror in
@@ -151,11 +151,11 @@ def main() -> None:
         "exact-f32 single", lambda ids: fused_f32(
             params, ids, emb, n_rows), all_ids, 1)
     co_ms, co_tput = run_mode(
-        "bf16+f32-rerank coalesced x16", lambda ids: fused_bf16(
+        "bf16+f32-rerank coalesced x64", lambda ids: fused_bf16(
             params, ids, emb16, emb, n_rows), batches, coalesce)
 
     best = max(bf16_tput, co_tput)
-    mode = ("16-way coalesced" if co_tput >= bf16_tput
+    mode = (f"{coalesce}-way coalesced" if co_tput >= bf16_tput
             else "per-request fused dispatch")
     print(json.dumps({
         "metric": "e2e_text_search_throughput_10kvideo_corpus",

@@ -28,11 +28,24 @@ def main() -> None:
     parser.add_argument("--log-level",
                         default=os.environ.get("VIDEO_SEARCH_LOG_LEVEL",
                                                "INFO"))
+    parser.add_argument("--platform", choices=["auto", "cpu"],
+                        default=os.environ.get("VQT_PLATFORM", "auto"),
+                        help="'cpu' forces the CPU backend (dev/CI boxes "
+                             "where the TPU is absent or busy); 'auto' "
+                             "uses whatever jax resolves")
     args = parser.parse_args()
 
     logging.basicConfig(
         level=getattr(logging, args.log_level.upper(), logging.INFO),
         format="%(levelname)s:%(name)s:%(message)s")
+
+    if args.platform == "cpu":
+        # must run before any backend use; the environment's TPU plugin
+        # overrides the JAX_PLATFORMS env var, so the in-process config
+        # update is the only reliable switch (tests/conftest.py does the
+        # same)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from pathlib import Path
 

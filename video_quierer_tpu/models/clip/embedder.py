@@ -40,7 +40,7 @@ logger = logging.getLogger(__name__)
 IMAGE_BUCKETS = (32, 128, 256)
 # bucket 1 serves the latency path (single text query) without padding to
 # a batch of 8
-TEXT_BUCKETS = (1, 8, 32)
+TEXT_BUCKETS = (1, 8, 32, 64)
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:

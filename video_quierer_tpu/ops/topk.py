@@ -66,9 +66,9 @@ BLOCK_ROWS = int(_os.environ.get("VQT_BLOCK_ROWS", "1024"))
 # Scoring engine for the single-query (B=1) kernel path. The MXU matmul
 # pads the 1-column rhs to a full 128-lane tile AND (for f32 exactness)
 # runs multi-pass fp32 emulation; an exact f32 VPU multiply+lane-reduce
-# avoids both. Measured on v5e over the 2M×512 corpus (pipelined,
-# completion-forced): 13.6 ms/q VPU vs 18.8 ms/q MXU, identical results.
-# VQT_SCAN_VPU=0 restores the MXU path.
+# avoids both (measured ~1.4× faster on v5e at 2M×512, identical
+# results; the exact f32 B=1 scan runs 6.8 ms/q @ 607 GB/s with the
+# settle-passed harness). VQT_SCAN_VPU=0 restores the MXU path.
 SCAN_VPU_B1 = _os.environ.get("VQT_SCAN_VPU", "1") == "1"
 
 # Number of row blocks whose scores accumulate in VMEM scratch before one
