@@ -69,3 +69,45 @@ def test_shutdown_autosave(tmp_path, auto_save):
     loop.call_soon_threadsafe(loop.stop)
     # auto_save=True → the index was re-persisted on shutdown
     assert engine.cache_path.exists() == auto_save
+
+
+def test_warmup_precompiles_single_and_coalesced(tmp_path, monkeypatch):
+    """VQT_WARMUP=1 exercises the per-k fused executables AND every
+    coalesced text-bucket width at boot, so the first concurrent burst
+    doesn't absorb a device compile."""
+    from video_quierer_tpu.models.clip.embedder import TEXT_BUCKETS
+
+    monkeypatch.setenv("VQT_WARMUP", "1")
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "a.mp4", n_frames=24)
+    cfg = EngineConfig(api=ApiConfig(max_frames=5))
+    engine = VideoSearchEngine(str(vids), config=cfg,
+                               embedder=FakeEmbedder())
+    app = create_app(engine=engine, config_path=tmp_path / "cfg.json",
+                     static_dir=tmp_path)
+    loop, state = _run_server(app)
+    base = f"http://127.0.0.1:{state['port']}"
+    # warm fires in a worker after startup: one search per distinct k +
+    # one batch per multi-query bucket (metrics "searches" counts
+    # queries)
+    want = len({1, cfg.api.default_results, 10}) + sum(TEXT_BUCKETS[1:])
+    for _ in range(200):
+        if engine.metrics.snapshot()["counters"].get("searches",
+                                                     0) >= want:
+            break
+        time.sleep(0.1)
+    assert engine.metrics.snapshot()["counters"]["searches"] >= want
+    # server still healthy and searchable after the warm pass
+    r = requests.post(base + "/api/search",
+                      json={"query": "anything", "k": 3})
+    assert r.status_code == 200
+
+    done = threading.Event()
+
+    async def stop():
+        await state["runner"].cleanup()
+        done.set()
+    asyncio.run_coroutine_threadsafe(stop(), loop)
+    assert done.wait(20)
+    loop.call_soon_threadsafe(loop.stop)

@@ -269,9 +269,17 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
                 emb = engine._get_embedder()
                 if hasattr(emb, "warmup"):
                     emb.warmup()
-                for k in sorted({1, engine.config.api.default_results,
-                                 10}):
+                ks = sorted({1, engine.config.api.default_results, 10})
+                for k in ks:
                     engine.search("warmup", k=k, use_cache=False)
+                # coalesced executables compile per text bucket; warm the
+                # widths the coalescer actually flushes so the first
+                # concurrent burst doesn't absorb a device compile
+                from video_quierer_tpu.models.clip.embedder import \
+                    TEXT_BUCKETS
+                for bucket in TEXT_BUCKETS[1:]:
+                    engine.search_batch(
+                        [f"warmup {i}" for i in range(bucket)], k=ks[-1])
             asyncio.get_running_loop().run_in_executor(None, _warm)
 
     async def on_shutdown(app_: web.Application):
