@@ -59,7 +59,7 @@ def main() -> None:
     n_rows = n_videos * frames_per_video            # 2.0 M frames
     n_pad = -(-n_rows // BLOCK_ROWS) * BLOCK_ROWS
     k = 10
-    fetch = min(max(4 * k, k + 16), 64)             # index over-fetch rule
+    fetch = max(256, 4 * k)     # index approx-candidate over-fetch rule
     queries = 64
     coalesce = 64       # the server's enhanced_mode coalescer width
     coalesce_batches = 8

@@ -403,6 +403,21 @@ class DeviceVideoIndex:
         from video_quierer_tpu.ops.topk import _candidate_mode
         return "approx" if _candidate_mode() == "approx" else "exact"
 
+    def _rerank_fetch(self, k: int) -> int:
+        """Candidate over-fetch for the re-ranked (bf16/int8) modes.
+
+        The approx stage fetches DEEP (default 256): ApproxTopK's
+        contiguous partial-reduce buckets lose near-ties of adjacent
+        rows at shallow fetch (measured — see ops/topk.py), and the
+        extra candidates cost nothing next to the matrix read. The
+        Pallas stage pays k serial selection rounds, so it keeps the
+        shallow rule capped at MAX_K."""
+        from video_quierer_tpu.ops.topk import (APPROX_FETCH_CAP,
+                                                _approx_fetch)
+        if self._candidate_impl() == "approx":
+            return min(_approx_fetch(k), APPROX_FETCH_CAP)
+        return min(max(4 * k, k + 16), MAX_K)
+
     @staticmethod
     def normalize_query(query: np.ndarray) -> np.ndarray:
         """Reference query normalization (video_search_overhaul.py:49-50)."""
@@ -427,7 +442,7 @@ class DeviceVideoIndex:
         # bf16 scan scores carry ~1e-2 quantization error; over-fetch and
         # re-rank the candidates in f32 on host (the int8 pattern), so
         # bf16 mode's RESULTS are f32-true while its HBM traffic is halved
-        k_dev = min(max(4 * k, k + 16), MAX_K) if bf16 else k
+        k_dev = self._rerank_fetch(k) if bf16 else k
         emb = self._sync_device()
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import (
@@ -492,7 +507,7 @@ class DeviceVideoIndex:
         bf16 = self.device_dtype == "bfloat16"
         # bf16 mirror: over-fetch on device, exact f32 re-rank on host
         # (same contract as int8 mode — results are f32-true)
-        k_dev = min(max(4 * k, k + 16), MAX_K) if bf16 else k
+        k_dev = self._rerank_fetch(k) if bf16 else k
         emb = self._sync_device()
         from video_quierer_tpu.ops.topk import _candidate_mode
         key = (id(encode_fn), k_dev, bf16,
@@ -546,7 +561,7 @@ class DeviceVideoIndex:
         if self._count == 0:
             return [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
-        fetch = min(max(4 * k, k + 16), MAX_K)
+        fetch = self._rerank_fetch(k)
         self._sync_device_int8()
         from video_quierer_tpu.ops.topk import _candidate_mode
         key = (id(encode_fn), fetch, "int8", _candidate_mode())
@@ -602,7 +617,7 @@ class DeviceVideoIndex:
         """
         from video_quierer_tpu.ops.topk import cosine_topk_int8
         self._sync_device_int8()
-        fetch = min(max(4 * k, k + 16), MAX_K)
+        fetch = self._rerank_fetch(k)
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import (
                 is_multislice, multislice_cosine_topk_int8,

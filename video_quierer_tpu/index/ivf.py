@@ -55,6 +55,7 @@ _ASSIGN_CHUNK = 65536
 
 def _ivf_scan_kernel(tiles_ref, qidx_ref, emb_tile_ref, ids_tile_ref,
                      qt_ref, vals_ref, idxs_ref, *, k: int):
+    from jax.experimental import pallas as pl
     b = qt_ref.shape[1]
     emb = emb_tile_ref[0]                       # [BLOCK_ROWS, D]
     ids = ids_tile_ref[0, :, 0]                 # [BLOCK_ROWS]
@@ -63,9 +64,21 @@ def _ivf_scan_kernel(tiles_ref, qidx_ref, emb_tile_ref, ids_tile_ref,
     # the exact fresh-buffer merge and the XLA fallback
     precision = (jax.lax.Precision.HIGHEST
                  if emb.dtype == jnp.float32 else None)
-    scores = jnp.dot(emb, qt_ref[:], preferred_element_type=jnp.float32,
-                     precision=precision)
-    ids_b = jnp.broadcast_to(ids[:, None], (ids.shape[0], b))
+    # Score the tile against ALL B query columns — the MXU pads the rhs
+    # to a 128-lane tile regardless, so this costs the same as one
+    # column, and DMAing the whole [D, B] matrix (replicated across
+    # steps) satisfies Mosaic's lane-tiling rule; a (D, 1) per-pair
+    # block does NOT (1 is neither 128-divisible nor the full lane dim
+    # — hardware lowering rejects it; interpret mode masked this).
+    scores_all = jnp.dot(emb, qt_ref[:],
+                         preferred_element_type=jnp.float32,
+                         precision=precision)   # [BLOCK_ROWS, B]
+    # one-hot select this pair's query column (qidx is scalar-prefetch)
+    col = qidx_ref[pl.program_id(0)]
+    onehot = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1) == col
+    scores = jnp.sum(jnp.where(onehot, scores_all, 0.0), axis=1,
+                     keepdims=True)             # [BLOCK_ROWS, 1]
+    ids_b = ids[:, None]
     scores = jnp.where(ids_b >= 0, scores, NEG_INF)
     vals, idxs = _block_topk_body(scores, ids_b, k)
     vals_ref[0] = vals
@@ -103,8 +116,11 @@ def _pallas_probe_scan(tiled_emb, tiled_ids, tile_list, qidx, qt,
             pl.BlockSpec((1, BLOCK_ROWS, 1),
                          lambda i, tiles_ref, qidx_ref: (tiles_ref[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1),
-                         lambda i, tiles_ref, qidx_ref: (0, qidx_ref[i]),
+            # whole [D, B] query matrix each step (replicated block —
+            # Pallas skips the re-DMA when the index map is constant);
+            # the kernel one-hot-selects its pair's column
+            pl.BlockSpec((d, qt.shape[1]),
+                         lambda i, tiles_ref, qidx_ref: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

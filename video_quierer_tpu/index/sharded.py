@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from video_quierer_tpu.ops.topk import (
+    APPROX_FETCH_CAP,
     MAX_K,
     _approx_recall,
     _approx_scan,
@@ -112,8 +113,9 @@ def sharded_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
 
     Returns replicated ``(scores [B, k], global_indices [B, k] i32)``.
     """
-    if k <= 0 or k > MAX_K:
-        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    k_cap = APPROX_FETCH_CAP if impl == "approx" else MAX_K
+    if k <= 0 or k > k_cap:
+        raise ValueError(f"k must be in [1, {k_cap}], got {k}")
     n_shards = mesh.shape[CORPUS_AXIS]
     n_pad = emb.shape[0]
     if n_pad % n_shards:
@@ -148,8 +150,9 @@ def multislice_cosine_topk(emb: jax.Array, queries: jax.Array, valid_count,
     Args match :func:`sharded_cosine_topk`; ``emb`` is sharded
     ``P(('dcn', 'corpus'), None)`` over a 2-D multi-slice mesh.
     """
-    if k <= 0 or k > MAX_K:
-        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    k_cap = APPROX_FETCH_CAP if impl == "approx" else MAX_K
+    if k <= 0 or k > k_cap:
+        raise ValueError(f"k must be in [1, {k_cap}], got {k}")
     n_slices = mesh.shape[DCN_AXIS]
     per_slice = mesh.shape[CORPUS_AXIS]
     n_shards = n_slices * per_slice
@@ -186,8 +189,9 @@ def sharded_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
     """Int8 variant of the sharded scan: per-shard quantized scan + ICI
     merge. Same candidate semantics as cosine_topk_int8 (callers re-rank
     in f32 for exact final ordering)."""
-    if k <= 0 or k > MAX_K:
-        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    k_cap = APPROX_FETCH_CAP if impl == "approx" else MAX_K
+    if k <= 0 or k > k_cap:
+        raise ValueError(f"k must be in [1, {k_cap}], got {k}")
     n_shards = mesh.shape[CORPUS_AXIS]
     n_pad = codes.shape[0]
     if n_pad % n_shards:
@@ -222,8 +226,9 @@ def multislice_cosine_topk_int8(codes: jax.Array, scales: jax.Array,
     """Int8 hierarchical variant: per-shard quantized scan → ICI merge →
     DCN merge. Candidate semantics match cosine_topk_int8 (callers
     re-rank in f32)."""
-    if k <= 0 or k > MAX_K:
-        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    k_cap = APPROX_FETCH_CAP if impl == "approx" else MAX_K
+    if k <= 0 or k > k_cap:
+        raise ValueError(f"k must be in [1, {k_cap}], got {k}")
     n_slices = mesh.shape[DCN_AXIS]
     per_slice = mesh.shape[CORPUS_AXIS]
     n_shards = n_slices * per_slice
