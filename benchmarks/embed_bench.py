@@ -22,19 +22,23 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
+    parser.add_argument("--model", default="b32",
+                        choices=["b32", "b16", "l14"])
     args = parser.parse_args()
 
     import numpy as np
     import jax
     import jax.numpy as jnp
 
-    from video_quierer_tpu.models.clip.config import vit_b_32
+    from video_quierer_tpu.models.clip.config import (vit_b_16, vit_b_32,
+                                                      vit_l_14)
     from video_quierer_tpu.models.clip.model import CLIP, init_params
     from video_quierer_tpu.ops.preprocess import normalize_images
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = CLIP(vit_b_32(), dtype=dtype)
+    cfg = {"b32": vit_b_32, "b16": vit_b_16, "l14": vit_l_14}[args.model]()
+    model = CLIP(cfg, dtype=dtype)
     params = init_params(model, seed=0)
 
     @jax.jit
@@ -75,8 +79,9 @@ def main() -> None:
     assert checksum == checksum  # not NaN
     dt = time.time() - t0
     fps = args.batch * args.steps / dt
-    flops = 2 * 4.36e9 * args.batch * args.steps  # ~4.36 GFLOP/image fwd
-    print(f"batch={args.batch} dtype={args.dtype}: "
+    gflop = {"b32": 4.36, "b16": 17.6, "l14": 80.7}[args.model]
+    flops = 2 * gflop * 1e9 * args.batch * args.steps  # fwd GFLOP/image
+    print(f"model={args.model} batch={args.batch} dtype={args.dtype}: "
           f"{fps:.0f} frames/s/chip "
           f"({dt / args.steps * 1000:.1f} ms/batch, "
           f"~{flops / dt / 1e12:.1f} TFLOP/s)")
