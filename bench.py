@@ -161,8 +161,8 @@ def main() -> None:
         "metric": "e2e_text_search_throughput_10kvideo_corpus",
         "value": round(best, 1),
         "unit": "searches/sec sustained (CLIP text encode + 2M-frame bf16 "
-                "scan + exact f32 re-rank fused per dispatch - f32-true "
-                "results; 1 chip, completion-forced; best mode: "
+                "candidate scan + exact f32 re-rank fused per dispatch - "
+                "f32-scored results; 1 chip, completion-forced; best mode: "
                 f"{mode}; per-query {bf16_ms:.2f} ms pipelined, exact-f32 "
                 f"scan {f32_ms:.2f} ms)",
         "vs_baseline": round(best / 100.0, 2),

@@ -184,11 +184,12 @@ def test_search_videos_matches_oracle(rng, dtype):
     assert len(got) == 3
     for g, (score, vid, best) in zip(got, want):
         assert g["video_name"] == f"vid{vid}.mp4"
+        # all dtypes rank from the exact f32 means and pick best frames
+        # from the f32 rows (round-2 review fix: quantized fscores used
+        # to leak into best_timestamp)
         np.testing.assert_allclose(g["score"], score, atol=1e-6,
-                                    rtol=2e-2
-                                    if dtype != "float32" else 1e-5)
-        if dtype == "float32":
-            assert g["best_timestamp"] == float(idx._timestamps[best])
+                                   rtol=1e-5)
+        assert g["best_timestamp"] == float(idx._timestamps[best])
 
 
 def test_search_videos_incremental_after_remove(rng):

@@ -277,3 +277,74 @@ def test_sharded_ivf_fresh_buffer_merge(rng):
     vals, idxs = ivf.search(q, k=1)
     assert idxs[0] == 1500 + 11
     np.testing.assert_allclose(vals[0], 1.0, rtol=1e-5)
+
+
+def test_sharded_ivf_full_probe_skewed_packing(rng):
+    """Round-2 review fix: the per-device slot list must size to the
+    WORST-CASE probes a device owns, not a 2x-average heuristic — greedy
+    packing can put every small probed cluster on one device (skewed
+    cluster sizes), and the old fixed cap silently dropped the excess."""
+    # 4 big clusters + 24 tiny ones -> greedy balance piles the tiny
+    # clusters onto the devices not holding a big one
+    sizes = [600] * 4 + [16] * 24
+    centers = _unit(rng, len(sizes))
+    rows = []
+    for c, n_c in enumerate(sizes):
+        pts = centers[c] + 0.1 * rng.standard_normal(
+            (n_c, 512)).astype(np.float32)
+        rows.append(pts / np.linalg.norm(pts, axis=-1, keepdims=True))
+    emb = np.concatenate(rows)
+    n = emb.shape[0]
+    ivf = IVFIndex(nlist=28, nprobe=28, seed=0, balance_factor=0,
+                   mesh=_mesh8())
+    ivf.build(emb)
+    q = _unit(rng, 3)
+    exact_vals, exact_idx = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                                        n, k=6)
+    vals, idxs = ivf.search(q, k=6)
+    for b in range(3):
+        assert set(idxs[b][idxs[b] >= 0].tolist()) == \
+            set(np.asarray(exact_idx)[b].tolist()), b
+
+
+def test_ivf_add_copies_input(rng):
+    """Round-2 review fix: add() must snapshot the rows — callers pass
+    live index slices that in-place compaction later rewrites."""
+    emb = _unit(rng, 600)
+    ivf = IVFIndex(nlist=8, nprobe=8, seed=0)
+    ivf.build(emb)
+    fresh = _unit(rng, 8)
+    ivf.add(fresh)
+    probe = fresh[3].copy()
+    fresh[:] = 0.0  # caller mutates its buffer after add()
+    vals, idxs = ivf.search(probe, k=1)
+    assert idxs[0] == 600 + 3
+    np.testing.assert_allclose(vals[0], 1.0, rtol=1e-5)
+
+
+def test_ivf_query_bucketing_consistent(rng):
+    """Odd batch widths pad to the executable buckets; results must be
+    identical to per-query searches and sized to the real batch."""
+    emb = _unit(rng, 1024)
+    ivf = IVFIndex(nlist=8, nprobe=4, seed=0)
+    ivf.build(emb)
+    q = _unit(rng, 5)  # pads to the 8-bucket
+    vals, idxs = ivf.search(q, k=4)
+    assert vals.shape == (5, 4) and idxs.shape == (5, 4)
+    for b in range(5):
+        v1, i1 = ivf.search(q[b], k=4)
+        np.testing.assert_array_equal(idxs[b], i1)
+        np.testing.assert_allclose(vals[b], v1, rtol=1e-6)
+
+
+def test_sharded_ivf_build_keeps_tiles_on_host(rng):
+    """Round-2 review fix: mesh-mode build must not replicate the full
+    tile array on one device — only the per-device shards go to HBM."""
+    emb = _unit(rng, 1024)
+    ivf = IVFIndex(nlist=8, nprobe=4, seed=0, mesh=_mesh8())
+    ivf.build(emb)
+    assert isinstance(ivf._tiled, np.ndarray)
+    assert isinstance(ivf._row_ids, np.ndarray)
+    # reconstruction still works from the host copies
+    rec = ivf._reconstruct_corpus()
+    np.testing.assert_allclose(rec, emb, rtol=1e-6)

@@ -84,12 +84,14 @@ class IndexConfig:
     # on a (dcn, corpus) mesh — hierarchical ICI→DCN top-k merge
     corpus_slices: int = 1
     # Device mirror dtype. Default "bfloat16": halves the scan's HBM
-    # traffic — its entire cost (measured 4.3 ms/q bf16 vs 6.8 ms f32
-    # at k=10 over 2M rows on v5e) — while staying f32-TRUE: the index
-    # over-fetches and exactly re-ranks candidates against its f32 host
-    # rows, so returned scores/ranks match float32 mode (near-tie tests
-    # pin this). "float32" = scan in f32 outright; "int8" =
-    # quarter-traffic mode (same re-rank contract).
+    # traffic — its entire cost (3.77 ms/query e2e vs 6.65 exact-f32 at
+    # 2M rows on v5e). The index over-fetches candidates and exactly
+    # re-ranks them against its f32 host rows, so returned rows carry
+    # exact f32 scores in f32 order; the approximate candidate stage
+    # can miss a near-tied true top-k row on adversarial clustered
+    # corpora (measured ≤0.5%; VQT_APPROX_RECALL=0.999 or
+    # VQT_CANDIDATE_TOPK=pallas close it — ops/topk.py). "float32" =
+    # exact scan outright; "int8" = quarter-traffic, same contract.
     device_dtype: str = "bfloat16"
     # search tier: "exact" = fused full scan (the default; exact-scan
     # mandate, SURVEY.md §6); "ivf" = cluster-pruned ANN (index/ivf.py,
@@ -167,6 +169,7 @@ _ENV_OVERRIDES = {
     "VQT_INDEX_KIND": ("index.kind", str),
     "VQT_IVF_NLIST": ("index.ivf_nlist", int),
     "VQT_IVF_NPROBE": ("index.ivf_nprobe", int),
+    "VQT_IVF_MIN_ROWS": ("index.ivf_min_rows", int),
     "VQT_MODEL_FAMILY": ("model.family", str),
 }
 

@@ -92,21 +92,22 @@ def _video_rank_device(emb, scales, vid_ids, means, counts, q, valid, *,
                        k: int):
     """One-dispatch video ranking: normalize the per-video means, take the
     top-k videos by cosine, then find each winner's best frame with k
-    masked argmaxes over the frame scores. ``scales`` is the int8 mode's
-    per-row dequant column (None otherwise)."""
+    masked argmaxes over the frame scores. Only the exact f32 mirror uses
+    this path (``scales`` retained for signature stability, always None);
+    quantized/mesh modes rank on host so best_timestamp stays f32-exact."""
     mnorm = means / jnp.maximum(
         jnp.linalg.norm(means, axis=-1, keepdims=True), 1e-10)
-    vscores = jnp.where(counts > 0, mnorm @ q, _NEG_INF)
+    # HIGHEST: the TPU default matmul precision is bf16x1, which would
+    # put ~1e-3 error into the video ranking even in float32 mode (the
+    # means matrix is tiny, so exactness is free)
+    vscores = jnp.where(
+        counts > 0,
+        jnp.dot(mnorm, q, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32),
+        _NEG_INF)
     top_vals, top_vids = jax.lax.top_k(vscores, k)
-    if scales is not None:  # int8 codes
-        fscores = jnp.dot(emb.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
-                          preferred_element_type=jnp.float32) * scales[:, 0]
-    else:
-        precision = (jax.lax.Precision.HIGHEST
-                     if emb.dtype == jnp.float32 else None)
-        fscores = jnp.dot(emb, q.astype(emb.dtype),
-                          preferred_element_type=jnp.float32,
-                          precision=precision)
+    fscores = jnp.dot(emb, q, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     rows = jnp.arange(fscores.shape[0], dtype=jnp.int32)
     fscores = jnp.where(rows < valid, fscores, _NEG_INF)
     best = jnp.stack([
@@ -121,9 +122,14 @@ class DeviceVideoIndex:
     def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32",
                  mesh=None):
         """``device_dtype='bfloat16'`` halves the scan's HBM traffic (the
-        entire cost of a query) at ~1e-2 score precision; the host copy —
-        and therefore the pickle cache — stays f32 for format parity.
-        Accumulation is f32 either way (ops/topk.py).
+        entire cost of a query); results stay f32-scored and f32-ordered
+        because the scan only FETCHES candidates that are exactly
+        re-ranked against the f32 host rows (``_rerank_f32``). The host
+        copy — and therefore the pickle cache — stays f32 for format
+        parity. On corpora with dense near-ties the default ApproxTopK
+        candidate stage can miss a true top-k row (see
+        ops/topk.py:APPROX_FETCH_CAP notes for the measured bound and
+        the knobs that close it).
 
         ``mesh``: a ``jax.sharding.Mesh`` with a ``corpus`` axis. The
         device mirror is then row-sharded across it and every search runs
@@ -639,7 +645,8 @@ class DeviceVideoIndex:
 
     def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int
                      ) -> List[List[Dict]]:
-        """Exact f32 re-rank of int8-scan candidates against host rows."""
+        """Exact f32 re-rank of candidate rows (bf16 and int8 modes, both
+        two-step and fused paths) against the f32 host matrix."""
         out: List[List[Dict]] = []
         for b in range(idxs.shape[0]):
             cand = idxs[b][idxs[b] < self._count]
@@ -707,21 +714,27 @@ class DeviceVideoIndex:
             return []
         k = max(1, min(int(k), MAX_K))
         q = self.normalize_query(query_embedding)
-        if self.mesh is not None:
-            return self._search_videos_host(q, k)
-        if self.device_dtype == "int8":
-            self._sync_device_int8()
-            emb, scales = self._device_emb, self._device_scales
-        else:
-            emb, scales = self._sync_device(), None
-        self._sync_video_state()
-        tv, tvid, best = _video_rank_device(
-            emb, scales, self._dev_vid_ids, self._dev_means,
-            self._dev_counts, jnp.asarray(q), jnp.int32(self._count), k=k)
-        return self._video_rows(np.asarray(tv), np.asarray(tvid),
-                                np.asarray(best))
+        if self.mesh is None and self.device_dtype == "float32":
+            # exact f32 mirror: ranking + best frames in ONE dispatch
+            emb = self._sync_device()
+            self._sync_video_state()
+            tv, tvid, best = _video_rank_device(
+                emb, None, self._dev_vid_ids, self._dev_means,
+                self._dev_counts, jnp.asarray(q), jnp.int32(self._count),
+                k=k)
+            return self._video_rows(np.asarray(tv), np.asarray(tvid),
+                                    np.asarray(best))
+        # Quantized mirrors / mesh: the device fscores would carry bf16 or
+        # int8 error into each winner's best_timestamp (near-duplicate
+        # frames swap within ~1e-2), so rank on host instead — the means
+        # matrix is tiny, and best frames touch only each winner's own
+        # rows. No corpus-wide O(N·D) host matmul anywhere.
+        return self._search_videos_host(q, k)
 
     def _search_videos_host(self, q: np.ndarray, k: int) -> List[Dict]:
+        """Exact f32 video ranking on host: means ([V, D], ~1000× smaller
+        than the corpus) rank the videos; each winner's best frame comes
+        from a pass over ITS rows only."""
         v = len(self._video_names)
         counts = self._video_counts[:v]
         means = (self._video_sums[:v]
@@ -731,13 +744,23 @@ class DeviceVideoIndex:
         scores = means @ q
         scores = np.where(counts > 0, scores, -np.inf)
         order = np.argsort(-scores, kind="stable")[:k]
-        fscores = self._emb[: self._count] @ q
+        best = self._best_frames_host(q, order)
+        return self._video_rows(scores[order], order, best)
+
+    def _best_frames_host(self, q: np.ndarray, vids: np.ndarray
+                          ) -> np.ndarray:
+        """Exact f32 best frame per video: O(count) id compare plus an
+        O(rows_of_video · D) matmul per winner — never the full corpus."""
+        ids = self._video_ids[: self._count]
         best = []
-        for vid in order:
-            m = np.where(self._video_ids[: self._count] == vid, fscores,
-                         -np.inf)
-            best.append(int(np.argmax(m)))
-        return self._video_rows(scores[order], order, np.asarray(best))
+        for vid in vids:
+            rows = np.nonzero(ids == int(vid))[0]
+            if rows.size == 0:
+                best.append(0)
+                continue
+            s = self._emb[rows] @ q
+            best.append(int(rows[np.argmax(s)]))  # ties → lowest row
+        return np.asarray(best, np.int64)
 
     def _video_rows(self, vals: np.ndarray, vids: np.ndarray,
                     best_rows: np.ndarray) -> List[Dict]:

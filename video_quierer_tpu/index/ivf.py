@@ -43,6 +43,11 @@ logger = logging.getLogger(__name__)
 
 _ASSIGN_CHUNK = 65536
 
+# Probe-scan executables are compiled per static batch shape; coalesced
+# serving flushes arbitrary widths, so queries pad to these buckets
+# (mirrors the fused text path's TEXT_BUCKETS discipline).
+_QUERY_BUCKETS = (1, 8, 32, 64)
+
 
 # ---------------------------------------------------------------------------
 # Pallas zero-copy probe scan: the grid walks a *runtime-selected* list of
@@ -401,8 +406,16 @@ class IVFIndex:
         self.nlist = nlist
         self._centroids = jnp.asarray(np.asarray(centroids))
         self._centroids_np = np.asarray(self._centroids)
-        self._tiled = jnp.asarray(tiled)
-        self._row_ids = jnp.asarray(row_ids.astype(np.int32))
+        if self.mesh is not None:
+            # mesh mode never scans the unsharded tiles on device; a
+            # jnp.asarray here would materialize the FULL corpus on one
+            # chip — the exact failure mode the distributed tier exists
+            # to avoid. Host copies serve _reconstruct_corpus.
+            self._tiled = tiled
+            self._row_ids = row_ids.astype(np.int32)
+        else:
+            self._tiled = jnp.asarray(tiled)
+            self._row_ids = jnp.asarray(row_ids.astype(np.int32))
         self._tile_start = jnp.asarray(tile_start[:-1].astype(np.int32))
         self._tile_counts = jnp.asarray(
             tiles_per_cluster.astype(np.int32))
@@ -451,8 +464,11 @@ class IVFIndex:
             li[d, s: s + n_t] = row_ids[g: g + n_t]
         spec = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None, None))
         ispec = NamedSharding(self.mesh, P(CORPUS_AXIS, None, None))
-        self._sh_tiled = jax.device_put(jnp.asarray(lt), spec)
-        self._sh_ids = jax.device_put(jnp.asarray(li), ispec)
+        # device_put straight from host numpy: each device receives only
+        # ITS shard (a jnp.asarray first would stage the full replica on
+        # the default device)
+        self._sh_tiled = jax.device_put(lt, spec)
+        self._sh_ids = jax.device_put(li, ispec)
         self._cluster_dev = dev_of
         self._cluster_local_start = local_start
         self._local_pad_tile = t_local
@@ -489,7 +505,11 @@ class IVFIndex:
         continuing after the built corpus."""
         if not self._built:
             raise RuntimeError("IVFIndex.build() first")
-        emb_new = np.asarray(emb_new, np.float32)
+        # np.array COPIES: np.asarray of an already-f32 input returns a
+        # view, and callers pass live index slices that in-place
+        # compaction (DeviceVideoIndex.remove_video) would later rewrite
+        # under our stored ids
+        emb_new = np.array(emb_new, np.float32)
         self._fresh = emb_new if self._fresh is None else \
             np.concatenate([self._fresh, emb_new])
 
@@ -529,6 +549,17 @@ class IVFIndex:
         squeeze = queries.ndim == 1
         if squeeze:
             queries = queries[None]
+        # Bucket the batch size: the probe-scan executables are compiled
+        # per static (b, tiles) shape, and coalesced serving flushes
+        # arbitrary widths — without bucketing every new width pays a
+        # device compile (minutes over the remote tunnel). Padded query
+        # slots route to the padding tile only (no real scan work).
+        b_real = queries.shape[0]
+        bucket = next((x for x in _QUERY_BUCKETS if x >= b_real), b_real)
+        if bucket > b_real:
+            queries = np.concatenate(
+                [queries, np.zeros((bucket - b_real, queries.shape[1]),
+                                   np.float32)])
         # per-probe tile budget: 4× the median cluster keeps the scan
         # bounded when k-means produces skewed cluster sizes
         budget = min(self._max_tiles, max(1, 4 * self._median_tiles))
@@ -538,12 +569,12 @@ class IVFIndex:
             # off-TPU without the interpret env still works: the pair-grid
             # kernel runs through the Pallas interpreter
             vals, idxs = self._search_sharded(
-                queries, k, nprobe, budget,
+                queries, k, nprobe, budget, n_real=b_real,
                 interpret=(mode != "compiled"))
         # the Pallas pair-grid kernel handles any batch size in one launch
         elif mode != "off":
             vals, idxs = self._search_pallas(
-                queries, k, nprobe, budget, tiles,
+                queries, k, nprobe, budget, tiles, n_real=b_real,
                 interpret=(mode == "interpret"))
         else:
             v, i = _probe_and_scan(
@@ -551,6 +582,8 @@ class IVFIndex:
                 self._tile_counts, self._row_ids, jnp.asarray(queries),
                 k=k, nprobe=nprobe, tiles=tiles)
             vals, idxs = np.asarray(v), np.asarray(i)
+        vals, idxs = vals[:b_real], idxs[:b_real]
+        queries = queries[:b_real]
         if self._fresh is not None and self._fresh.shape[0] > 0:
             vals, idxs = self._merge_fresh(queries, vals, idxs, k)
         if squeeze:
@@ -576,7 +609,7 @@ class IVFIndex:
         return out_v, out_i
 
     def _search_sharded(self, queries: np.ndarray, k: int, nprobe: int,
-                        budget: int, interpret: bool
+                        budget: int, n_real: int, interpret: bool
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Distributed probe scan: host routes each probed cluster to its
         owning device's slot list; every device runs the pair-grid kernel
@@ -584,25 +617,32 @@ class IVFIndex:
         all_gather, as in sharded_cosine_topk)."""
         b = queries.shape[0]
         n_dev = self._n_dev
-        csims = queries @ self._centroids_np.T
-        # per-(query, device) slot budget: expected probes/device with 2×
-        # skew headroom; overflow drops the LOWEST-scored excess probes
-        # (approximation, bounded and static)
-        probes_per_dev = min(nprobe, 2 * (-(-nprobe // n_dev)))
-        dev_slots = probes_per_dev * budget
-        pad = self._local_pad_tile
-        tile_lists = np.full((n_dev, b * dev_slots), pad, np.int32)
-        for qi in range(b):
+        csims = queries[:n_real] @ self._centroids_np.T
+        # Route first: exact worst-case per-(query, device) slot need, so
+        # NO probed cluster is ever dropped (a fixed 2x-headroom budget
+        # silently discarded probes when greedy packing put many probed
+        # clusters on one device — skewed cluster sizes do that). The
+        # need is then rounded up to a power of two so the number of
+        # distinct (dev_slots, b) executables stays bounded.
+        probes = []
+        need = 1
+        for qi in range(n_real):
             cl = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
             cl = cl[np.argsort(-csims[qi][cl], kind="stable")]
+            probes.append(cl)
+            per_dev = np.zeros(n_dev, np.int64)
+            for c in cl:
+                per_dev[self._cluster_dev[c]] += min(
+                    int(self._tile_counts_np[c]), budget)
+            need = max(need, int(per_dev.max()))
+        dev_slots = 1 << (need - 1).bit_length()
+        pad = self._local_pad_tile
+        tile_lists = np.full((n_dev, b * dev_slots), pad, np.int32)
+        for qi, cl in enumerate(probes):
             cursor = (qi * dev_slots) * np.ones(n_dev, np.int64)
-            limit = (qi + 1) * dev_slots
             for c in cl:
                 d = self._cluster_dev[c]
-                cnt = int(min(self._tile_counts_np[c], budget,
-                              limit - cursor[d]))
-                if cnt <= 0:
-                    continue
+                cnt = int(min(self._tile_counts_np[c], budget))
                 s = self._cluster_local_start[c]
                 tile_lists[d, cursor[d]: cursor[d] + cnt] = \
                     np.arange(s, s + cnt)
@@ -620,15 +660,16 @@ class IVFIndex:
         return out_v, out_i
 
     def _search_pallas(self, queries: np.ndarray, k: int, nprobe: int,
-                       budget: int, tiles: int, interpret: bool
+                       budget: int, tiles: int, n_real: int,
+                       interpret: bool
                        ) -> Tuple[np.ndarray, np.ndarray]:
         """Zero-copy probe scan: build the (query, tile) pair list on host
         (tiny) and let ONE Pallas grid DMA exactly those tiles."""
         b = queries.shape[0]
-        csims = queries @ self._centroids_np.T            # [B, C]
+        csims = queries[:n_real] @ self._centroids_np.T   # [n_real, C]
         tile_list = np.full(b * tiles, self._pad_tile, np.int32)
         qidx = np.repeat(np.arange(b, dtype=np.int32), tiles)
-        for qi in range(b):
+        for qi in range(n_real):
             clusters = np.argpartition(-csims[qi], nprobe - 1)[:nprobe]
             starts = self._tile_start_np[clusters]
             counts = np.minimum(self._tile_counts_np[clusters], budget)
