@@ -499,116 +499,77 @@ class DeviceVideoIndex:
         and scores match search_batch exactly (the tower already
         L2-normalizes; the scan is identical).
 
-        int8 mode fuses the encoder into the over-fetching int8 scan (one
-        dispatch returns candidates AND the encoded queries), then re-ranks
-        the candidates exactly in f32 on host — same results as the
-        two-step int8 path.
+        The bf16/int8 mirrors fuse the encoder into their over-fetching
+        candidate scan (one dispatch returns candidates AND the encoded
+        queries), then re-rank the candidates exactly in f32 on host —
+        same results as their two-step paths.
         """
-        if self.device_dtype == "int8":
-            return self._search_batch_fused_int8(encode_fn, params, ids, k)
         n_q = int(np.asarray(ids).shape[0])
         if self._count == 0:
             return [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
-        bf16 = self.device_dtype == "bfloat16"
-        # bf16 mirror: over-fetch on device, exact f32 re-rank on host
-        # (same contract as int8 mode — results are f32-true)
-        k_dev = self._rerank_fetch(k) if bf16 else k
-        emb = self._sync_device()
+        rerank = self.device_dtype in ("bfloat16", "int8")
+        k_dev = self._rerank_fetch(k) if rerank else k
+        if self.device_dtype == "int8":
+            self._sync_device_int8()
+            operands = (self._device_emb, self._device_scales)
+        else:
+            operands = (self._sync_device(),)
         from video_quierer_tpu.ops.topk import _candidate_mode
-        key = (id(encode_fn), k_dev, bf16,
-               _candidate_mode() if bf16 else None)
+        key = (id(encode_fn), k_dev, self.device_dtype,
+               _candidate_mode() if rerank else None)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
-                if self.mesh is not None:
-                    from video_quierer_tpu.index.sharded import (
-                        is_multislice, multislice_cosine_topk,
-                        sharded_cosine_topk)
-                    scan = (multislice_cosine_topk
-                            if is_multislice(self.mesh)
-                            else sharded_cosine_topk)
-                    mesh = self.mesh
-                    impl = self._candidate_impl() if bf16 else "exact"
+                scan = self._fused_scan_fn()
 
-                    def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
-                        q = encode_fn(params, ids_dev)
-                        q = q / (jnp.linalg.norm(q, axis=-1,
-                                                 keepdims=True) + 1e-10)
-                        vals, idxs = scan(emb_dev, q, valid, k=k,
-                                          mesh=mesh, impl=impl)
-                        return vals, idxs, q
-                else:
-                    from video_quierer_tpu.ops.topk import candidate_topk
-                    scan1 = candidate_topk if bf16 else cosine_topk
-
-                    def fused(params, ids_dev, emb_dev, valid, *, k=k_dev):
-                        q = encode_fn(params, ids_dev)
-                        q = q / (jnp.linalg.norm(q, axis=-1,
-                                                 keepdims=True) + 1e-10)
-                        vals, idxs = scan1(emb_dev, q, valid, k=k)
-                        return vals, idxs, q
+                def fused(params, ids_dev, *ops_valid, k=k_dev):
+                    *ops, valid = ops_valid
+                    q = encode_fn(params, ids_dev)
+                    q = q / (jnp.linalg.norm(q, axis=-1,
+                                             keepdims=True) + 1e-10)
+                    vals, idxs = scan(ops, q, valid, k)
+                    return vals, idxs, q
                 fn = jax.jit(fused)
                 self._fused_jits[key] = fn
-        vals, idxs, q = fn(params, jnp.asarray(ids), emb,
+        vals, idxs, q = fn(params, jnp.asarray(ids), *operands,
                            jnp.int32(self._count))
-        if bf16:
+        if rerank:
             return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
-    def _search_batch_fused_int8(self, encode_fn, params, ids, k: int
-                                 ) -> List[List[Dict]]:
-        """Fused int8 path: text tower + over-fetching int8 scan in ONE
-        dispatch (the queries come back with the candidates for the host
-        f32 re-rank). Round-1 VERDICT item 9: the lowest-HBM-traffic mode
-        used to lose the single-dispatch optimization."""
-        from video_quierer_tpu.ops.topk import cosine_topk_int8
-        n_q = int(np.asarray(ids).shape[0])
-        if self._count == 0:
-            return [[] for _ in range(n_q)]
-        k = max(1, min(int(k), MAX_K))
-        fetch = self._rerank_fetch(k)
-        self._sync_device_int8()
-        from video_quierer_tpu.ops.topk import _candidate_mode
-        key = (id(encode_fn), fetch, "int8", _candidate_mode())
-        with self._sync_lock:
-            fn = self._fused_jits.get(key)
-            if fn is None:
-                if self.mesh is not None:
-                    from video_quierer_tpu.index.sharded import (
-                        is_multislice, multislice_cosine_topk_int8,
-                        sharded_cosine_topk_int8)
-                    scan8 = (multislice_cosine_topk_int8
-                             if is_multislice(self.mesh)
-                             else sharded_cosine_topk_int8)
-                    mesh = self.mesh
-                    impl = self._candidate_impl()
-
-                    def fused(params, ids_dev, codes, scales, valid,
-                              *, k=fetch):
-                        q = encode_fn(params, ids_dev)
-                        q = q / (jnp.linalg.norm(q, axis=-1,
-                                                 keepdims=True) + 1e-10)
-                        _, idxs = scan8(codes, scales, q, valid, k=k,
-                                        mesh=mesh, impl=impl)
-                        return idxs, q
-                else:
-                    from video_quierer_tpu.ops.topk import \
-                        candidate_topk_int8
-
-                    def fused(params, ids_dev, codes, scales, valid,
-                              *, k=fetch):
-                        q = encode_fn(params, ids_dev)
-                        q = q / (jnp.linalg.norm(q, axis=-1,
-                                                 keepdims=True) + 1e-10)
-                        _, idxs = candidate_topk_int8(codes, scales, q,
-                                                      valid, k=k)
-                        return idxs, q
-                fn = jax.jit(fused)
-                self._fused_jits[key] = fn
-        idxs, q = fn(params, jnp.asarray(ids), self._device_emb,
-                     self._device_scales, jnp.int32(self._count))
-        return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
+    def _fused_scan_fn(self):
+        """Scan callable ``(operands, q, valid, k) -> (vals, idxs)`` for
+        the fused executable, resolved once per (dtype, mesh, candidate
+        impl) — the single place the fused path picks its kernel."""
+        int8 = self.device_dtype == "int8"
+        bf16 = self.device_dtype == "bfloat16"
+        if self.mesh is not None:
+            from video_quierer_tpu.index.sharded import (
+                is_multislice, multislice_cosine_topk,
+                multislice_cosine_topk_int8, sharded_cosine_topk,
+                sharded_cosine_topk_int8)
+            ms = is_multislice(self.mesh)
+            mesh = self.mesh
+            if int8:
+                scan8 = (multislice_cosine_topk_int8 if ms
+                         else sharded_cosine_topk_int8)
+                impl = self._candidate_impl()
+                return lambda ops, q, valid, k: scan8(
+                    ops[0], ops[1], q, valid, k=k, mesh=mesh, impl=impl)
+            scan = multislice_cosine_topk if ms else sharded_cosine_topk
+            impl = self._candidate_impl() if bf16 else "exact"
+            return lambda ops, q, valid, k: scan(
+                ops[0], q, valid, k=k, mesh=mesh, impl=impl)
+        from video_quierer_tpu.ops.topk import (candidate_topk,
+                                                candidate_topk_int8)
+        if int8:
+            return lambda ops, q, valid, k: candidate_topk_int8(
+                ops[0], ops[1], q, valid, k=k)
+        if bf16:
+            return lambda ops, q, valid, k: candidate_topk(
+                ops[0], q, valid, k=k)
+        return lambda ops, q, valid, k: cosine_topk(ops[0], q, valid, k=k)
 
     def _search_batch_int8(self, q: np.ndarray, k: int
                            ) -> List[List[Dict]]:

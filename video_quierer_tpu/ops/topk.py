@@ -505,6 +505,22 @@ def _approx_fetch(k: int) -> int:
                                str(max(256, 4 * k))))
 
 
+def _approx_topk_from_scores(scores: jax.Array, valid_count: jax.Array,
+                             *, k: int, recall: float
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Mask capacity padding, hardware ApproxTopK, pad short results —
+    the shared tail of both approx scans."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(rows < valid_count, scores, NEG_INF)
+    k_eff = min(k, scores.shape[1])
+    vals, idxs = jax.lax.approx_max_k(scores, k_eff, recall_target=recall)
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
+    return vals, idxs.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall"))
 def _approx_scan(emb: jax.Array, queries: jax.Array,
                  valid_count: jax.Array, *, k: int, recall: float
@@ -515,15 +531,8 @@ def _approx_scan(emb: jax.Array, queries: jax.Array,
         queries.astype(emb.dtype), emb,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, N]
-    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(rows < valid_count, scores, NEG_INF)
-    k_eff = min(k, emb.shape[0])
-    vals, idxs = jax.lax.approx_max_k(scores, k_eff, recall_target=recall)
-    if k_eff < k:
-        pad = ((0, 0), (0, k - k_eff))
-        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
-    return vals, idxs.astype(jnp.int32)
+    return _approx_topk_from_scores(scores, valid_count, k=k,
+                                    recall=recall)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "recall"))
@@ -536,15 +545,25 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, N]
     scores = scores * scales[:, 0][None, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(rows < valid_count, scores, NEG_INF)
-    k_eff = min(k, emb_i8.shape[0])
-    vals, idxs = jax.lax.approx_max_k(scores, k_eff, recall_target=recall)
-    if k_eff < k:
-        pad = ((0, 0), (0, k - k_eff))
-        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
-    return vals, idxs.astype(jnp.int32)
+    return _approx_topk_from_scores(scores, valid_count, k=k,
+                                    recall=recall)
+
+
+def _candidate_dispatch(exact_fn, approx_fn, queries, valid_count, k):
+    """Shared candidate-stage dispatch: exact fallback with the MAX_K
+    clamp, or the approx scan with deep-fetch validation and 1-D query
+    squeezing."""
+    if _candidate_mode() != "approx":
+        return exact_fn(min(k, MAX_K))
+    if k <= 0 or k > APPROX_FETCH_CAP:
+        raise ValueError(f"k must be in [1, {APPROX_FETCH_CAP}], got {k}")
+    squeeze = queries.ndim == 1
+    if squeeze:
+        queries = queries[None, :]
+    vals, idxs = approx_fn(jnp.asarray(queries, jnp.float32),
+                           jnp.asarray(valid_count, jnp.int32),
+                           _approx_recall())
+    return (vals[0], idxs[0]) if squeeze else (vals, idxs)
 
 
 def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
@@ -553,36 +572,22 @@ def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
     but scores/order only feed the caller's exact f32 re-rank. On the
     approx path ``k`` may exceed MAX_K (deep fetch — see APPROX_FETCH_CAP
     notes); the Pallas fallback clamps to MAX_K."""
-    if _candidate_mode() != "approx":
-        return cosine_topk(emb, queries, valid_count, k=min(k, MAX_K))
-    if k <= 0 or k > APPROX_FETCH_CAP:
-        raise ValueError(f"k must be in [1, {APPROX_FETCH_CAP}], got {k}")
-    squeeze = queries.ndim == 1
-    if squeeze:
-        queries = queries[None, :]
-    vals, idxs = _approx_scan(emb, jnp.asarray(queries, jnp.float32),
-                              jnp.asarray(valid_count, jnp.int32), k=k,
-                              recall=_approx_recall())
-    return (vals[0], idxs[0]) if squeeze else (vals, idxs)
+    return _candidate_dispatch(
+        lambda kk: cosine_topk(emb, queries, valid_count, k=kk),
+        lambda q, v, r: _approx_scan(emb, q, v, k=k, recall=r),
+        queries, valid_count, k)
 
 
 def candidate_topk_int8(emb_i8: jax.Array, scales: jax.Array,
                         queries: jax.Array, valid_count, *, k: int
                         ) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the int8 candidate stage (see :func:`candidate_topk`)."""
-    if _candidate_mode() != "approx":
-        return cosine_topk_int8(emb_i8, scales, queries, valid_count,
-                                k=min(k, MAX_K))
-    if k <= 0 or k > APPROX_FETCH_CAP:
-        raise ValueError(f"k must be in [1, {APPROX_FETCH_CAP}], got {k}")
-    squeeze = queries.ndim == 1
-    if squeeze:
-        queries = queries[None, :]
-    vals, idxs = _approx_scan_int8(
-        emb_i8, scales, jnp.asarray(queries, jnp.float32),
-        jnp.asarray(valid_count, jnp.int32), k=k,
-        recall=_approx_recall())
-    return (vals[0], idxs[0]) if squeeze else (vals, idxs)
+    return _candidate_dispatch(
+        lambda kk: cosine_topk_int8(emb_i8, scales, queries, valid_count,
+                                    k=kk),
+        lambda q, v, r: _approx_scan_int8(emb_i8, scales, q, v, k=k,
+                                          recall=r),
+        queries, valid_count, k)
 
 
 # ---------------------------------------------------------------------------
