@@ -133,7 +133,12 @@ int vqt_decode_sampled(const char* path, int interval, int max_frames,
         if (kept >= max_frames) return;
         if (frame_number % interval == 0) {
             const int w = f->width, h = f->height;
-            // Shortest-edge scale geometry (same as ops/preprocess.py).
+            // Shortest-edge scale GEOMETRY matches ops/preprocess.py;
+            // the resample kernel does not exactly — SWS_BICUBIC's
+            // coefficients differ slightly from cv2.INTER_CUBIC, so
+            // native-tier pixels (and embeddings) carry a small,
+            // tolerance-tested divergence from the Python path
+            // (tests/test_native_decoder.py pins the bound).
             int nw, nh;
             if (h < w) {
                 nh = target;

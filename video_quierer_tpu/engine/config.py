@@ -65,12 +65,28 @@ def save_api_config(config: ApiConfig,
         return False
 
 
+SAMPLING_STRATEGIES = ("interval", "uniform", "adaptive", "hybrid", "auto")
+
+
 @dataclasses.dataclass
 class IngestConfig:
     batch_size: int = 256
     num_decode_workers: int = 4
     prefetch_videos: int = 8
     target_size: int = 224
+    # Frame-sampling strategy (ingest/samplers.py — the dead path's
+    # extractor strategies, frame_extractor.py:365-388):
+    #   interval  — the live path's fixed-interval rule (default; the
+    #               only strategy the native C++ decode tier executes)
+    #   uniform   — seek to max_frames evenly spaced positions
+    #   adaptive  — scene-change detection (MSE + χ² histogram)
+    #   hybrid    — uniform coverage ∪ adaptive peaks
+    #   auto      — duration heuristic picks one of the above
+    # Non-interval strategies decode on the host OpenCV path.
+    sampling_strategy: str = "interval"
+    # Brightness-band + Laplacian blur rejection on sampled frames
+    # (frame_extractor.py:301-316 semantics, applied to the 224px crop).
+    quality_filter: bool = False
 
 
 @dataclasses.dataclass
@@ -84,14 +100,20 @@ class IndexConfig:
     # on a (dcn, corpus) mesh — hierarchical ICI→DCN top-k merge
     corpus_slices: int = 1
     # Device mirror dtype. Default "bfloat16": halves the scan's HBM
-    # traffic — its entire cost (3.77 ms/query e2e vs 6.65 exact-f32 at
-    # 2M rows on v5e). The index over-fetches candidates and exactly
-    # re-ranks them against its f32 host rows, so returned rows carry
-    # exact f32 scores in f32 order; the approximate candidate stage
-    # can miss a near-tied true top-k row on adversarial clustered
-    # corpora (measured ≤0.5%; VQT_APPROX_RECALL=0.999 or
-    # VQT_CANDIDATE_TOPK=pallas close it — ops/topk.py). "float32" =
-    # exact scan outright; "int8" = quarter-traffic, same contract.
+    # traffic — its entire cost. The index over-fetches candidates and
+    # exactly re-ranks them against its f32 host rows, so returned rows
+    # carry exact f32 scores in f32 order whenever the true top-k
+    # survive the candidate pre-filter. Structurally they do: the
+    # mirror is stored under a fixed row permutation, so the bucketed
+    # candidate selection cannot lose adjacent near-duplicates (miss
+    # probability ~1e-6 at production shapes — ops/topk.py candidate
+    # overview; index/device_index.py). The residual contract boundary
+    # is dtype RESOLUTION: rows tied within ~0.4% (bf16) / ~0.8% (int8)
+    # of each other are candidate-ranked arbitrarily, so if MORE than
+    # the fetch depth (default 256) tie that closely, the returned set
+    # can differ from f32 mode inside that tie band. "float32" = exact
+    # scan outright (byte-exact reference ordering); "int8" =
+    # quarter-traffic, same contract as bf16.
     device_dtype: str = "bfloat16"
     # search tier: "exact" = fused full scan (the default; exact-scan
     # mandate, SURVEY.md §6); "ivf" = cluster-pruned ANN (index/ivf.py,
@@ -150,6 +172,9 @@ class EngineConfig:
             raise ValueError("max_frames must be positive")
         if self.ingest.batch_size <= 0:
             raise ValueError("batch_size must be positive")
+        if self.ingest.sampling_strategy not in SAMPLING_STRATEGIES:
+            raise ValueError(
+                f"sampling_strategy must be one of {SAMPLING_STRATEGIES}")
         if self.index.kind not in ("exact", "ivf"):
             raise ValueError("index.kind must be 'exact' or 'ivf'")
         if self.index.ivf_nprobe <= 0:
@@ -160,6 +185,9 @@ _ENV_OVERRIDES = {
     "VQT_VIDEOS_DIR": ("videos_dir", str),
     "VQT_BATCH_SIZE": ("ingest.batch_size", int),
     "VQT_DECODE_WORKERS": ("ingest.num_decode_workers", int),
+    "VQT_SAMPLING_STRATEGY": ("ingest.sampling_strategy", str),
+    "VQT_QUALITY_FILTER": ("ingest.quality_filter",
+                           lambda v: v not in ("0", "false", "")),
     "VQT_CLIP_CHECKPOINT": ("model.checkpoint_dir", str),
     "VQT_MODEL_NAME": ("model.name", str),
     "VQT_DTYPE": ("model.dtype", str),

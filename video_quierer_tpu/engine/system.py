@@ -273,6 +273,22 @@ class VideoSearchEngine:
             return 0
         cfg = api_cfg or self.config.api
         ing = self.config.ingest
+        # ingest.sampling_strategy wires the D4 samplers into the live
+        # path (reference chooser: frame_extractor.py:365-388). The
+        # default interval rule without the quality gate keeps the
+        # native-decoder-eligible fast path (extract_fn=None).
+        extract_fn = None
+        if ing.sampling_strategy != "interval" or ing.quality_filter:
+            from video_quierer_tpu.ingest.samplers import (
+                extract_frames_strategy)
+
+            def extract_fn(path, _cfg=cfg, _ing=ing):
+                return extract_frames_strategy(
+                    path, strategy=_ing.sampling_strategy,
+                    max_frames=_cfg.max_frames,
+                    sampling_mode=_cfg.sampling_mode,
+                    target_size=_ing.target_size,
+                    quality_filter=_ing.quality_filter)
         added = 0
         with self.lock, self.metrics.timer("ingest"):
             # Re-ingesting a video replaces its rows. The reference
@@ -288,7 +304,8 @@ class VideoSearchEngine:
                     sampling_mode=cfg.sampling_mode,
                     batch_size=ing.batch_size,
                     num_workers=ing.num_decode_workers,
-                    prefetch=ing.prefetch_videos):
+                    prefetch=ing.prefetch_videos,
+                    extract_fn=extract_fn):
                 with self.metrics.timer("embed_batch"):
                     feats = self.embed_frames(batch.frames)
                 pos = 0

@@ -192,6 +192,17 @@ class DeviceVideoIndex:
         self._device_scales: Optional[jax.Array] = None  # int8 mode
         self._device_rows = 0      # rows synced to device
         self._device_cap = 0       # capacity of the device mirror
+        # Mirror permutation (bf16/int8 candidate modes): mirror row p
+        # holds host row _perm[p]. Fixed pseudo-random per capacity, so
+        # ADJACENT host rows (near-duplicate frames of one video — the
+        # corpora this product indexes) scatter across the candidate
+        # stage's per-bucket selection ranges; see ops/topk.py candidate
+        # overview for the recall math. _inv_perm maps host row → mirror
+        # position (appends scatter through it).
+        self._perm: Optional[np.ndarray] = None
+        self._inv_perm: Optional[np.ndarray] = None
+        self._perm_dev: Optional[jax.Array] = None
+        self._mirror_perm = False  # layout of the CURRENT device mirror
         # video-level device mirror (means + id column), versioned
         self._video_rev = 0
         self._dev_video_rev = -1
@@ -323,6 +334,46 @@ class DeviceVideoIndex:
         append batch."""
         return jax.lax.dynamic_update_slice(dev, rows, (lo, 0))
 
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _scatter_rows(dev: jax.Array, rows: jax.Array, pos: jax.Array
+                      ) -> jax.Array:
+        """Permuted-mirror append: scatter the new rows to their mirror
+        positions in the donated buffer. Bucket-padding entries carry
+        ``pos == capacity`` (out of range) and are dropped."""
+        return dev.at[pos].set(rows, mode="drop")
+
+    def _mirror_permuted(self) -> bool:
+        """Whether the device mirror should live under the row
+        permutation: the bf16/int8 candidate modes, except under the
+        exact-candidate escape hatch (``VQT_CANDIDATE_TOPK=pallas``),
+        whose kernel needs the identity layout."""
+        from video_quierer_tpu.ops.topk import _candidate_mode
+        return (self.device_dtype != "float32"
+                and _candidate_mode() != "pallas")
+
+    def _require_perm(self, cap: int) -> None:
+        """(Re)build the permutation for the current capacity and make
+        sure its device column is placed (sharded like the rows on a
+        corpus mesh)."""
+        if self._perm is None or self._perm.shape[0] != cap:
+            rng = np.random.default_rng(0xC0FFEE + cap)
+            self._perm = rng.permutation(cap).astype(np.int32)
+            self._inv_perm = np.empty(cap, np.int32)
+            self._inv_perm[self._perm] = np.arange(cap, dtype=np.int32)
+            self._perm_dev = None
+        if self._perm_dev is None:
+            arr = jnp.asarray(self._perm)
+            if self.mesh is not None:
+                from video_quierer_tpu.index.sharded import shard_corpus_vec
+                arr = shard_corpus_vec(arr, self.mesh)
+            self._perm_dev = arr
+
+    def _perm_arg(self) -> Optional[jax.Array]:
+        """The perm operand for the candidate scans — None for an
+        identity-layout mirror."""
+        return self._perm_dev if self._mirror_perm else None
+
     # append sizes are bucketed so _update_rows compiles a handful of
     # shapes instead of one per batch size
     _UPDATE_BUCKETS = (256, 1024, 4096)
@@ -341,16 +392,23 @@ class DeviceVideoIndex:
     def _sync_device_int8_locked(self) -> None:
         """int8 mirror: host-side per-row quantization, full refresh on
         change (codes are 1/4 the bytes of f32, so even a full upload is
-        cheaper than one f32 incremental pass at scale)."""
+        cheaper than one f32 incremental pass at scale). Stored under the
+        row permutation in the candidate modes (see _reset_storage)."""
         cap = self._emb.shape[0]
+        permuted = self._mirror_permuted()
         if self._device_emb is not None and self._device_cap == cap \
-                and self._device_rows == self._count:
+                and self._device_rows == self._count \
+                and self._mirror_perm == permuted:
             return
         live = self._emb
         absmax = np.abs(live).max(axis=-1, keepdims=True)
         scales = (absmax / 127.0).astype(np.float32)
         safe = np.where(scales > 0, scales, 1.0)
         codes = np.clip(np.round(live / safe), -127, 127).astype(np.int8)
+        if permuted:
+            self._require_perm(cap)
+            codes = codes[self._perm]
+            scales = scales[self._perm]
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import shard_corpus
             self._device_emb = shard_corpus(jnp.asarray(codes), self.mesh)
@@ -361,6 +419,7 @@ class DeviceVideoIndex:
             self._device_scales = jnp.asarray(scales)
         self._device_cap = cap
         self._device_rows = self._count
+        self._mirror_perm = permuted
 
     def _sync_device(self) -> jax.Array:
         with self._sync_lock:
@@ -371,29 +430,46 @@ class DeviceVideoIndex:
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" \
             else jnp.float32
         cap = self._emb.shape[0]
+        permuted = self._mirror_permuted()
+        if permuted:
+            self._require_perm(cap)
+
+        def host_matrix():
+            return self._emb[self._perm] if permuted else self._emb
+
         if self._device_emb is None or self._device_cap != cap \
-                or self._device_rows > self._count:
-            # capacity change or compaction → full upload
-            self._device_emb = self._place(self._emb, dtype)
+                or self._device_rows > self._count \
+                or self._mirror_perm != permuted:
+            # capacity change, compaction, or layout change → full upload
+            self._device_emb = self._place(host_matrix(), dtype)
             self._device_cap = cap
             self._device_rows = self._count
+            self._mirror_perm = permuted
         elif self._device_rows < self._count:
             lo, hi = self._device_rows, self._count
             n = hi - lo
             bucket = next((b for b in self._UPDATE_BUCKETS if n <= b),
                           None)
-            if bucket is None or lo + bucket > cap or self.mesh is not None:
-                # oversized batch, capacity edge, or sharded mirror →
-                # full re-place (sharded updates would reshuffle anyway)
-                self._device_emb = self._place(self._emb, dtype)
+            if bucket is None or self.mesh is not None \
+                    or (not permuted and lo + bucket > cap):
+                # oversized batch, sharded mirror (updates would
+                # reshuffle anyway), or capacity edge → full re-place
+                self._device_emb = self._place(host_matrix(), dtype)
             else:
-                # pad the update to the bucket; rows past _count are
-                # capacity padding and masked out of every search
+                # pad the update to the bucket; padding entries are
+                # harmless (masked contiguous rows / dropped scatter)
                 rows = np.zeros((bucket, self.dim), self._emb.dtype)
                 rows[:n] = self._emb[lo:hi]
-                self._device_emb = self._update_rows(
-                    self._device_emb, jnp.asarray(rows, dtype),
-                    jnp.int32(lo))
+                if permuted:
+                    pos = np.full(bucket, cap, np.int32)
+                    pos[:n] = self._inv_perm[lo:hi]
+                    self._device_emb = self._scatter_rows(
+                        self._device_emb, jnp.asarray(rows, dtype),
+                        jnp.asarray(pos))
+                else:
+                    self._device_emb = self._update_rows(
+                        self._device_emb, jnp.asarray(rows, dtype),
+                        jnp.int32(lo))
             self._device_rows = self._count
         return self._device_emb
 
@@ -404,23 +480,25 @@ class DeviceVideoIndex:
     @staticmethod
     def _candidate_impl() -> str:
         """Per-shard scan impl for the re-ranked candidate stages
-        (bf16/int8): hardware ApproxTopK by default, the exact Pallas
-        scan under VQT_CANDIDATE_TOPK=pallas."""
+        (bf16/int8): "cand" = the fused/approx candidate stage
+        (ops/topk.py:candidate_stage, picked by VQT_CANDIDATE_TOPK),
+        "exact" = the exact Pallas scan under VQT_CANDIDATE_TOPK=pallas."""
         from video_quierer_tpu.ops.topk import _candidate_mode
-        return "approx" if _candidate_mode() == "approx" else "exact"
+        return "exact" if _candidate_mode() == "pallas" else "cand"
 
     def _rerank_fetch(self, k: int) -> int:
         """Candidate over-fetch for the re-ranked (bf16/int8) modes.
 
-        The approx stage fetches DEEP (default 256): ApproxTopK's
-        contiguous partial-reduce buckets lose near-ties of adjacent
-        rows at shallow fetch (measured — see ops/topk.py), and the
-        extra candidates cost nothing next to the matrix read. The
-        Pallas stage pays k serial selection rounds, so it keeps the
-        shallow rule capped at MAX_K."""
+        The candidate stage fetches DEEP (default 256): bucketed
+        selection can lose near-ties at shallow fetch (the permuted
+        mirror makes that a ~1e-6 tail rather than an adversarial case
+        — see ops/topk.py), and the extra candidates cost nothing next
+        to the matrix read. The exact Pallas stage pays k serial
+        selection rounds, so it keeps the shallow rule capped at MAX_K.
+        """
         from video_quierer_tpu.ops.topk import (APPROX_FETCH_CAP,
                                                 _approx_fetch)
-        if self._candidate_impl() == "approx":
+        if self._candidate_impl() == "cand":
             return min(_approx_fetch(k), APPROX_FETCH_CAP)
         return min(max(4 * k, k + 16), MAX_K)
 
@@ -458,11 +536,12 @@ class DeviceVideoIndex:
             vals, idxs = scan(emb, jnp.asarray(q), self._count, k=k_dev,
                               mesh=self.mesh,
                               impl=self._candidate_impl() if bf16
-                              else "exact")
+                              else "exact",
+                              perm=self._perm_arg() if bf16 else None)
         elif bf16:
             from video_quierer_tpu.ops.topk import candidate_topk
             vals, idxs = candidate_topk(emb, jnp.asarray(q), self._count,
-                                        k=k_dev)
+                                        k=k_dev, perm=self._perm_arg())
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count,
                                      k=k_dev)
@@ -515,13 +594,16 @@ class DeviceVideoIndex:
             operands = (self._device_emb, self._device_scales)
         else:
             operands = (self._sync_device(),)
+        perm = self._perm_arg()
+        if perm is not None:
+            operands = operands + (perm,)
         from video_quierer_tpu.ops.topk import _candidate_mode
         key = (id(encode_fn), k_dev, self.device_dtype,
-               _candidate_mode() if rerank else None)
+               _candidate_mode() if rerank else None, perm is not None)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
-                scan = self._fused_scan_fn()
+                scan = self._fused_scan_fn(perm is not None)
 
                 def fused(params, ids_dev, *ops_valid, k=k_dev):
                     *ops, valid = ops_valid
@@ -538,12 +620,19 @@ class DeviceVideoIndex:
             return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
-    def _fused_scan_fn(self):
+    def _fused_scan_fn(self, permuted: bool):
         """Scan callable ``(operands, q, valid, k) -> (vals, idxs)`` for
         the fused executable, resolved once per (dtype, mesh, candidate
-        impl) — the single place the fused path picks its kernel."""
+        impl, mirror layout) — the single place the fused path picks its
+        kernel. With ``permuted`` the perm column rides as the LAST
+        operand."""
         int8 = self.device_dtype == "int8"
         bf16 = self.device_dtype == "bfloat16"
+        n_data = 2 if int8 else 1
+
+        def split(ops):
+            return ops[:n_data], (ops[n_data] if permuted else None)
+
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import (
                 is_multislice, multislice_cosine_topk,
@@ -555,20 +644,33 @@ class DeviceVideoIndex:
                 scan8 = (multislice_cosine_topk_int8 if ms
                          else sharded_cosine_topk_int8)
                 impl = self._candidate_impl()
-                return lambda ops, q, valid, k: scan8(
-                    ops[0], ops[1], q, valid, k=k, mesh=mesh, impl=impl)
+
+                def fn(ops, q, valid, k):
+                    data, perm = split(ops)
+                    return scan8(data[0], data[1], q, valid, k=k,
+                                 mesh=mesh, impl=impl, perm=perm)
+                return fn
             scan = multislice_cosine_topk if ms else sharded_cosine_topk
             impl = self._candidate_impl() if bf16 else "exact"
-            return lambda ops, q, valid, k: scan(
-                ops[0], q, valid, k=k, mesh=mesh, impl=impl)
+
+            def fn(ops, q, valid, k):
+                data, perm = split(ops)
+                return scan(data[0], q, valid, k=k, mesh=mesh, impl=impl,
+                            perm=perm)
+            return fn
         from video_quierer_tpu.ops.topk import (candidate_topk,
                                                 candidate_topk_int8)
         if int8:
-            return lambda ops, q, valid, k: candidate_topk_int8(
-                ops[0], ops[1], q, valid, k=k)
+            def fn(ops, q, valid, k):
+                data, perm = split(ops)
+                return candidate_topk_int8(data[0], data[1], q, valid,
+                                           k=k, perm=perm)
+            return fn
         if bf16:
-            return lambda ops, q, valid, k: candidate_topk(
-                ops[0], q, valid, k=k)
+            def fn(ops, q, valid, k):
+                data, perm = split(ops)
+                return candidate_topk(data[0], q, valid, k=k, perm=perm)
+            return fn
         return lambda ops, q, valid, k: cosine_topk(ops[0], q, valid, k=k)
 
     def _search_batch_int8(self, q: np.ndarray, k: int
@@ -582,7 +684,6 @@ class DeviceVideoIndex:
         ~1e-2 relative — in practice they do; tests check top-1 exactly
         and recall@k against f32).
         """
-        from video_quierer_tpu.ops.topk import cosine_topk_int8
         self._sync_device_int8()
         fetch = self._rerank_fetch(k)
         if self.mesh is not None:
@@ -595,13 +696,13 @@ class DeviceVideoIndex:
             _, idxs = scan8(
                 self._device_emb, self._device_scales, jnp.asarray(q),
                 self._count, k=fetch, mesh=self.mesh,
-                impl=self._candidate_impl())
+                impl=self._candidate_impl(), perm=self._perm_arg())
         else:
             from video_quierer_tpu.ops.topk import candidate_topk_int8
             _, idxs = candidate_topk_int8(self._device_emb,
                                           self._device_scales,
                                           jnp.asarray(q), self._count,
-                                          k=fetch)
+                                          k=fetch, perm=self._perm_arg())
         return self._rerank_f32(q, np.asarray(idxs), k)
 
     def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int
@@ -610,7 +711,9 @@ class DeviceVideoIndex:
         two-step and fused paths) against the f32 host matrix."""
         out: List[List[Dict]] = []
         for b in range(idxs.shape[0]):
-            cand = idxs[b][idxs[b] < self._count]
+            # unique: candidate pads translated through the permutation
+            # could in principle alias a live row; never emit duplicates
+            cand = np.unique(idxs[b][idxs[b] < self._count])
             rows = self._emb[cand]                      # [c, D] f32
             scores = rows @ q[b]
             order = np.argsort(-scores, kind="stable")

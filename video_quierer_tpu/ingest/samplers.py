@@ -94,13 +94,15 @@ class AdaptiveSampler:
                  min_interval_s: float = 0.5,
                  max_frames: int = 1000,
                  target_size: int = 224,
-                 decode_stride: int = 2):
+                 decode_stride: int = 2,
+                 quality_filter: bool = False):
         self.mse_threshold = mse_threshold
         self.chi2_threshold = chi2_threshold
         self.min_interval_s = min_interval_s
         self.max_frames = max_frames
         self.target_size = target_size
         self.decode_stride = max(1, decode_stride)
+        self.quality_filter = quality_filter
 
     @staticmethod
     def _chi2(h1: np.ndarray, h2: np.ndarray) -> float:
@@ -138,7 +140,11 @@ class AdaptiveSampler:
                         chi2 = self._chi2(hist, prev_hist)
                         is_change = (mse > self.mse_threshold
                                      or chi2 > self.chi2_threshold)
-                    if is_change and ts - last_kept_ts >= self.min_interval_s:
+                    keep = (is_change
+                            and ts - last_kept_ts >= self.min_interval_s)
+                    if keep and self.quality_filter:
+                        keep = passes_quality_filter(gray)
+                    if keep:
                         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                         yield (resize_shorter_side_and_crop(
                             rgb, self.target_size), ts)
@@ -155,9 +161,14 @@ class HybridSampler:
 
     def __init__(self, uniform_count: int = 50,
                  adaptive: Optional[AdaptiveSampler] = None,
-                 dedup_window_s: float = 0.25):
-        self.uniform = UniformSampler(uniform_count)
-        self.adaptive = adaptive or AdaptiveSampler()
+                 dedup_window_s: float = 0.25,
+                 target_size: int = 224,
+                 quality_filter: bool = False):
+        self.uniform = UniformSampler(uniform_count,
+                                      target_size=target_size,
+                                      quality_filter=quality_filter)
+        self.adaptive = adaptive or AdaptiveSampler(
+            target_size=target_size, quality_filter=quality_filter)
         self.dedup_window_s = dedup_window_s
 
     def sample(self, video_path: Path) -> Iterator[FramePair]:
@@ -180,3 +191,87 @@ def choose_strategy(duration_s: float):
     if duration_s > 3600:
         return AdaptiveSampler()
     return HybridSampler()
+
+
+def _auto_strategy_name(video_path: Path) -> str:
+    """Resolve "auto" to a concrete strategy via the duration heuristic."""
+    import cv2
+    cap = cv2.VideoCapture(str(video_path))
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        total = cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0
+    finally:
+        cap.release()
+    duration = total / fps if fps > 0 else 0.0
+    if duration < 300:
+        return "uniform"
+    if duration > 3600:
+        return "adaptive"
+    return "hybrid"
+
+
+def build_sampler(strategy: str, max_frames: int, target_size: int = 224,
+                  quality_filter: bool = False):
+    """Instantiate a sampler for an engine-config strategy name, sized to
+    the API tier's ``max_frames`` budget."""
+    if strategy == "uniform":
+        return UniformSampler(count=max_frames, target_size=target_size,
+                              quality_filter=quality_filter)
+    if strategy == "adaptive":
+        return AdaptiveSampler(max_frames=max_frames,
+                               target_size=target_size,
+                               quality_filter=quality_filter)
+    if strategy == "hybrid":
+        return HybridSampler(uniform_count=max(1, max_frames // 2),
+                             adaptive=AdaptiveSampler(
+                                 max_frames=max_frames,
+                                 target_size=target_size,
+                                 quality_filter=quality_filter),
+                             target_size=target_size,
+                             quality_filter=quality_filter)
+    raise ValueError(f"unknown sampling strategy {strategy!r}")
+
+
+def extract_frames_strategy(video_path: Path, strategy: str,
+                            max_frames: int = 300,
+                            sampling_mode: str = "high",
+                            target_size: int = 224,
+                            quality_filter: bool = False
+                            ) -> Tuple[np.ndarray, List[float]]:
+    """Array-returning façade matching ``frames.extract_frames`` so the
+    batching pipeline (ingest/pipeline.py) can consume any strategy.
+
+    This is the engine's entry point for ``ingest.sampling_strategy``
+    (engine/config.py): the dead-path capability D4 wired into the live
+    ingest path, mirroring the reference's strategy chooser
+    (frame_extractor.py:365-388). ``interval`` keeps the live rule
+    (native C++ tier eligible, ingest/frames.py) and applies the quality
+    gate post-hoc on the 224px crops; the other strategies decode via
+    OpenCV on the host.
+    """
+    if strategy == "auto":
+        strategy = _auto_strategy_name(Path(video_path))
+    if strategy == "interval":
+        from video_quierer_tpu.ingest.frames import extract_frames
+        frames, stamps = extract_frames(video_path, max_frames=max_frames,
+                                        sampling_mode=sampling_mode)
+        if quality_filter and frames.shape[0]:
+            import cv2
+            keep = [i for i in range(frames.shape[0])
+                    if passes_quality_filter(
+                        cv2.cvtColor(frames[i], cv2.COLOR_RGB2GRAY))]
+            frames = frames[keep]
+            stamps = [stamps[i] for i in keep]
+        return frames, stamps
+    sampler = build_sampler(strategy, max_frames, target_size,
+                            quality_filter)
+    out_frames: List[np.ndarray] = []
+    out_ts: List[float] = []
+    for frame, ts in sampler.sample(Path(video_path)):
+        out_frames.append(frame)
+        out_ts.append(ts)
+        if len(out_frames) >= max_frames:
+            break
+    if not out_frames:
+        return np.zeros((0, target_size, target_size, 3), np.uint8), []
+    return np.stack(out_frames), out_ts

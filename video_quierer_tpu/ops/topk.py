@@ -462,20 +462,42 @@ def cosine_topk_int8(emb_i8: jax.Array, scales: jax.Array,
 # exactly in f32 against its host rows. The candidate set needs high
 # recall, not exact order — so the exact kernel's k sequential selection
 # rounds (the scan's only cost that grows with k: measured +2.6 ms going
-# k=10→40 at 2M rows on v5e, both dtypes) buy nothing here. The approx
-# path instead runs ONE XLA matmul at memory bandwidth plus the TPU's
-# hardware ApproxTopK partial-reduction (jax.lax.approx_max_k) over the
-# materialized scores — [B, N] f32 is 8 MB per query at N=2M, ~0.4% of
-# the matrix read. Measured at 2M×512 on v5e (fetch=40): bf16 3.7 ms/q
-# vs 7.0 Pallas; int8 2.4 ms/q vs 8.7 — so approx is the default.
-# VQT_CANDIDATE_TOPK selects the stage implementation (approx | pallas);
-# VQT_APPROX_RECALL tunes the per-candidate recall target (the f32
-# re-rank absorbs order errors; misses only matter if a true top-k row
-# drops out of the whole candidate set — measured 0/10 missed).
+# k=10→40 at 2M rows on v5e, both dtypes) buy nothing here.
+#
+# Three candidate-stage implementations (VQT_CANDIDATE_TOPK):
+#
+# - "fused" (default): a Pallas scan that selects candidates IN VMEM —
+#   each grid step scores one row block on the MXU and keeps the top
+#   CAND_ROUNDS rows of every CAND_BUCKET-row bucket; only
+#   ``rounds · N/bucket`` (vals, host-row) pairs ever reach HBM. The
+#   [B, N] score matrix the "approx" stage materializes (8 MB/query at
+#   N=2M — ~1 GB of extra HBM traffic at the 64-way coalescing width,
+#   ~3× the bf16 matrix read itself) never exists.
+# - "approx": one XLA matmul + the TPU's hardware ApproxTopK partial
+#   reduction (jax.lax.approx_max_k) over materialized [B, N] scores.
+#   The fallback whenever the fused kernel's shape rules don't hold.
+# - "pallas": the exact deferred-selection scan (cosine_topk) — exact
+#   candidates, k serial selection rounds.
+#
+# Both bucketed stages (fused's in-kernel buckets, approx's hardware
+# buckets) take per-bucket winners over CONTIGUOUS mirror rows, so
+# near-ties of adjacent rows can collide in one bucket and drop a true
+# top-k row — exactly the adversarial case for video corpora, where
+# near-duplicate frames are adjacent. The structural fix lives in the
+# index layer: the bf16/int8 device mirrors are stored under a fixed
+# pseudo-random row PERMUTATION (index/device_index.py), scattering
+# near-duplicates across buckets, and every candidate scan here takes a
+# ``perm`` column (mirror row → host row) used for both validity
+# masking (``perm[row] < valid_count``) and emitting host indices
+# directly. With the permutation, a true top-k row is lost only if
+# ``rounds`` strictly-better rows land in its bucket by chance:
+# P(miss, rank r) ≈ (r · bucket / N)^rounds ≈ 4e-7 at r=10, bucket=256,
+# N=2M, rounds=2 — engine recall@10 is 1.000 at default knobs with no
+# recall-knob escape hatch needed.
 
 
 def _candidate_mode() -> str:
-    return _os.environ.get("VQT_CANDIDATE_TOPK", "approx")
+    return _os.environ.get("VQT_CANDIDATE_TOPK", "fused")
 
 
 def _approx_recall() -> float:
@@ -501,30 +523,51 @@ APPROX_FETCH_CAP = 1024
 
 
 def _approx_fetch(k: int) -> int:
-    return int(_os.environ.get("VQT_RERANK_FETCH",
-                               str(max(256, 4 * k))))
+    # clamped to >= k so an operator-set VQT_RERANK_FETCH below the
+    # requested k can never shrink the result set
+    return max(k, int(_os.environ.get("VQT_RERANK_FETCH",
+                                      str(max(256, 4 * k)))))
+
+
+# Rows per in-kernel selection bucket for the fused candidate scan, and
+# winners kept per bucket. Candidate count = rounds * N / bucket
+# (N=2M → 15,625/query at the defaults); miss probability for the true
+# rank-r row on a PERMUTED mirror ≈ (r·bucket/N)^rounds — see the
+# candidate-stage overview above.
+CAND_BUCKET = int(_os.environ.get("VQT_CAND_BUCKET", "256"))
+CAND_ROUNDS = int(_os.environ.get("VQT_CAND_ROUNDS", "2"))
+
+_IMAX = 2**31 - 1
 
 
 def _approx_topk_from_scores(scores: jax.Array, valid_count: jax.Array,
-                             *, k: int, recall: float
+                             *, k: int, recall: float, perm=None
                              ) -> Tuple[jax.Array, jax.Array]:
     """Mask capacity padding, hardware ApproxTopK, pad short results —
-    the shared tail of both approx scans."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(rows < valid_count, scores, NEG_INF)
+    the shared tail of both approx scans. With ``perm`` (mirror row →
+    host row) validity masks on the host index and the returned indices
+    are translated to host rows."""
+    if perm is None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(rows < valid_count, scores, NEG_INF)
+    else:
+        scores = jnp.where((perm < valid_count)[None, :], scores, NEG_INF)
     k_eff = min(k, scores.shape[1])
     vals, idxs = jax.lax.approx_max_k(scores, k_eff, recall_target=recall)
+    idxs = idxs.astype(jnp.int32)
+    if perm is not None:
+        idxs = jnp.take(perm, idxs, mode="fill", fill_value=_IMAX)
     if k_eff < k:
         pad = ((0, 0), (0, k - k_eff))
         vals = jnp.pad(vals, pad, constant_values=NEG_INF)
-        idxs = jnp.pad(idxs, pad, constant_values=2**31 - 1)
-    return vals, idxs.astype(jnp.int32)
+        idxs = jnp.pad(idxs, pad, constant_values=_IMAX)
+    return vals, idxs
 
 
 @functools.partial(jax.jit, static_argnames=("k", "recall"))
 def _approx_scan(emb: jax.Array, queries: jax.Array,
-                 valid_count: jax.Array, *, k: int, recall: float
-                 ) -> Tuple[jax.Array, jax.Array]:
+                 valid_count: jax.Array, *, k: int, recall: float,
+                 perm=None) -> Tuple[jax.Array, jax.Array]:
     # contract queries[B, D] with emb[N, D] on D without materializing a
     # transpose; f32 accumulation regardless of the mirror dtype
     scores = jax.lax.dot_general(
@@ -532,13 +575,13 @@ def _approx_scan(emb: jax.Array, queries: jax.Array,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, N]
     return _approx_topk_from_scores(scores, valid_count, k=k,
-                                    recall=recall)
+                                    recall=recall, perm=perm)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "recall"))
 def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
                       queries: jax.Array, valid_count: jax.Array,
-                      *, k: int, recall: float
+                      *, k: int, recall: float, perm=None
                       ) -> Tuple[jax.Array, jax.Array]:
     scores = jax.lax.dot_general(
         queries.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
@@ -546,48 +589,352 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
         preferred_element_type=jnp.float32)  # [B, N]
     scores = scores * scales[:, 0][None, :]
     return _approx_topk_from_scores(scores, valid_count, k=k,
-                                    recall=recall)
+                                    recall=recall, perm=perm)
 
 
-def _candidate_dispatch(exact_fn, approx_fn, queries, valid_count, k):
-    """Shared candidate-stage dispatch: exact fallback with the MAX_K
-    clamp, or the approx scan with deep-fetch validation and 1-D query
-    squeezing."""
-    if _candidate_mode() != "approx":
+# ---------------------------------------------------------------------------
+# Fused candidate scan — in-VMEM bucket selection, no [B, N] score matrix
+# ---------------------------------------------------------------------------
+
+
+def _bucket_select_rows(sc, hid, vals_ref, idxs_ref, *, rounds: int,
+                        bucket: int):
+    """Per-bucket top-``rounds`` selection over query-major scores.
+
+    ``sc [B, blk]`` f32 (dead rows already -inf), ``hid [blk]`` i32 host
+    row ids. Writes ``[B, rounds·nb]`` winners round-major into the
+    output block refs. Ties within a bucket break to the lowest host id.
+    """
+    b, blk = sc.shape
+    nb = blk // bucket
+    sc3 = sc.reshape(b, nb, bucket)
+    hid3 = hid.reshape(1, nb, bucket)
+    for r in range(rounds):
+        m = jnp.max(sc3, axis=-1)                       # [B, nb]
+        cand = jnp.where(sc3 == m[..., None], hid3, _IMAX)
+        am = jnp.min(cand, axis=-1)                     # [B, nb]
+        vals_ref[0, :, r * nb:(r + 1) * nb] = m
+        idxs_ref[0, :, r * nb:(r + 1) * nb] = am
+        if r + 1 < rounds:
+            sc3 = jnp.where(hid3 == am[..., None], NEG_INF, sc3)
+
+
+def _bucket_select_flat(sc2, hid2, vals_ref, idxs_ref, *, rounds: int,
+                        bucket: int):
+    """B=1 variant over lane-tiled scores ``sc2 [blk/128, 128]`` (the
+    layout the flat VPU scoring path produces — all sublanes live in
+    every reduction)."""
+    n_rows, lanes = sc2.shape
+    per = bucket // lanes
+    nb = n_rows // per
+    sc3 = sc2.reshape(nb, per, lanes)
+    hid3 = hid2.reshape(nb, per, lanes)
+    for r in range(rounds):
+        m = jnp.max(sc3, axis=(1, 2))                   # [nb]
+        cand = jnp.where(sc3 == m[:, None, None], hid3, _IMAX)
+        am = jnp.min(cand, axis=(1, 2))                 # [nb]
+        vals_ref[0, 0, r * nb:(r + 1) * nb] = m
+        idxs_ref[0, 0, r * nb:(r + 1) * nb] = am
+        if r + 1 < rounds:
+            sc3 = jnp.where(hid3 == am[:, None, None], NEG_INF, sc3)
+
+
+def _cand_kernel(valid_ref, emb_ref, perm_ref, qt_ref, vals_ref, idxs_ref,
+                 *, rounds: int, bucket: int):
+    """One grid step of the fused candidate scan (f32/bf16 matrix):
+    score a row block, mask dead rows via the perm column, keep the top
+    ``rounds`` of every ``bucket``-row bucket — scores never leave VMEM.
+    """
+    blk = emb_ref.shape[0]
+    b = qt_ref.shape[1]
+    valid = valid_ref[0]
+    if _use_flat_layout(b):
+        q = qt_ref[:][:, 0].astype(jnp.float32)
+        e3 = emb_ref[:].astype(jnp.float32).reshape(
+            blk // _LANES, _LANES, emb_ref.shape[1])
+        sc2 = jnp.sum(e3 * q[None, None, :], axis=2)    # [blk/128, 128]
+        hid2 = perm_ref[:].reshape(blk // _LANES, _LANES)
+        sc2 = jnp.where(hid2 < valid, sc2, NEG_INF)
+        _bucket_select_flat(sc2, hid2, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+    else:
+        precision = (_SCAN_PRECISION_F32
+                     if emb_ref.dtype == jnp.float32 else None)
+        sc = jax.lax.dot_general(
+            qt_ref[:], emb_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                        # [B, blk]
+        hid = perm_ref[:][:, 0]                         # [blk]
+        sc = jnp.where((hid < valid)[None, :], sc, NEG_INF)
+        _bucket_select_rows(sc, hid, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+
+
+def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
+                      qscale_ref, vals_ref, idxs_ref, *, rounds: int,
+                      bucket: int, native: bool):
+    """Int8 fused candidate step. ``native=True`` contracts int8 codes
+    against int8-quantized queries on the MXU (int32 accumulate — no
+    upcast of the 1-byte/element HBM read), rescaling by
+    row_scale · query_scale afterward; ``native=False`` upcasts both to
+    bf16 (the portable contract)."""
+    b = qt_ref.shape[1]
+    valid = valid_ref[0]
+    row_scale = scales_ref[:][:, 0]                     # [blk]
+    if native:
+        raw = jax.lax.dot_general(
+            qt_ref[:], emb_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)           # [B, blk] i32
+        sc = raw.astype(jnp.float32) * row_scale[None, :] \
+            * qscale_ref[0][:, None]
+    else:
+        raw = jax.lax.dot_general(
+            qt_ref[:].astype(jnp.bfloat16),
+            emb_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sc = raw * row_scale[None, :]
+    hid = perm_ref[:][:, 0]
+    sc = jnp.where((hid < valid)[None, :], sc, NEG_INF)
+    _bucket_select_rows(sc, hid, vals_ref, idxs_ref, rounds=rounds,
+                        bucket=bucket)
+
+
+def _cand_merge(bvals: jax.Array, bidxs: jax.Array, *, fetch: int
+                ) -> Tuple[jax.Array, jax.Array]:
+    """Merge per-block bucket winners ``[n_blocks, B, w]`` to the global
+    top-``fetch`` candidates. ApproxTopK over the (already permuted,
+    therefore unclustered) winner list at a 0.999 recall target — the
+    list is ~N/bucket·rounds entries, so this is microseconds; exact
+    top_k on CPU."""
+    n_blocks, b, w = bvals.shape
+    cand_vals = jnp.transpose(bvals, (1, 0, 2)).reshape(b, n_blocks * w)
+    cand_idxs = jnp.transpose(bidxs, (1, 0, 2)).reshape(b, n_blocks * w)
+    k_eff = min(fetch, cand_vals.shape[1])
+    vals, pos = jax.lax.approx_max_k(cand_vals, k_eff,
+                                     recall_target=0.999)
+    idxs = jnp.take_along_axis(cand_idxs, pos.astype(jnp.int32), axis=-1)
+    if k_eff < fetch:
+        pad = ((0, 0), (0, fetch - k_eff))
+        vals = jnp.pad(vals, pad, constant_values=NEG_INF)
+        idxs = jnp.pad(idxs, pad, constant_values=_IMAX)
+    return vals, idxs
+
+
+def _cand_out_specs(b: int, w: int):
+    return [
+        pl.BlockSpec((1, b, w), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b, w), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+_PERM_SPEC = pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fetch", "rounds", "bucket",
+                                    "interpret"))
+def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
+                      valid_count: jax.Array, *, fetch: int, rounds: int,
+                      bucket: int, interpret: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    n_pad, d = emb.shape
+    b = queries.shape[0]
+    qt = queries.astype(emb.dtype).T  # [D, B]
+    n_blocks = n_pad // BLOCK_ROWS
+    w = rounds * (BLOCK_ROWS // bucket)
+    bvals, bidxs = pl.pallas_call(
+        functools.partial(_cand_kernel, rounds=rounds, bucket=bucket),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, b, w), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, b, w), jnp.int32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                _PERM_SPEC,
+                pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=_cand_out_specs(b, w),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * (d * emb.dtype.itemsize + 4)
+            + d * b * 4 + 2 * n_blocks * b * w * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), emb, perm[:, None], qt)
+    return _cand_merge(bvals, bidxs, fetch=fetch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fetch", "rounds", "bucket", "native",
+                                    "interpret"))
+def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
+                           perm: jax.Array, queries: jax.Array,
+                           valid_count: jax.Array, *, fetch: int,
+                           rounds: int, bucket: int, native: bool,
+                           interpret: bool = False
+                           ) -> Tuple[jax.Array, jax.Array]:
+    n_pad, d = codes.shape
+    b = queries.shape[0]
+    n_blocks = n_pad // BLOCK_ROWS
+    w = rounds * (BLOCK_ROWS // bucket)
+    if native:
+        # symmetric per-query int8 quantization on device: the candidate
+        # scores carry ~0.4% extra relative error, absorbed by the exact
+        # f32 re-rank downstream
+        qabs = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = (qabs / 127.0).astype(jnp.float32)
+        qsafe = jnp.where(qscale > 0, qscale, 1.0)
+        qt = jnp.clip(jnp.round(queries / qsafe), -127,
+                      127).astype(jnp.int8).T            # [D, B]
+        qs = qscale[:, 0][None, :]                       # [1, B]
+    else:
+        qt = queries.astype(jnp.bfloat16).T
+        qs = jnp.ones((1, b), jnp.float32)
+    scales_spec = pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM)
+    bvals, bidxs = pl.pallas_call(
+        functools.partial(_cand_kernel_int8, rounds=rounds, bucket=bucket,
+                          native=native),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, b, w), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, b, w), jnp.int32),
+        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                scales_spec,
+                _PERM_SPEC,
+                pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=_cand_out_specs(b, w),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * (d + 8) + d * b
+            + 2 * n_blocks * b * w * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), codes, scales,
+      perm[:, None], qt, qs)
+    return _cand_merge(bvals, bidxs, fetch=fetch)
+
+
+def _int8_native() -> bool:
+    return _os.environ.get("VQT_INT8_MXU", "native") == "native"
+
+
+def _fused_usable(n_pad: int, fetch: int) -> bool:
+    """The fused kernel engages when the Pallas path is on, blocks and
+    buckets divide evenly, and the bucket-winner list is at least as
+    deep as the fetch (tiny corpora fall back to the approx scan, which
+    is cheap at that size)."""
+    if n_pad <= 0 or n_pad % BLOCK_ROWS:
+        return False
+    if BLOCK_ROWS % CAND_BUCKET or CAND_BUCKET % _LANES:
+        return False
+    return (n_pad // CAND_BUCKET) * CAND_ROUNDS >= fetch
+
+
+def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
+                    *, k: int, perm=None) -> Tuple[jax.Array, jax.Array]:
+    """Local bf16/f32 candidate scan — fused kernel when usable, approx
+    otherwise (``VQT_CANDIDATE_TOPK=approx`` forces the latter). No
+    exact fallback, no 1-D squeeze: the building block shared by the
+    single-device dispatch and the per-shard sharded scans."""
+    pallas = _pallas_mode()
+    if _candidate_mode() != "approx" and pallas != "off" \
+            and _fused_usable(emb.shape[0], k):
+        if perm is None:
+            perm = jnp.arange(emb.shape[0], dtype=jnp.int32)
+        return _pallas_cand_scan(emb, perm, queries, valid_count, fetch=k,
+                                 rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+                                 interpret=pallas == "interpret")
+    return _approx_scan(emb, queries, valid_count, k=k,
+                        recall=_approx_recall(), perm=perm)
+
+
+def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
+                         queries: jax.Array, valid_count, *, k: int,
+                         perm=None) -> Tuple[jax.Array, jax.Array]:
+    """Int8 twin of :func:`candidate_stage`."""
+    pallas = _pallas_mode()
+    if _candidate_mode() != "approx" and pallas != "off" \
+            and _fused_usable(codes.shape[0], k):
+        if perm is None:
+            perm = jnp.arange(codes.shape[0], dtype=jnp.int32)
+        return _pallas_cand_scan_int8(
+            codes, scales, perm, queries, valid_count, fetch=k,
+            rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+            native=_int8_native(), interpret=pallas == "interpret")
+    return _approx_scan_int8(codes, scales, queries, valid_count, k=k,
+                             recall=_approx_recall(), perm=perm)
+
+
+def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
+    """Shared candidate-stage dispatch (see the overview above): the
+    exact scan under ``VQT_CANDIDATE_TOPK=pallas`` (identity-layout
+    mirrors only), else the fused/approx stage with 1-D query
+    squeezing. ``perm`` is the mirror permutation column or None."""
+    if _candidate_mode() == "pallas" and perm is None:
         return exact_fn(min(k, MAX_K))
     if k <= 0 or k > APPROX_FETCH_CAP:
         raise ValueError(f"k must be in [1, {APPROX_FETCH_CAP}], got {k}")
     squeeze = queries.ndim == 1
     if squeeze:
         queries = queries[None, :]
-    vals, idxs = approx_fn(jnp.asarray(queries, jnp.float32),
-                           jnp.asarray(valid_count, jnp.int32),
-                           _approx_recall())
+    vals, idxs = stage_fn(jnp.asarray(queries, jnp.float32),
+                          jnp.asarray(valid_count, jnp.int32), perm)
     return (vals[0], idxs[0]) if squeeze else (vals, idxs)
 
 
 def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
-                   k: int) -> Tuple[jax.Array, jax.Array]:
+                   k: int, perm=None) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the bf16 candidate stage: :func:`cosine_topk` interface,
-    but scores/order only feed the caller's exact f32 re-rank. On the
-    approx path ``k`` may exceed MAX_K (deep fetch — see APPROX_FETCH_CAP
-    notes); the Pallas fallback clamps to MAX_K."""
+    but scores/order only feed the caller's exact f32 re-rank, and ``k``
+    may exceed MAX_K (deep fetch, up to APPROX_FETCH_CAP). ``perm`` is
+    the mirror's row permutation (mirror row → host row); indices are
+    returned in HOST row space. The ``pallas`` exact fallback requires
+    an identity-layout mirror (perm=None)."""
     return _candidate_dispatch(
         lambda kk: cosine_topk(emb, queries, valid_count, k=kk),
-        lambda q, v, r: _approx_scan(emb, q, v, k=k, recall=r),
-        queries, valid_count, k)
+        lambda q, v, p: candidate_stage(emb, q, v, k=k, perm=p),
+        queries, valid_count, k, perm)
 
 
 def candidate_topk_int8(emb_i8: jax.Array, scales: jax.Array,
-                        queries: jax.Array, valid_count, *, k: int
-                        ) -> Tuple[jax.Array, jax.Array]:
+                        queries: jax.Array, valid_count, *, k: int,
+                        perm=None) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the int8 candidate stage (see :func:`candidate_topk`)."""
     return _candidate_dispatch(
         lambda kk: cosine_topk_int8(emb_i8, scales, queries, valid_count,
                                     k=kk),
-        lambda q, v, r: _approx_scan_int8(emb_i8, scales, q, v, k=k,
-                                          recall=r),
-        queries, valid_count, k)
+        lambda q, v, p: candidate_stage_int8(emb_i8, scales, q, v, k=k,
+                                             perm=p),
+        queries, valid_count, k, perm)
 
 
 # ---------------------------------------------------------------------------

@@ -78,6 +78,11 @@ class SwitchMoEMLP(nn.Module):
         pos_oh = jax.nn.one_hot(
             jnp.sum(pos * assign, axis=-1).astype(jnp.int32), cap,
             dtype=jnp.float32)                            # [N, C]
+        # Dense dispatch materializes [N, E, C] with E·C ≈ 1.25·N —
+        # O(N²) f32, ~12 GB at N≈50k tokens (e.g. ViT batch 256 × 197).
+        # Tokens are unsharded here, so EP alone does not shrink it:
+        # shard the token/batch axis (DP×EP) before pushing batches
+        # that large through an MoE tower, or lower capacity_factor.
         dispatch = keep[:, :, None] * pos_oh[:, None, :]  # [N, E, C]
 
         # Expert batches, sharded over the expert axis under a mesh.
