@@ -1,0 +1,98 @@
+"""Engine-level pipeline parallelism: ``model.parallel: pp`` serves the
+image tower through ``pipelined_encode_image`` on the 8-device CPU mesh
+(round-2 VERDICT item 6 — PP must be product-reachable, not just a
+library; reference has no parallelism at all, SURVEY.md §2.3 row PP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.helpers import make_synthetic_video
+from video_quierer_tpu.engine import (ApiConfig, EngineConfig,
+                                      VideoSearchEngine)
+from video_quierer_tpu.models.clip.config import (
+    CLIPConfig, CLIPTextConfig, CLIPVisionConfig, register_config)
+from video_quierer_tpu.models.clip.embedder import CLIPEmbedder
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs the 8-device CPU mesh")
+
+TINY = "pp-tiny-224"
+
+register_config(TINY, lambda: CLIPConfig(
+    name=TINY,
+    projection_dim=16,
+    vision=CLIPVisionConfig(image_size=224, patch_size=32,
+                            hidden_size=32, num_layers=8, num_heads=2),
+    # full CLIP vocab so the real tokenizer's ids stay in range
+    text=CLIPTextConfig(vocab_size=49408, context_length=77,
+                        hidden_size=16, num_layers=2, num_heads=2,
+                        eot_token_id=49407),
+))
+
+
+def test_embedder_pp_matches_sequential():
+    seq = CLIPEmbedder(model_name=TINY, seed=3)
+    pp = CLIPEmbedder(model_name=TINY, seed=3, parallel="pp",
+                      pipeline_microbatches=4)
+    assert pp._pipe_mesh is not None
+    assert pp._pipe_mesh.shape["pipe"] == 8  # 8 stages over 8 devices
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (12, 224, 224, 3), np.uint8)
+    want = seq.embed_frames(frames)
+    got = pp.embed_frames(frames)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # text path (latency tier) stays sequential and identical
+    np.testing.assert_allclose(pp.embed_text("a dog"),
+                               seq.embed_text("a dog"), rtol=1e-6)
+
+
+def test_embedder_rejects_unknown_parallel():
+    with pytest.raises(ValueError):
+        CLIPEmbedder(model_name=TINY, parallel="fsdp")
+
+
+def _engine(tmp_path, parallel):
+    vids = tmp_path / f"videos_{parallel}"
+    vids.mkdir()
+    make_synthetic_video(vids / "v.mp4", n_frames=48, scene_every=12)
+    cfg = EngineConfig(api=ApiConfig(max_frames=8, sampling_mode="high"))
+    cfg.model.name = TINY
+    cfg.model.parallel = parallel
+    cfg.index.embed_dim = 16
+    cfg.validate()
+    eng = VideoSearchEngine(str(vids), config=cfg)
+    eng.startup()
+    return eng
+
+
+def test_engine_serves_through_pipelined_tower(tmp_path):
+    eng = _engine(tmp_path, "pp")
+    # the engine's embedder really is the pipelined one
+    emb = eng._get_embedder()
+    inner = getattr(emb, "inner", emb)
+    assert inner.parallel == "pp" and inner._pipe_mesh is not None
+    assert eng.index.count > 0
+    res = eng.search("a red scene", k=3, use_cache=False)
+    assert len(res) == 3
+    assert all(r["video_name"] == "v.mp4" for r in res)
+
+    # parity: identical config except parallel=none → identical results
+    eng2 = _engine(tmp_path, "none")
+    res2 = eng2.search("a red scene", k=3, use_cache=False)
+    assert [r["frame_id"] for r in res] == [r["frame_id"] for r in res2]
+    np.testing.assert_allclose([r["score"] for r in res],
+                               [r["score"] for r in res2],
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_config_validates_parallel():
+    cfg = EngineConfig()
+    cfg.model.parallel = "tp3"
+    with pytest.raises(ValueError):
+        cfg.validate()
+    cfg.model.parallel = "pp"
+    cfg.model.family = "siglip"
+    with pytest.raises(ValueError):
+        cfg.validate()

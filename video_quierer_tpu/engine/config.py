@@ -148,6 +148,14 @@ class ModelConfig:
     # serve fine-tuned weights from a train/checkpoint.py step dir
     orbax_checkpoint: Optional[str] = None
     dtype: str = "float32"  # "bfloat16" for throughput mode
+    # Serving parallelism for the image tower (parallel/pipeline.py):
+    #   none — single-device towers (default; B/32 fits in a fraction
+    #          of one chip)
+    #   pp   — GPipe pipeline over a ``pipe`` mesh axis spanning the
+    #          local devices (for the larger tower configs whose
+    #          weights/activations exceed one chip)
+    parallel: str = "none"
+    pipeline_microbatches: int = 4
 
 
 @dataclasses.dataclass
@@ -179,6 +187,14 @@ class EngineConfig:
             raise ValueError("index.kind must be 'exact' or 'ivf'")
         if self.index.ivf_nprobe <= 0:
             raise ValueError("ivf_nprobe must be positive")
+        if self.model.parallel not in ("none", "pp"):
+            raise ValueError("model.parallel must be 'none' or 'pp'")
+        if self.model.parallel == "pp" and self.model.family != "clip":
+            raise ValueError(
+                "model.parallel='pp' is implemented for the clip family "
+                "(parallel/pipeline.py:pipelined_encode_image)")
+        if self.model.pipeline_microbatches <= 0:
+            raise ValueError("pipeline_microbatches must be positive")
 
 
 _ENV_OVERRIDES = {
@@ -199,6 +215,8 @@ _ENV_OVERRIDES = {
     "VQT_IVF_NPROBE": ("index.ivf_nprobe", int),
     "VQT_IVF_MIN_ROWS": ("index.ivf_min_rows", int),
     "VQT_MODEL_FAMILY": ("model.family", str),
+    "VQT_MODEL_PARALLEL": ("model.parallel", str),
+    "VQT_PIPELINE_MICROBATCHES": ("model.pipeline_microbatches", int),
 }
 
 

@@ -161,7 +161,9 @@ class VideoSearchEngine:
                     orbax_checkpoint=Path(m.orbax_checkpoint)
                     if m.orbax_checkpoint else None,
                     dtype=dtype,
-                    mesh=self.mesh)
+                    mesh=self.mesh,
+                    parallel=m.parallel,
+                    pipeline_microbatches=m.pipeline_microbatches)
             if self.config.cache.frame_memo_size > 0:
                 from video_quierer_tpu.models.clip.embedder import \
                     MemoizedEmbedder

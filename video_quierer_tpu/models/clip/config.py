@@ -20,6 +20,15 @@ class CLIPVisionConfig:
     num_heads: int = 12
     mlp_ratio: int = 4
     layer_norm_eps: float = 1e-5
+    # Mixture-of-experts tower (parallel/moe.py SwitchMoEMLP): every
+    # ``moe_every``-th encoder block swaps its dense MLP for a Switch
+    # top-1 MoE with this many experts. 0 = dense tower (default; the
+    # OpenAI checkpoints are dense). Train with
+    # train/finetune.py --moe-experts; EP shards the expert stacks over
+    # an ``expert`` mesh axis.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity: float = 1.25
 
     @property
     def num_patches(self) -> int:
@@ -91,3 +100,10 @@ def get_config(name: str) -> CLIPConfig:
     except KeyError:
         raise ValueError(f"unknown CLIP config {name!r}; "
                          f"known: {sorted(CONFIGS)}") from None
+
+
+def register_config(name: str, factory) -> None:
+    """Register a custom tower config under ``name`` so `model.name` in
+    the engine config (and CLIPEmbedder) can select it — deployment
+    hook for non-OpenAI tower shapes; tests register tiny towers."""
+    CONFIGS[name] = factory

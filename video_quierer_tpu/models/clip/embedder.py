@@ -71,11 +71,34 @@ class CLIPEmbedder:
                  mesh=None,
                  data_axis: str = "data",
                  seed: int = 0,
-                 orbax_checkpoint: Optional[Path] = None):
+                 orbax_checkpoint: Optional[Path] = None,
+                 parallel: str = "none",
+                 pipeline_microbatches: int = 4):
         self.cfg: CLIPConfig = get_config(model_name)
         self.model = CLIP(self.cfg, dtype=dtype)
         self.mesh = mesh
         self.data_axis = data_axis
+        self.parallel = parallel
+        self._pipe_mesh = None
+        self._pipe_microbatches = pipeline_microbatches
+        if parallel == "pp":
+            # GPipe the image tower over a ``pipe`` axis
+            # (parallel/pipeline.py — model.parallel config,
+            # engine/config.py). A passed-in mesh with a ``pipe`` axis is
+            # honored; otherwise span the largest local-device count that
+            # divides the encoder depth.
+            from video_quierer_tpu.parallel.pipeline import PIPE_AXIS
+            if mesh is not None and PIPE_AXIS in mesh.shape:
+                self._pipe_mesh = mesh
+            else:
+                from jax.sharding import Mesh
+                layers = self.cfg.vision.num_layers
+                devs = jax.devices()
+                n = max(d for d in range(1, len(devs) + 1)
+                        if layers % d == 0)
+                self._pipe_mesh = Mesh(np.array(devs[:n]), (PIPE_AXIS,))
+        elif parallel != "none":
+            raise ValueError(f"unknown parallel mode {parallel!r}")
         ckpt = checkpoint_dir or convert_mod.find_local_checkpoint(model_name)
         if orbax_checkpoint is not None:
             # fine-tuned weights from train/checkpoint.py — closes the
@@ -122,6 +145,12 @@ class CLIPEmbedder:
 
     def _encode_image_fn(self, params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=self.model.dtype)
+        if self._pipe_mesh is not None:
+            from video_quierer_tpu.parallel.pipeline import (
+                pipelined_encode_image)
+            return pipelined_encode_image(
+                self.model, params, pixels, mesh=self._pipe_mesh,
+                n_microbatches=self._pipe_microbatches)
         return self.model.apply({"params": params}, pixels,
                                 method=CLIP.encode_image)
 

@@ -125,16 +125,40 @@ class Encoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     act: str = "quick_gelu"
+    # Switch-MoE feed-forwards every ``moe_every``-th block when
+    # ``moe_experts`` > 0 (parallel/moe.py; CLIPVisionConfig docs). Aux
+    # load-balancing losses are sown into the ``losses`` collection —
+    # a no-op at inference, read by the trainer via
+    # ``mutable=('losses',)``.
+    moe_experts: int = 0
+    moe_every: int = 2
+    moe_capacity: float = 1.25
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         block = EncoderBlock
+        moe_block = None
+        if self.moe_experts > 0:
+            from video_quierer_tpu.parallel.moe import MoEEncoderBlock
+            moe_block = MoEEncoderBlock
         if self.remat:  # rematerialize activations in training
             block = nn.remat(EncoderBlock)
+            if moe_block is not None:
+                moe_block = nn.remat(MoEEncoderBlock)
         for i in range(self.num_layers):
-            x = block(self.num_heads, self.mlp_ratio, self.eps,
-                      causal=self.causal, dtype=self.dtype, act=self.act,
-                      name=f"layers_{i}")(x)
+            if moe_block is not None and i % self.moe_every == \
+                    self.moe_every - 1:
+                x, aux = moe_block(
+                    self.num_heads, self.moe_experts, self.mlp_ratio,
+                    self.eps, capacity_factor=self.moe_capacity,
+                    causal=self.causal, dtype=self.dtype,
+                    name=f"layers_{i}")(x)
+                self.sow("losses", "moe_aux", aux,
+                         reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
+            else:
+                x = block(self.num_heads, self.mlp_ratio, self.eps,
+                          causal=self.causal, dtype=self.dtype,
+                          act=self.act, name=f"layers_{i}")(x)
         return x
 
 
@@ -168,7 +192,9 @@ class VisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                          name="pre_layernorm")(x)
         x = Encoder(c.num_layers, c.num_heads, c.mlp_ratio, c.layer_norm_eps,
-                    dtype=self.dtype, remat=self.remat, name="encoder")(x)
+                    dtype=self.dtype, remat=self.remat,
+                    moe_experts=c.moe_experts, moe_every=c.moe_every,
+                    moe_capacity=c.moe_capacity, name="encoder")(x)
         pooled = x[:, 0]  # CLS token
         return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                             name="post_layernorm")(pooled)

@@ -68,10 +68,21 @@ def frame_caption_batches(video_paths: Sequence[Path], tokenizer,
         text = caption_for(p, captions)
         caption_ids[i] = tokenizer(text)[0]
 
+    from video_quierer_tpu.ingest.frames import extract_frames
+
+    def extract(path):
+        # thread image_size through to the decode tier — towers other
+        # than 224px (e.g. test/tiny or future configs) must train on
+        # the resolution they serve at
+        return extract_frames(path, max_frames=max_frames_per_video,
+                              sampling_mode=sampling_mode,
+                              target_size=image_size)
+
     for batch in batched_frames(list(video_paths),
                                 max_frames=max_frames_per_video,
                                 sampling_mode=sampling_mode,
-                                batch_size=batch_size):
+                                batch_size=batch_size,
+                                extract_fn=extract):
         if len(batch) < batch_size:
             continue  # drop ragged tail — training wants fixed shapes
         images = (batch.frames.astype(np.float32) / 255.0 - mean) / std
@@ -83,13 +94,16 @@ def train_on_videos(trainer, video_paths: Sequence[Path], tokenizer,
                     epochs: int = 1, batch_size: int = 64,
                     max_frames_per_video: int = 32,
                     captions: Optional[Dict[str, str]] = None,
+                    image_size: int = 224,
                     mean=CLIP_MEAN, std=CLIP_STD):
-    """Simple epoch loop; returns per-step losses."""
+    """Simple epoch loop; returns per-step losses. ``image_size`` must
+    match the tower being trained (cfg.vision.image_size)."""
     losses = []
     for _ in range(epochs):
         for images, ids in frame_caption_batches(
                 video_paths, tokenizer, batch_size=batch_size,
                 max_frames_per_video=max_frames_per_video,
-                captions=captions, mean=mean, std=std):
+                captions=captions, image_size=image_size,
+                mean=mean, std=std):
             losses.append(trainer.step(images, ids))
     return losses

@@ -77,6 +77,12 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     names = [getattr(k, "key", str(k)) for k in path]
     joined = "/".join(names)
     leafname = names[-1]
+    # Switch-MoE expert stacks [E, ...] split on the expert axis
+    # (parallel/moe.py:expert_partition_spec — same rule, composed here
+    # so one pass places a dense+MoE tree)
+    if leafname in ("w1", "b1", "w2", "b2"):
+        from video_quierer_tpu.parallel.moe import EXPERT_AXIS
+        return P(EXPERT_AXIS, *([None] * (leaf.ndim - 1)))
     col = any(s in joined for s in ("q_proj", "k_proj", "v_proj", "fc1"))
     row = any(s in joined for s in ("out_proj", "fc2"))
     if leafname == "kernel":
@@ -89,18 +95,24 @@ def param_partition_spec(path: Tuple[str, ...], leaf) -> P:
     return P()
 
 
+def _spec_for_mesh(spec: P, mesh: Mesh) -> P:
+    """Drop axes the mesh doesn't have (a TP rule on a (data, expert)
+    mesh degrades to replicated, and vice versa)."""
+    return P(*(ax if ax in mesh.shape else None for ax in spec))
+
+
 def shard_params(params, mesh: Mesh):
     """Place a param tree on the mesh per the partition rules."""
     def place(path, leaf):
-        spec = param_partition_spec(path, leaf)
+        spec = _spec_for_mesh(param_partition_spec(path, leaf), mesh)
         return jax.device_put(leaf, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map_with_path(place, params)
 
 
 def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh,
-                                         param_partition_spec(path, leaf)),
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for_mesh(param_partition_spec(path, leaf), mesh)),
         params)
 
 
@@ -121,18 +133,37 @@ def clip_contrastive_loss(image_feats: jax.Array, text_feats: jax.Array,
     return (loss_i.mean() + loss_t.mean()) / 2.0
 
 
+MOE_AUX_WEIGHT = 0.01  # standard Switch load-balance coefficient
+
+
+def _is_moe(model) -> bool:
+    cfg = getattr(model, "cfg", None)
+    vision = getattr(cfg, "vision", None)
+    return bool(getattr(vision, "moe_experts", 0))
+
+
 def loss_fn(params, model, images, input_ids):
     """Family-agnostic objective: CLIP towers return
     ``(img, txt, scale)`` → symmetric InfoNCE; SigLIP towers return
-    ``(img, txt, scale, bias)`` → pairwise sigmoid loss."""
-    out = model.apply({"params": params}, images, input_ids)
+    ``(img, txt, scale, bias)`` → pairwise sigmoid loss. MoE towers
+    (CLIPVisionConfig.moe_experts) additionally sow Switch aux
+    load-balancing losses into the ``losses`` collection — added here
+    with the standard 0.01 weight."""
+    aux = 0.0
+    if _is_moe(model):
+        out, sown = model.apply({"params": params}, images, input_ids,
+                                mutable=("losses",))
+        for leaf in jax.tree.leaves(sown.get("losses", {})):
+            aux = aux + MOE_AUX_WEIGHT * jnp.sum(leaf)
+    else:
+        out = model.apply({"params": params}, images, input_ids)
     if len(out) == 4:
         from video_quierer_tpu.models.siglip.model import \
             siglip_sigmoid_loss
         img, txt, scale, bias = out
-        return siglip_sigmoid_loss(img, txt, scale, bias)
+        return siglip_sigmoid_loss(img, txt, scale, bias) + aux
     img, txt, scale = out
-    return clip_contrastive_loss(img, txt, scale)
+    return clip_contrastive_loss(img, txt, scale) + aux
 
 
 # ---------------------------------------------------------------------------
