@@ -104,6 +104,28 @@ def test_pipeline_order_and_batching(tmp_path):
     assert all(len(b) == 8 for b in batches[:-1])
 
 
+def test_pipeline_worker_count_invariant(tmp_path):
+    """num_decode_workers is a throughput knob, not a semantics knob:
+    byte-identical frames/timestamps for 1 vs 4 workers (round-2 VERDICT
+    item 7 — the 8-worker scale projection must be structural)."""
+    paths = [make_synthetic_video(tmp_path / f"w{i}.mp4", n_frames=24)
+             for i in range(5)]
+
+    def run(workers):
+        batches = list(batched_frames(paths, max_frames=8,
+                                      sampling_mode="high", batch_size=16,
+                                      num_workers=workers))
+        frames = np.concatenate([b.frames for b in batches])
+        vidx = [v for b in batches for v in b.video_indices]
+        ts = [t for b in batches for t in b.timestamps]
+        return frames, vidx, ts
+
+    f1, v1, t1 = run(1)
+    f4, v4, t4 = run(4)
+    assert v1 == v4 and t1 == t4
+    np.testing.assert_array_equal(f1, f4)
+
+
 def test_pipeline_skips_bad_video(tmp_path):
     good = make_synthetic_video(tmp_path / "good.mp4", n_frames=30)
     bad = tmp_path / "bad.mp4"

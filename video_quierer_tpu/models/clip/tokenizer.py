@@ -105,6 +105,10 @@ def _bytes_to_unicode() -> Dict[int, str]:
 
 class TokenizerBase:
     context_length: int = CONTEXT_LENGTH
+    # special-token ids — instance attributes when the vocab defines its
+    # own (CLIPBPETokenizer below); OpenAI's 49406/49407 otherwise
+    sot: int = SOT
+    eot: int = EOT
 
     def encode_ids(self, text: str) -> List[int]:
         raise NotImplementedError
@@ -113,10 +117,12 @@ class TokenizerBase:
         """Tokenize to a fixed ``[B, 77]`` int32 batch."""
         if isinstance(texts, str):
             texts = [texts]
-        out = np.full((len(texts), self.context_length), EOT, dtype=np.int32)
+        out = np.full((len(texts), self.context_length), self.eot,
+                      dtype=np.int32)
         for i, text in enumerate(texts):
-            ids = [SOT] + self.encode_ids(text)[: self.context_length - 2] \
-                + [EOT]
+            ids = [self.sot] + \
+                self.encode_ids(text)[: self.context_length - 2] + \
+                [self.eot]
             out[i, : len(ids)] = ids
         return out
 
@@ -130,6 +136,12 @@ class CLIPBPETokenizer(TokenizerBase):
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.byte_encoder = _bytes_to_unicode()
         self._cache: Dict[str, List[str]] = {}
+        # special ids come from the LOADED vocab (they equal 49406/49407
+        # for the OpenAI artifacts, but any other vocab places them
+        # elsewhere — assuming the constants would emit out-of-range ids
+        # and NaN the text tower)
+        self.sot = self.encoder.get("<|startoftext|>", SOT)
+        self.eot = self.encoder.get("<|endoftext|>", EOT)
 
     # -- loading ---------------------------------------------------------
 
@@ -233,18 +245,6 @@ class HashTokenizer(TokenizerBase):
                 hashlib.md5(word.encode("utf-8")).digest()[:4], "little")
             ids.append(1 + h % (lo - 1))  # below both specials
         return ids
-
-    def __call__(self, texts) -> np.ndarray:
-        if isinstance(texts, str):
-            texts = [texts]
-        out = np.full((len(texts), self.context_length), self.eot,
-                      dtype=np.int32)
-        for i, text in enumerate(texts):
-            ids = [self.sot] + \
-                self.encode_ids(text)[: self.context_length - 2] + \
-                [self.eot]
-            out[i, : len(ids)] = ids
-        return out
 
 
 def load_tokenizer(checkpoint_dir: Optional[Path] = None) -> TokenizerBase:
