@@ -35,7 +35,11 @@ def log(msg: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--modes", default="f32",
-                    help="comma list: f32,bf16,int8")
+                    help="comma list: f32,bf16,int8 (exact scans), "
+                         "cand16,cand8 (fused candidate stage, permuted "
+                         "mirror, deep fetch)")
+    ap.add_argument("--fetch", type=int, default=256,
+                    help="candidate fetch depth for cand16/cand8")
     ap.add_argument("--rows", type=int, default=2_000_000)
     ap.add_argument("--batch", type=int, default=1,
                     help="queries per dispatch (1 = single-stream path)")
@@ -51,6 +55,8 @@ def main() -> None:
     from video_quierer_tpu.ops.topk import (
         BLOCK_ROWS,
         SELECT_BLOCKS,
+        candidate_topk,
+        candidate_topk_int8,
         cosine_topk,
         cosine_topk_int8,
     )
@@ -83,6 +89,18 @@ def main() -> None:
     f_scan = jax.jit(lambda m, q: cosine_topk(m, q, valid, k=args.k))
     i8_scan = jax.jit(lambda c, s, q: cosine_topk_int8(c, s, q, valid,
                                                        k=args.k))
+    # fused candidate stage (the engine's bf16/int8 serving pre-filter):
+    # deep fetch over the PERMUTED mirror, exactly the index layout
+    fetch = args.fetch
+    c_scan = jax.jit(lambda m, p, q: candidate_topk(m, q, valid, k=fetch,
+                                                    perm=p))
+    c8_scan = jax.jit(lambda c, s, p, q: candidate_topk_int8(
+        c, s, q, valid, k=fetch, perm=p))
+    perm = None
+    if {"cand16", "cand8"} & set(args.modes.split(",")):
+        pkey = jax.random.PRNGKey(7)
+        perm = jax.random.permutation(pkey, n_pad).astype(jnp.int32)
+        perm.block_until_ready()
     for mode in args.modes.split(","):
         if mode == "f32":
             run = lambda q: f_scan(emb, q)
@@ -97,6 +115,16 @@ def main() -> None:
             codes.block_until_ready()
             run = lambda q: i8_scan(codes, scales, q)
             nbytes = n_pad * 512 + n_pad * 4
+        elif mode == "cand16":
+            mat16 = emb.astype(jnp.bfloat16)
+            mat16.block_until_ready()
+            run = lambda q: c_scan(mat16, perm, q)
+            nbytes = n_pad * (512 * 2 + 4)
+        elif mode == "cand8":
+            codes, scales = quantize_rows(emb)
+            codes.block_until_ready()
+            run = lambda q: c8_scan(codes, scales, perm, q)
+            nbytes = n_pad * (512 + 4 + 4)
         else:
             raise SystemExit(f"unknown mode {mode}")
 

@@ -12,6 +12,11 @@ whatever backend jax resolves, asserting cross-mode agreement:
 - device-side video ranking (_video_rank_device) in all three modes
 - batched search
 - the IVF tier (build + full-probe search covers the exact top-k)
+- the FUSED candidate kernels (ops/topk.py:_pallas_cand_scan[_int8])
+  at a 40,960-row corpus — the smallest scale the fused stage engages
+  ((N/bucket)·rounds >= fetch) — over the permuted mirror, B=1 (flat
+  VPU layout) and batched, int8 native-MXU and bf16-upcast contracts,
+  each asserted equal to the exact f32 scan
 
 Run it on the TPU after touching any Pallas kernel, BlockSpec, or
 device-path dispatch logic:
@@ -82,6 +87,52 @@ def main() -> None:
     exact = set(r["frame_id"] for r in want)
     assert exact <= full, (exact - full)
     print("[smoke] IVF full probe covers the exact top-8")
+
+    # --- fused candidate kernels at engagement scale (>= 32,768 rows:
+    # (N/CAND_BUCKET)·CAND_ROUNDS must cover the default 256 fetch) ---
+    import os
+
+    from video_quierer_tpu.ops.topk import _fused_usable
+
+    n_big = 40 * 1024
+    emb_big = rng.standard_normal((n_big, 512)).astype(np.float32)
+    emb_big /= np.linalg.norm(emb_big, axis=-1, keepdims=True)
+    assert _fused_usable(n_big, 256), "fused stage must engage here"
+
+    big = {}
+    for mode in ("float32", "bfloat16", "int8"):
+        idx = DeviceVideoIndex(device_dtype=mode)
+        for lo in range(0, n_big, 8192):
+            idx.add_batch(emb_big[lo:lo + 8192], f"big{lo}.mp4",
+                          np.arange(min(8192, n_big - lo), dtype=float))
+        big[mode] = idx
+
+    qb = emb_big[[777, 12345, 30000, 39999]] + \
+        0.02 * rng.standard_normal((4, 512)).astype(np.float32)
+    want1 = big["float32"].search(qb[0], k=10)          # exact oracle
+    wantb = big["float32"].search_batch(qb, k=10)
+    for mode in ("bfloat16", "int8"):
+        assert big[mode]._mirror_permuted(), mode
+        got1 = big[mode].search(qb[0], k=10)            # B=1 flat layout
+        assert [r["frame_id"] for r in got1] == \
+            [r["frame_id"] for r in want1], (mode, got1, want1)
+        gotb = big[mode].search_batch(qb, k=10)         # batched kernel
+        for wr, gr in zip(wantb, gotb):
+            assert [r["frame_id"] for r in wr] == \
+                [r["frame_id"] for r in gr], (mode, gr, wr)
+        print(f"[smoke] fused {mode} candidate scan (permuted mirror, "
+              f"B=1 + batched) == exact f32 @ {n_big} rows")
+
+    # int8 bf16-upcast contract variant (VQT_INT8_MXU=upcast)
+    os.environ["VQT_INT8_MXU"] = "upcast"
+    try:
+        got = big["int8"].search_batch(qb, k=10)
+        for wr, gr in zip(wantb, got):
+            assert [r["frame_id"] for r in wr] == \
+                [r["frame_id"] for r in gr]
+        print("[smoke] fused int8 upcast contract == exact f32")
+    finally:
+        del os.environ["VQT_INT8_MXU"]
 
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 

@@ -597,78 +597,72 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _bucket_select_rows(sc, hid, vals_ref, idxs_ref, *, rounds: int,
+def _bucket_select_rows(sc, base, vals_ref, idxs_ref, *, rounds: int,
                         bucket: int):
     """Per-bucket top-``rounds`` selection over query-major scores.
 
-    ``sc [B, blk]`` f32 (dead rows already -inf), ``hid [blk]`` i32 host
-    row ids. Writes ``[B, rounds·nb]`` winners round-major into the
-    output block refs. Ties within a bucket break to the lowest host id.
+    ``sc [B, blk]`` f32 (dead rows already -inf); ``base`` = this grid
+    step's global row offset. Buckets are contiguous ``bucket``-lane
+    ranges; each bucket's top ``rounds`` winners are assembled into
+    ``[B, rounds·nb]`` (vals) + their global MIRROR positions (idxs) via
+    the masked-iota idiom of :func:`_macro_topk_rows`. Callers translate
+    mirror positions to host rows through the permutation OUTSIDE the
+    kernel (``_cand_merge``). Ties within a bucket break to the lowest
+    mirror position.
+
+    Hardware-Mosaic rules this shape is built around (found by probing
+    the real lowering — interpreter mode accepts every rejected form):
+    reductions keep a size-1 trailing axis (keepdims; multi-trailing-
+    axis and rank-reducing forms are rejected), and selection compares
+    against a FRESH position iota per bucket — broadcasting a
+    lane-offset slice of an id row is an invalid vector layout, which is
+    why the kernel emits positions, not ids.
     """
     b, blk = sc.shape
     nb = blk // bucket
-    sc3 = sc.reshape(b, nb, bucket)
-    hid3 = hid.reshape(1, nb, bucket)
-    for r in range(rounds):
-        m = jnp.max(sc3, axis=-1)                       # [B, nb]
-        cand = jnp.where(sc3 == m[..., None], hid3, _IMAX)
-        am = jnp.min(cand, axis=-1)                     # [B, nb]
-        vals_ref[0, :, r * nb:(r + 1) * nb] = m
-        idxs_ref[0, :, r * nb:(r + 1) * nb] = am
-        if r + 1 < rounds:
-            sc3 = jnp.where(hid3 == am[..., None], NEG_INF, sc3)
-
-
-def _bucket_select_flat(sc2, hid2, vals_ref, idxs_ref, *, rounds: int,
-                        bucket: int):
-    """B=1 variant over lane-tiled scores ``sc2 [blk/128, 128]`` (the
-    layout the flat VPU scoring path produces — all sublanes live in
-    every reduction)."""
-    n_rows, lanes = sc2.shape
-    per = bucket // lanes
-    nb = n_rows // per
-    sc3 = sc2.reshape(nb, per, lanes)
-    hid3 = hid2.reshape(nb, per, lanes)
-    for r in range(rounds):
-        m = jnp.max(sc3, axis=(1, 2))                   # [nb]
-        cand = jnp.where(sc3 == m[:, None, None], hid3, _IMAX)
-        am = jnp.min(cand, axis=(1, 2))                 # [nb]
-        vals_ref[0, 0, r * nb:(r + 1) * nb] = m
-        idxs_ref[0, 0, r * nb:(r + 1) * nb] = am
-        if r + 1 < rounds:
-            sc3 = jnp.where(hid3 == am[:, None, None], NEG_INF, sc3)
+    w = rounds * nb
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    vals = jnp.full((b, w), NEG_INF, jnp.float32)
+    idxs = jnp.full((b, w), jnp.int32(_IMAX), jnp.int32)
+    for j in range(nb):                                  # static, small
+        sj = sc[:, j * bucket:(j + 1) * bucket]          # [B, bucket]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, bucket), 1)
+        for r in range(rounds):
+            m = jnp.max(sj, axis=-1, keepdims=True)      # [B, 1]
+            cand = jnp.where(sj == m, pos, jnp.int32(_IMAX))
+            ap = jnp.min(cand, axis=-1, keepdims=True)   # [B, 1]
+            sel = col_ids == (r * nb + j)
+            vals = jnp.where(sel, m, vals)
+            idxs = jnp.where(sel, base + j * bucket + ap, idxs)
+            if r + 1 < rounds:
+                sj = jnp.where(pos == ap, NEG_INF, sj)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
 
 
 def _cand_kernel(valid_ref, emb_ref, perm_ref, qt_ref, vals_ref, idxs_ref,
                  *, rounds: int, bucket: int):
     """One grid step of the fused candidate scan (f32/bf16 matrix):
-    score a row block, mask dead rows via the perm column, keep the top
-    ``rounds`` of every ``bucket``-row bucket — scores never leave VMEM.
+    score a row block on the MXU, mask dead rows via the perm row, keep
+    the top ``rounds`` of every ``bucket``-row bucket — scores never
+    leave VMEM. No B=1 VPU special-case: the candidate mirrors are
+    bf16/int8, so the matmul path has no fp32-emulation penalty and the
+    1-column rhs only wastes MXU cycles the HBM-bound scan has spare.
     """
-    blk = emb_ref.shape[0]
-    b = qt_ref.shape[1]
     valid = valid_ref[0]
-    if _use_flat_layout(b):
-        q = qt_ref[:][:, 0].astype(jnp.float32)
-        e3 = emb_ref[:].astype(jnp.float32).reshape(
-            blk // _LANES, _LANES, emb_ref.shape[1])
-        sc2 = jnp.sum(e3 * q[None, None, :], axis=2)    # [blk/128, 128]
-        hid2 = perm_ref[:].reshape(blk // _LANES, _LANES)
-        sc2 = jnp.where(hid2 < valid, sc2, NEG_INF)
-        _bucket_select_flat(sc2, hid2, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
-    else:
-        precision = (_SCAN_PRECISION_F32
-                     if emb_ref.dtype == jnp.float32 else None)
-        sc = jax.lax.dot_general(
-            qt_ref[:], emb_ref[:],
-            dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision)                        # [B, blk]
-        hid = perm_ref[:][:, 0]                         # [blk]
-        sc = jnp.where((hid < valid)[None, :], sc, NEG_INF)
-        _bucket_select_rows(sc, hid, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+    blk = emb_ref.shape[0]
+    precision = (_SCAN_PRECISION_F32
+                 if emb_ref.dtype == jnp.float32 else None)
+    sc = jax.lax.dot_general(
+        qt_ref[:], emb_ref[:],
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)                            # [B, blk]
+    # dead-row mask on the HOST id carried by the perm row ([1, blk] →
+    # [B, blk] is an offset-0 broadcast — hardware-valid)
+    sc = jnp.where(perm_ref[0] < valid, sc, NEG_INF)
+    _bucket_select_rows(sc, pl.program_id(0) * blk, vals_ref, idxs_ref,
+                        rounds=rounds, bucket=bucket)
 
 
 def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
@@ -678,34 +672,35 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
     against int8-quantized queries on the MXU (int32 accumulate — no
     upcast of the 1-byte/element HBM read), rescaling by
     row_scale · query_scale afterward; ``native=False`` upcasts both to
-    bf16 (the portable contract)."""
-    b = qt_ref.shape[1]
+    bf16 (the portable contract). ``scales_ref [1, blk]`` lane-major,
+    ``qscale_ref [B, 1]`` sublane-major — both already in the layout the
+    ``[B, blk]`` score tensor broadcasts from (offset-0 broadcasts)."""
     valid = valid_ref[0]
-    row_scale = scales_ref[:][:, 0]                     # [blk]
+    blk = emb_ref.shape[0]
+    row_scale = scales_ref[0]                           # [1, blk]
     if native:
         raw = jax.lax.dot_general(
             qt_ref[:], emb_ref[:],
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)           # [B, blk] i32
-        sc = raw.astype(jnp.float32) * row_scale[None, :] \
-            * qscale_ref[0][:, None]
+        sc = raw.astype(jnp.float32) * row_scale * qscale_ref[:]
     else:
         raw = jax.lax.dot_general(
             qt_ref[:].astype(jnp.bfloat16),
             emb_ref[:].astype(jnp.bfloat16),
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        sc = raw * row_scale[None, :]
-    hid = perm_ref[:][:, 0]
-    sc = jnp.where((hid < valid)[None, :], sc, NEG_INF)
-    _bucket_select_rows(sc, hid, vals_ref, idxs_ref, rounds=rounds,
-                        bucket=bucket)
+        sc = raw * row_scale
+    sc = jnp.where(perm_ref[0] < valid, sc, NEG_INF)
+    _bucket_select_rows(sc, pl.program_id(0) * blk, vals_ref, idxs_ref,
+                        rounds=rounds, bucket=bucket)
 
 
-def _cand_merge(bvals: jax.Array, bidxs: jax.Array, *, fetch: int
-                ) -> Tuple[jax.Array, jax.Array]:
+def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
+                *, fetch: int) -> Tuple[jax.Array, jax.Array]:
     """Merge per-block bucket winners ``[n_blocks, B, w]`` to the global
-    top-``fetch`` candidates. ApproxTopK over the (already permuted,
+    top-``fetch`` candidates and translate their mirror positions to
+    host rows through ``perm``. ApproxTopK over the (already permuted,
     therefore unclustered) winner list at a 0.999 recall target — the
     list is ~N/bucket·rounds entries, so this is microseconds; exact
     top_k on CPU."""
@@ -716,6 +711,11 @@ def _cand_merge(bvals: jax.Array, bidxs: jax.Array, *, fetch: int
     vals, pos = jax.lax.approx_max_k(cand_vals, k_eff,
                                      recall_target=0.999)
     idxs = jnp.take_along_axis(cand_idxs, pos.astype(jnp.int32), axis=-1)
+    # mirror position → host row (XLA-side [B, fetch] gather — the
+    # kernel emits positions; see _bucket_select_rows)
+    n_pad = perm.shape[0]
+    idxs = jnp.where(idxs < n_pad,
+                     jnp.take(perm, jnp.minimum(idxs, n_pad - 1)), _IMAX)
     if k_eff < fetch:
         pad = ((0, 0), (0, fetch - k_eff))
         vals = jnp.pad(vals, pad, constant_values=NEG_INF)
@@ -732,7 +732,13 @@ def _cand_out_specs(b: int, w: int):
     ]
 
 
-_PERM_SPEC = pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+# perm rides as [n_blocks, BLOCK_ROWS] — one lane-major row per grid
+# step, the same layout as the kernel's [B, blk] scores
+# [n_blocks, 1, BLOCK_ROWS]: the leading axis is the grid split, so the
+# LAST TWO block dims equal the array dims — the form the Pallas TPU
+# lowering accepts for a 1-sublane row (a flat (1, BLOCK_ROWS) block
+# over [n_blocks, BLOCK_ROWS] violates the /8-sublane rule).
+_PERM_SPEC = pl.BlockSpec((1, 1, BLOCK_ROWS), lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
 
@@ -775,8 +781,9 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
             + d * b * 4 + 2 * n_blocks * b * w * 4,
             transcendentals=0,
         ),
-    )(valid_count.reshape(1).astype(jnp.int32), emb, perm[:, None], qt)
-    return _cand_merge(bvals, bidxs, fetch=fetch)
+    )(valid_count.reshape(1).astype(jnp.int32), emb,
+      perm.reshape(n_blocks, 1, BLOCK_ROWS), qt)
+    return _cand_merge(bvals, bidxs, perm, fetch=fetch)
 
 
 @functools.partial(jax.jit,
@@ -801,11 +808,12 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
         qsafe = jnp.where(qscale > 0, qscale, 1.0)
         qt = jnp.clip(jnp.round(queries / qsafe), -127,
                       127).astype(jnp.int8).T            # [D, B]
-        qs = qscale[:, 0][None, :]                       # [1, B]
+        qs = qscale                                      # [B, 1]
     else:
         qt = queries.astype(jnp.bfloat16).T
-        qs = jnp.ones((1, b), jnp.float32)
-    scales_spec = pl.BlockSpec((BLOCK_ROWS, 1), lambda i, *_: (i, 0),
+        qs = jnp.ones((b, 1), jnp.float32)
+    scales_spec = pl.BlockSpec((1, 1, BLOCK_ROWS),
+                               lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel_int8, rounds=rounds, bucket=bucket,
@@ -824,7 +832,7 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
                 _PERM_SPEC,
                 pl.BlockSpec((d, b), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, b), lambda i, *_: (0, 0),
+                pl.BlockSpec((b, 1), lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=_cand_out_specs(b, w),
@@ -838,9 +846,10 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
             + 2 * n_blocks * b * w * 4,
             transcendentals=0,
         ),
-    )(valid_count.reshape(1).astype(jnp.int32), codes, scales,
-      perm[:, None], qt, qs)
-    return _cand_merge(bvals, bidxs, fetch=fetch)
+    )(valid_count.reshape(1).astype(jnp.int32), codes,
+      scales[:, 0].reshape(n_blocks, 1, BLOCK_ROWS),
+      perm.reshape(n_blocks, 1, BLOCK_ROWS), qt, qs)
+    return _cand_merge(bvals, bidxs, perm, fetch=fetch)
 
 
 def _int8_native() -> bool:
