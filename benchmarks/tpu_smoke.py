@@ -97,7 +97,7 @@ def main() -> None:
     n_big = 40 * 1024
     emb_big = rng.standard_normal((n_big, 512)).astype(np.float32)
     emb_big /= np.linalg.norm(emb_big, axis=-1, keepdims=True)
-    assert _fused_usable(n_big, 256), "fused stage must engage here"
+    assert _fused_usable(n_big, 256, 8), "fused stage must engage here"
 
     big = {}
     for mode in ("float32", "bfloat16", "int8"):
@@ -111,28 +111,45 @@ def main() -> None:
         0.02 * rng.standard_normal((4, 512)).astype(np.float32)
     want1 = big["float32"].search(qb[0], k=10)          # exact oracle
     wantb = big["float32"].search_batch(qb, k=10)
+
+    # force the fused kernel for every batch size (the serving policy
+    # routes B < FUSED_MIN_B to the approx scan — exercised below)
+    from video_quierer_tpu.ops import topk as topk_mod
+    saved_min_b = topk_mod.FUSED_MIN_B
+    topk_mod.FUSED_MIN_B = 1
+    try:
+        for mode in ("bfloat16", "int8"):
+            assert big[mode]._mirror_permuted(), mode
+            got1 = big[mode].search(qb[0], k=10)        # fused B=1
+            assert [r["frame_id"] for r in got1] == \
+                [r["frame_id"] for r in want1], (mode, got1, want1)
+            gotb = big[mode].search_batch(qb, k=10)     # fused batched
+            for wr, gr in zip(wantb, gotb):
+                assert [r["frame_id"] for r in wr] == \
+                    [r["frame_id"] for r in gr], (mode, gr, wr)
+            print(f"[smoke] fused {mode} candidate scan (permuted "
+                  f"mirror, B=1 + batched) == exact f32 @ {n_big} rows")
+
+        # int8 bf16-upcast contract variant (VQT_INT8_MXU=upcast)
+        os.environ["VQT_INT8_MXU"] = "upcast"
+        try:
+            got = big["int8"].search_batch(qb, k=10)
+            for wr, gr in zip(wantb, got):
+                assert [r["frame_id"] for r in wr] == \
+                    [r["frame_id"] for r in gr]
+            print("[smoke] fused int8 upcast contract == exact f32")
+        finally:
+            del os.environ["VQT_INT8_MXU"]
+    finally:
+        topk_mod.FUSED_MIN_B = saved_min_b
+
+    # serving policy's small-B path: approx scan over the SAME permuted
+    # mirror (bf16 + native-int8 XLA contracts) == exact f32
     for mode in ("bfloat16", "int8"):
-        assert big[mode]._mirror_permuted(), mode
-        got1 = big[mode].search(qb[0], k=10)            # B=1 flat layout
+        got1 = big[mode].search(qb[0], k=10)
         assert [r["frame_id"] for r in got1] == \
             [r["frame_id"] for r in want1], (mode, got1, want1)
-        gotb = big[mode].search_batch(qb, k=10)         # batched kernel
-        for wr, gr in zip(wantb, gotb):
-            assert [r["frame_id"] for r in wr] == \
-                [r["frame_id"] for r in gr], (mode, gr, wr)
-        print(f"[smoke] fused {mode} candidate scan (permuted mirror, "
-              f"B=1 + batched) == exact f32 @ {n_big} rows")
-
-    # int8 bf16-upcast contract variant (VQT_INT8_MXU=upcast)
-    os.environ["VQT_INT8_MXU"] = "upcast"
-    try:
-        got = big["int8"].search_batch(qb, k=10)
-        for wr, gr in zip(wantb, got):
-            assert [r["frame_id"] for r in wr] == \
-                [r["frame_id"] for r in gr]
-        print("[smoke] fused int8 upcast contract == exact f32")
-    finally:
-        del os.environ["VQT_INT8_MXU"]
+        print(f"[smoke] approx+perm {mode} single-query == exact f32")
 
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 

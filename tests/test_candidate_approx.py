@@ -137,6 +137,43 @@ def test_int8_approx_sharded_top1(rng, approx_mode):
                                rtol=1e-6)
 
 
+def test_int8_native_mxu_contract_results_f32_true(rng, approx_mode,
+                                                   monkeypatch):
+    """VQT_INT8_MXU=native (the default): the approx scan contracts
+    s8×s8→s32 on the MXU — no bf16 upcast of the 1-byte read — and the
+    deep fetch + exact f32 re-rank keeps final results f32-true. Both
+    contract variants must agree with the f32 index."""
+    f32 = DeviceVideoIndex(device_dtype="float32")
+    emb = _unit_rows(rng, 480)
+    f32.add_batch(emb, "a.mp4", [float(t) for t in range(480)])
+    q = emb[200] + 0.03 * rng.standard_normal(512).astype(np.float32)
+    want = f32.search(q, k=8)
+    for contract in ("native", "upcast"):
+        monkeypatch.setenv("VQT_INT8_MXU", contract)
+        i8 = DeviceVideoIndex(device_dtype="int8")
+        i8.add_batch(emb, "a.mp4", [float(t) for t in range(480)])
+        got = i8.search(q, k=8)
+        assert [r["frame_id"] for r in got] == \
+            [r["frame_id"] for r in want], contract
+        np.testing.assert_allclose([r["score"] for r in got],
+                                   [r["score"] for r in want], rtol=1e-6)
+
+
+def test_fused_min_b_dispatch_policy(monkeypatch):
+    """Measured serving policy (ops/topk.py FUSED_MIN_B): single/small
+    queries take the approx scan (its [B, N] score matrix is noise at
+    small B and it wins on latency), batched queries the fused in-VMEM
+    kernel. Both run over the same permuted mirror, so the recall
+    contract is identical either way."""
+    from video_quierer_tpu.ops import topk as topk_mod
+    n_pad = 8 * topk_mod.BLOCK_ROWS
+    monkeypatch.setattr(topk_mod, "FUSED_MIN_B", 8)
+    assert not topk_mod._fused_usable(n_pad, 40, 1)
+    assert not topk_mod._fused_usable(n_pad, 40, 7)
+    assert topk_mod._fused_usable(n_pad, 40, 8)
+    assert topk_mod._fused_usable(n_pad, 40, 64)
+
+
 def test_bf16_approx_fused_matches_two_step(rng, approx_mode):
     import jax.numpy as jnp
     b16 = DeviceVideoIndex(device_dtype="bfloat16")

@@ -31,6 +31,9 @@ def fused_interpret(monkeypatch):
     monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("VQT_CANDIDATE_TOPK", raising=False)
     monkeypatch.setattr(topk_mod, "CAND_BUCKET", 128)
+    # serving policy routes B < FUSED_MIN_B to the approx scan; these
+    # tests pin the FUSED kernel, so engage it at any batch size
+    monkeypatch.setattr(topk_mod, "FUSED_MIN_B", 1)
 
 
 def _clustered_corpus(rng, n_clusters=40, per_cluster=160, d=512,
@@ -71,7 +74,7 @@ def test_clustered_recall_is_exact_at_default_knobs(rng, fused_interpret,
         idx.add_batch(corpus, "a.mp4",
                       [float(t) for t in range(len(corpus))])
     assert b16._mirror_permuted()
-    assert topk_mod._fused_usable(b16._emb.shape[0], b16._rerank_fetch(10))
+    assert topk_mod._fused_usable(b16._emb.shape[0], b16._rerank_fetch(10), 1)
     for c in range(0, 100, 17):
         q = corpus[c * 160] + 1e-4 * rng.standard_normal(512).astype(
             np.float32)
@@ -213,7 +216,7 @@ def test_sharded_fused_candidate_stage(rng, fused_interpret, monkeypatch):
         idx.add_batch(corpus, "a.mp4",
                       [float(t) for t in range(len(corpus))])
     shard_rows = b16._emb.shape[0] // 8
-    assert topk_mod._fused_usable(shard_rows, 32)
+    assert topk_mod._fused_usable(shard_rows, 32, 1)
     for c in (333, 7777):
         q = corpus[c] + 1e-2 * rng.standard_normal(512).astype(np.float32)
         want = f32.search(q, k=8)
@@ -254,7 +257,8 @@ def test_fused_usability_fallback(rng, monkeypatch):
     monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("VQT_CANDIDATE_TOPK", raising=False)
     n = 1024
-    assert not topk_mod._fused_usable(n, 256)
+    monkeypatch.setattr(topk_mod, "FUSED_MIN_B", 1)
+    assert not topk_mod._fused_usable(n, 256, 1)
     emb = rng.standard_normal((n, 512)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
     perm = np.random.default_rng(4).permutation(n).astype(np.int32)

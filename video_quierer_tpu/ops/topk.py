@@ -578,16 +578,35 @@ def _approx_scan(emb: jax.Array, queries: jax.Array,
                                     recall=recall, perm=perm)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "recall"))
+@functools.partial(jax.jit, static_argnames=("k", "recall", "native"))
 def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
                       queries: jax.Array, valid_count: jax.Array,
-                      *, k: int, recall: float, perm=None
+                      *, k: int, recall: float, perm=None,
+                      native: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
-    scores = jax.lax.dot_general(
-        queries.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # [B, N]
-    scores = scores * scales[:, 0][None, :]
+    if native:
+        # native int8 MXU contract (VQT_INT8_MXU=native, the default):
+        # queries symmetrically quantized on device, s8×s8→s32 matmul —
+        # no bf16 upcast of the 1-byte/element read. The ~0.4% extra
+        # relative candidate error is absorbed by the deep fetch + exact
+        # f32 re-rank, same contract as the fused int8 kernel.
+        qabs = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = (qabs / 127.0).astype(jnp.float32)
+        qsafe = jnp.where(qscale > 0, qscale, 1.0)
+        q_i8 = jnp.clip(jnp.round(queries / qsafe), -127,
+                        127).astype(jnp.int8)
+        raw = jax.lax.dot_general(
+            q_i8, emb_i8,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # [B, N] i32
+        scores = raw.astype(jnp.float32) * qscale \
+            * scales[:, 0][None, :]
+    else:
+        scores = jax.lax.dot_general(
+            queries.astype(jnp.bfloat16), emb_i8.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [B, N]
+        scores = scores * scales[:, 0][None, :]
     return _approx_topk_from_scores(scores, valid_count, k=k,
                                     recall=recall, perm=perm)
 
@@ -856,11 +875,23 @@ def _int8_native() -> bool:
     return _os.environ.get("VQT_INT8_MXU", "native") == "native"
 
 
-def _fused_usable(n_pad: int, fetch: int) -> bool:
-    """The fused kernel engages when the Pallas path is on, blocks and
-    buckets divide evenly, and the bucket-winner list is at least as
-    deep as the fetch (tiny corpora fall back to the approx scan, which
-    is cheap at that size)."""
+# Minimum query batch for the fused kernel. Measured at 2M×512 on v5e
+# (scan_bench): at B=1 the approx scan's [1, N] score matrix is 8 MB —
+# noise — and approx wins (bf16 3.7 vs 4.0 ms; int8 2.4 vs 3.0); at
+# B=64 the [64, N] materialization makes approx ~11 ms/batch vs the
+# fused kernel's ~5 ms. Both stages run over the SAME permuted mirror,
+# so the recall contract is identical either way.
+FUSED_MIN_B = int(_os.environ.get("VQT_FUSED_MIN_B", "8"))
+
+
+def _fused_usable(n_pad: int, fetch: int, b: int) -> bool:
+    """The fused kernel engages for batched queries (``b >= FUSED_MIN_B``
+    — see above) when the Pallas path is on, blocks and buckets divide
+    evenly, and the bucket-winner list is at least as deep as the fetch
+    (tiny corpora fall back to the approx scan, which is cheap at that
+    size)."""
+    if b < FUSED_MIN_B:
+        return False
     if n_pad <= 0 or n_pad % BLOCK_ROWS:
         return False
     if BLOCK_ROWS % CAND_BUCKET or CAND_BUCKET % _LANES:
@@ -876,7 +907,7 @@ def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
     single-device dispatch and the per-shard sharded scans."""
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
-            and _fused_usable(emb.shape[0], k):
+            and _fused_usable(emb.shape[0], k, queries.shape[0]):
         if perm is None:
             perm = jnp.arange(emb.shape[0], dtype=jnp.int32)
         return _pallas_cand_scan(emb, perm, queries, valid_count, fetch=k,
@@ -892,7 +923,7 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
     """Int8 twin of :func:`candidate_stage`."""
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
-            and _fused_usable(codes.shape[0], k):
+            and _fused_usable(codes.shape[0], k, queries.shape[0]):
         if perm is None:
             perm = jnp.arange(codes.shape[0], dtype=jnp.int32)
         return _pallas_cand_scan_int8(
@@ -900,7 +931,8 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
             rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
             native=_int8_native(), interpret=pallas == "interpret")
     return _approx_scan_int8(codes, scales, queries, valid_count, k=k,
-                             recall=_approx_recall(), perm=perm)
+                             recall=_approx_recall(), perm=perm,
+                             native=_int8_native())
 
 
 def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
