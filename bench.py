@@ -88,9 +88,14 @@ def main() -> None:
         a.block_until_ready()
     log(f"corpus ready in {time.time() - t0:.1f}s")
 
+    # serving-default towers (engine/config.py ModelConfig): bf16
+    # compute + bf16 param storage — numerically identical activations
+    # to bf16-compute-over-f32-storage, half the weight reads
     cfg = vit_b_32()
-    model = CLIP(cfg)
-    params = init_params(model, seed=0)
+    model = CLIP(cfg, dtype=jnp.bfloat16)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        init_params(model, seed=0))
     tokenizer = load_tokenizer()
 
     # The engine's fused serving path (DeviceVideoIndex.search_batch_fused
@@ -133,13 +138,18 @@ def main() -> None:
 
     # tokenize + pre-stage all inputs on device (CLAUDE.md: in-loop
     # transfers/slices serialize dispatch on this transport)
+    # the engine's fused paths trim token pads to a seq bucket before
+    # dispatch (exact under causal masking — models/clip/embedder.py
+    # trim_text_ids); the bench applies the same serving-default trim
+    from video_quierer_tpu.models.clip.embedder import trim_text_ids
     texts = [f"a video of scene number {i} with people"
              for i in range(queries)]
-    all_ids = [jnp.asarray(tokenizer(t)) for t in texts]
+    all_ids = [jnp.asarray(trim_text_ids(tokenizer(t))) for t in texts]
     batch_texts = [f"batch {b} scene {i} with people"
                    for b in range(coalesce_batches) for i in range(coalesce)]
-    batch_ids = [jnp.asarray(tokenizer(t)) for t in batch_texts]
-    batches = [jnp.concatenate(batch_ids[b * coalesce:(b + 1) * coalesce])
+    batch_ids = [tokenizer(t) for t in batch_texts]
+    batches = [jnp.asarray(trim_text_ids(np.concatenate(
+        batch_ids[b * coalesce:(b + 1) * coalesce])))
                for b in range(coalesce_batches)]
     for a in all_ids + batches:
         a.block_until_ready()

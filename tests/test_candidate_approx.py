@@ -166,12 +166,16 @@ def test_fused_min_b_dispatch_policy(monkeypatch):
     kernel. Both run over the same permuted mirror, so the recall
     contract is identical either way."""
     from video_quierer_tpu.ops import topk as topk_mod
-    n_pad = 8 * topk_mod.BLOCK_ROWS
+    # corpus large enough that the bucket-winner list covers the fetch
+    # (rounds · n_pad / bucket ≥ 40)
+    n_pad = 16 * topk_mod.CAND_BLOCK_ROWS
     monkeypatch.setattr(topk_mod, "FUSED_MIN_B", 8)
     assert not topk_mod._fused_usable(n_pad, 40, 1)
     assert not topk_mod._fused_usable(n_pad, 40, 7)
     assert topk_mod._fused_usable(n_pad, 40, 8)
     assert topk_mod._fused_usable(n_pad, 40, 64)
+    # too-small corpora fall back to the approx scan
+    assert not topk_mod._fused_usable(topk_mod.CAND_BLOCK_ROWS, 256, 8)
 
 
 def test_bf16_approx_fused_matches_two_step(rng, approx_mode):

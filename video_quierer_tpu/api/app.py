@@ -270,8 +270,14 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
                 if hasattr(emb, "warmup"):
                     emb.warmup()
                 ks = sorted({1, engine.config.api.default_results, 10})
+                # fused executables are per (k, text width, seq bucket):
+                # warm the common seq buckets on the single-query path
+                # (a 16-token and a ~30-token query; the rare 77-token
+                # bucket compiles lazily)
+                long_q = " ".join(["warmup"] * 28)
                 for k in ks:
                     engine.search("warmup", k=k, use_cache=False)
+                    engine.search(long_q, k=k, use_cache=False)
                 # coalesced executables compile per text bucket; warm the
                 # widths the coalescer actually flushes so the first
                 # concurrent burst doesn't absorb a device compile

@@ -147,7 +147,13 @@ class ModelConfig:
     checkpoint_dir: Optional[str] = None
     # serve fine-tuned weights from a train/checkpoint.py step dir
     orbax_checkpoint: Optional[str] = None
-    dtype: str = "float32"  # "bfloat16" for throughput mode
+    # Tower compute/param dtype. Default "bfloat16": the MXU's native
+    # precision — ~2× embed throughput and half the weight/activation HBM
+    # traffic vs f32, with CLIP retrieval rankings essentially unchanged
+    # (features are L2-normalized f32 on output; the index's candidate→
+    # exact-f32-re-rank contract is dtype-agnostic). "float32" restores
+    # bit-parity with the f32 reference towers for numerical A/B work.
+    dtype: str = "bfloat16"
     # Serving parallelism for the image tower (parallel/pipeline.py):
     #   none — single-device towers (default; B/32 fits in a fraction
     #          of one chip)

@@ -461,6 +461,7 @@ class VideoSearchEngine:
             return None
         try:
             ids = emb.tokenizer([query])
+            ids = getattr(emb, "prepare_text_ids", lambda x: x)(ids)
             rows = self.index.search_batch_fused(
                 emb.text_encode_fn, emb.params, ids,
                 self._bucket_k(fetch_k))[0]
@@ -583,6 +584,7 @@ class VideoSearchEngine:
             from video_quierer_tpu.models.clip.embedder import (
                 TEXT_BUCKETS, _bucket_for)
             ids = emb.tokenizer(list(queries))
+            ids = getattr(emb, "prepare_text_ids", lambda x: x)(ids)
             n = ids.shape[0]
             bucket = _bucket_for(n, TEXT_BUCKETS)
             if n < bucket:

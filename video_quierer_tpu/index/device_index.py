@@ -39,13 +39,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from video_quierer_tpu.ops.topk import BLOCK_ROWS, MAX_K, cosine_topk
+from video_quierer_tpu.ops.topk import (BLOCK_ROWS, CAND_BLOCK_ROWS,
+                                        MAX_K, cosine_topk)
 
 logger = logging.getLogger(__name__)
 
 EMBED_DIM = 512
-# Capacity granularity: multiple of the Pallas scan block.
-_CHUNK = 8 * BLOCK_ROWS  # 4096 rows
+# Capacity granularity: multiple of BOTH Pallas block sizes (the exact
+# scan's BLOCK_ROWS and the candidate kernels' larger CAND_BLOCK_ROWS),
+# so every mirror padding divides every kernel's grid.
+import math as _math
+_CHUNK = _math.lcm(8 * BLOCK_ROWS, CAND_BLOCK_ROWS)
 
 CACHE_VERSION = "1.0"
 
@@ -169,8 +173,13 @@ class DeviceVideoIndex:
 
     @property
     def _granularity(self) -> int:
-        # capacity granularity: keeps N_pad divisible by shards*BLOCK_ROWS
-        return max(_CHUNK, self._n_shards * BLOCK_ROWS)
+        # capacity granularity: keeps N_pad divisible by
+        # shards × (every kernel block size), so per-shard row counts
+        # stay valid for both the exact scan and the fused candidate
+        # kernels (ops/topk.py _fused_usable)
+        return max(_CHUNK,
+                   self._n_shards * _math.lcm(BLOCK_ROWS,
+                                              CAND_BLOCK_ROWS))
 
     def _reset_storage(self) -> None:
         cap = self._granularity

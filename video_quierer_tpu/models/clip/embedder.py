@@ -41,6 +41,30 @@ IMAGE_BUCKETS = (32, 128, 256)
 # bucket 1 serves the latency path (single text query) without padding to
 # a batch of 8
 TEXT_BUCKETS = (1, 8, 32, 64)
+# Sequence-length buckets for the CAUSAL text tower. The tokenizer pads
+# to the full 77-token context for HF parity, but under causal masking
+# no position after the last EOT can influence any pooled (EOT) output —
+# trimming pad columns is mathematically exact. Real queries are ~10-15
+# tokens, so the tower runs at ~1/5 the FLOPs (the text encode is a
+# first-order cost of the 64-way coalesced serving batch: ~370 GFLOP at
+# seq 77). Non-causal towers (SigLIP attends over its padding) must NOT
+# trim — this lives on CLIPEmbedder only.
+TEXT_SEQ_BUCKETS = (16, 32, 77)
+
+
+def trim_text_ids(ids: np.ndarray) -> np.ndarray:
+    """Trim trailing pad columns of ``[B, 77]`` token ids to a seq
+    bucket covering every row's EOT (exact for causal towers)."""
+    ids = np.asarray(ids)
+    if ids.ndim != 2 or 0 in ids.shape:
+        return ids
+    # EOT carries the highest id in CLIP's vocab (model.py pools at
+    # argmax); +1 → columns needed
+    need = int(np.argmax(ids, axis=1).max()) + 1
+    for b in TEXT_SEQ_BUCKETS:
+        if need <= b <= ids.shape[1]:
+            return ids[:, :b]
+    return ids
 
 
 def _bucket_for(n: int, buckets: Sequence[int]) -> int:
@@ -119,6 +143,15 @@ class CLIPEmbedder:
             self.params = init_params(self.model, seed=seed)
             self.pretrained = False
         self.tokenizer: TokenizerBase = load_tokenizer(ckpt)
+        if dtype == jnp.bfloat16:
+            # store params in the compute dtype: flax casts weights to
+            # ``dtype`` per op anyway, so this is numerically identical
+            # to bf16 compute over f32 storage — it just halves the
+            # weight HBM reads (f32 master copies belong to the trainer,
+            # not the serving path)
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, self.params)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -198,9 +231,13 @@ class CLIPEmbedder:
             out[pos: pos + m] = np.asarray(feats)[:m]
         return out
 
+    # engine fused paths call this before handing ids to the fused jit;
+    # identity on embedders whose towers are not causal (SigLIP)
+    prepare_text_ids = staticmethod(trim_text_ids)
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Text queries → L2-normalized ``[B, D]`` f32."""
-        ids = self.tokenizer(list(texts))
+        ids = trim_text_ids(self.tokenizer(list(texts)))
         n = ids.shape[0]
         bucket = _bucket_for(n, TEXT_BUCKETS)
         if n < bucket:

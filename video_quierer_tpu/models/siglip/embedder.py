@@ -85,6 +85,15 @@ class SigLIPEmbedder:
             self.params = siglip_init_params(self.model, seed=seed)
             self.pretrained = False
         self.tokenizer = siglip_tokenizer(self.cfg, checkpoint_dir)
+        if dtype == jnp.bfloat16:
+            # same storage-follows-compute rule as CLIPEmbedder: flax
+            # casts weights to ``dtype`` per op, so bf16 storage only
+            # halves weight HBM reads. (No prepare_text_ids here: the
+            # SigLIP tower is NON-causal — trimming pad columns would
+            # change the pooled features.)
+            self.params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, self.params)
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
         # stable identity for fused-executable caches (see CLIPEmbedder)

@@ -491,9 +491,9 @@ def cosine_topk_int8(emb_i8: jax.Array, scales: jax.Array,
 # masking (``perm[row] < valid_count``) and emitting host indices
 # directly. With the permutation, a true top-k row is lost only if
 # ``rounds`` strictly-better rows land in its bucket by chance:
-# P(miss, rank r) ≈ (r · bucket / N)^rounds ≈ 4e-7 at r=10, bucket=256,
-# N=2M, rounds=2 — engine recall@10 is 1.000 at default knobs with no
-# recall-knob escape hatch needed.
+# P(miss, rank r) ≈ (r · bucket / N)^rounds ≈ 2.6e-5 at r=10,
+# bucket=1024, N=2M, rounds=2 — engine recall@10 is 1.000 at default
+# knobs with no recall-knob escape hatch needed.
 
 
 def _candidate_mode() -> str:
@@ -531,11 +531,26 @@ def _approx_fetch(k: int) -> int:
 
 # Rows per in-kernel selection bucket for the fused candidate scan, and
 # winners kept per bucket. Candidate count = rounds * N / bucket
-# (N=2M → 15,625/query at the defaults); miss probability for the true
+# (N=2M → 3,907/query at the defaults); miss probability for the true
 # rank-r row on a PERMUTED mirror ≈ (r·bucket/N)^rounds — see the
-# candidate-stage overview above.
-CAND_BUCKET = int(_os.environ.get("VQT_CAND_BUCKET", "256"))
+# candidate-stage overview above. Default bucket 1024 (= one whole
+# BLOCK_ROWS step): the selection's VPU cost is dominated by per-bucket
+# reduction-op COUNT, not elements — measured at 2M×512 B=64 on v5e
+# (round 3): bucket 256 → 5.24 ms/batch, 512 → 4.86, 1024 → 4.73
+# (int8 3.89), vs the 3.96 ms pure bf16 matmul+rowmax floor. Miss
+# probability at r=10, bucket=1024, rounds=2 is (10·1024/2M)² ≈ 2.6e-5 —
+# engine clustered-corpus recall@10 stays 1.000.
+CAND_BUCKET = int(_os.environ.get("VQT_CAND_BUCKET", "1024"))
 CAND_ROUNDS = int(_os.environ.get("VQT_CAND_ROUNDS", "2"))
+
+# Row-block size for the CANDIDATE kernels (decoupled from the exact
+# scan's BLOCK_ROWS): the candidate mirrors are bf16/int8, so a 1024-row
+# block is only 1 MB / 0.5 MB of DMA per grid step — too small for full
+# HBM streaming efficiency on v5e. Measured at 2M×512, B=64, bucket=1024
+# (round 3): 1024→2048 rows takes bf16 4.73→4.41 ms/batch and int8
+# 3.89→3.19 ms/batch. Must divide the index's capacity chunking
+# (device_index.py sizes its growth chunk to cover this).
+CAND_BLOCK_ROWS = int(_os.environ.get("VQT_CAND_BLOCK_ROWS", "2048"))
 
 _IMAX = 2**31 - 1
 
@@ -722,10 +737,19 @@ def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
     host rows through ``perm``. ApproxTopK over the (already permuted,
     therefore unclustered) winner list at a 0.999 recall target — the
     list is ~N/bucket·rounds entries, so this is microseconds; exact
-    top_k on CPU."""
+    top_k on CPU.
+
+    The per-query regroup is a free-reshape sandwich around ONE clean 2D
+    transpose: ``[n_blocks, B, w] → [n_blocks, B·w] →ᵀ [B·w, n_blocks] →
+    [B, w·n_blocks]`` — row ``q`` of the result is exactly query ``q``'s
+    winner set (block-minor order; candidate order is irrelevant to the
+    top-``fetch`` reduction, and vals/idxs go through the same plan so
+    they stay aligned). The direct ``transpose(1, 0, 2)`` with the w=8
+    minor axis cost ~0.8 ms/batch at B=64, N=2M (strided 32-byte lines);
+    the 2D form is XLA's canonical tiled transpose (measured round 3)."""
     n_blocks, b, w = bvals.shape
-    cand_vals = jnp.transpose(bvals, (1, 0, 2)).reshape(b, n_blocks * w)
-    cand_idxs = jnp.transpose(bidxs, (1, 0, 2)).reshape(b, n_blocks * w)
+    cand_vals = bvals.reshape(n_blocks, b * w).T.reshape(b, w * n_blocks)
+    cand_idxs = bidxs.reshape(n_blocks, b * w).T.reshape(b, w * n_blocks)
     k_eff = min(fetch, cand_vals.shape[1])
     vals, pos = jax.lax.approx_max_k(cand_vals, k_eff,
                                      recall_target=0.999)
@@ -751,13 +775,14 @@ def _cand_out_specs(b: int, w: int):
     ]
 
 
-# perm rides as [n_blocks, BLOCK_ROWS] — one lane-major row per grid
-# step, the same layout as the kernel's [B, blk] scores
-# [n_blocks, 1, BLOCK_ROWS]: the leading axis is the grid split, so the
-# LAST TWO block dims equal the array dims — the form the Pallas TPU
-# lowering accepts for a 1-sublane row (a flat (1, BLOCK_ROWS) block
-# over [n_blocks, BLOCK_ROWS] violates the /8-sublane rule).
-_PERM_SPEC = pl.BlockSpec((1, 1, BLOCK_ROWS), lambda i, *_: (i, 0, 0),
+# perm rides as [n_blocks, CAND_BLOCK_ROWS] — one lane-major row per
+# grid step, the same layout as the kernel's [B, blk] scores
+# [n_blocks, 1, CAND_BLOCK_ROWS]: the leading axis is the grid split, so
+# the LAST TWO block dims equal the array dims — the form the Pallas TPU
+# lowering accepts for a 1-sublane row (a flat (1, CAND_BLOCK_ROWS)
+# block over [n_blocks, CAND_BLOCK_ROWS] violates the /8-sublane rule).
+_PERM_SPEC = pl.BlockSpec((1, 1, CAND_BLOCK_ROWS),
+                          lambda i, *_: (i, 0, 0),
                           memory_space=pltpu.VMEM)
 
 
@@ -771,8 +796,8 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
     n_pad, d = emb.shape
     b = queries.shape[0]
     qt = queries.astype(emb.dtype).T  # [D, B]
-    n_blocks = n_pad // BLOCK_ROWS
-    w = rounds * (BLOCK_ROWS // bucket)
+    n_blocks = n_pad // CAND_BLOCK_ROWS
+    w = rounds * (CAND_BLOCK_ROWS // bucket)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel, rounds=rounds, bucket=bucket),
         out_shape=[
@@ -783,7 +808,7 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
             num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                pl.BlockSpec((CAND_BLOCK_ROWS, d), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 _PERM_SPEC,
                 pl.BlockSpec((d, b), lambda i, *_: (0, 0),
@@ -801,7 +826,7 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
             transcendentals=0,
         ),
     )(valid_count.reshape(1).astype(jnp.int32), emb,
-      perm.reshape(n_blocks, 1, BLOCK_ROWS), qt)
+      perm.reshape(n_blocks, 1, CAND_BLOCK_ROWS), qt)
     return _cand_merge(bvals, bidxs, perm, fetch=fetch)
 
 
@@ -816,8 +841,8 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
                            ) -> Tuple[jax.Array, jax.Array]:
     n_pad, d = codes.shape
     b = queries.shape[0]
-    n_blocks = n_pad // BLOCK_ROWS
-    w = rounds * (BLOCK_ROWS // bucket)
+    n_blocks = n_pad // CAND_BLOCK_ROWS
+    w = rounds * (CAND_BLOCK_ROWS // bucket)
     if native:
         # symmetric per-query int8 quantization on device: the candidate
         # scores carry ~0.4% extra relative error, absorbed by the exact
@@ -831,7 +856,7 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
     else:
         qt = queries.astype(jnp.bfloat16).T
         qs = jnp.ones((b, 1), jnp.float32)
-    scales_spec = pl.BlockSpec((1, 1, BLOCK_ROWS),
+    scales_spec = pl.BlockSpec((1, 1, CAND_BLOCK_ROWS),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM)
     bvals, bidxs = pl.pallas_call(
@@ -845,7 +870,7 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
             num_scalar_prefetch=1,
             grid=(n_blocks,),
             in_specs=[
-                pl.BlockSpec((BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                pl.BlockSpec((CAND_BLOCK_ROWS, d), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 scales_spec,
                 _PERM_SPEC,
@@ -866,8 +891,8 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
             transcendentals=0,
         ),
     )(valid_count.reshape(1).astype(jnp.int32), codes,
-      scales[:, 0].reshape(n_blocks, 1, BLOCK_ROWS),
-      perm.reshape(n_blocks, 1, BLOCK_ROWS), qt, qs)
+      scales[:, 0].reshape(n_blocks, 1, CAND_BLOCK_ROWS),
+      perm.reshape(n_blocks, 1, CAND_BLOCK_ROWS), qt, qs)
     return _cand_merge(bvals, bidxs, perm, fetch=fetch)
 
 
@@ -892,9 +917,9 @@ def _fused_usable(n_pad: int, fetch: int, b: int) -> bool:
     size)."""
     if b < FUSED_MIN_B:
         return False
-    if n_pad <= 0 or n_pad % BLOCK_ROWS:
+    if n_pad <= 0 or n_pad % CAND_BLOCK_ROWS:
         return False
-    if BLOCK_ROWS % CAND_BUCKET or CAND_BUCKET % _LANES:
+    if CAND_BLOCK_ROWS % CAND_BUCKET or CAND_BUCKET % _LANES:
         return False
     return (n_pad // CAND_BUCKET) * CAND_ROUNDS >= fetch
 
