@@ -13,10 +13,13 @@ whatever backend jax resolves, asserting cross-mode agreement:
 - batched search
 - the IVF tier (build + full-probe search covers the exact top-k)
 - the FUSED candidate kernels (ops/topk.py:_pallas_cand_scan[_int8])
-  at a 40,960-row corpus — the smallest scale the fused stage engages
-  ((N/bucket)·rounds >= fetch) — over the permuted mirror, B=1 (flat
-  VPU layout) and batched, int8 native-MXU and bf16-upcast contracts,
-  each asserted equal to the exact f32 scan
+  at a 163,840-row corpus — above the scale the fused stage engages
+  ((N/bucket)·rounds >= fetch; 131,072 rows at bucket=1024, rounds=2,
+  fetch=256) — over the permuted mirror, B=1 and batched, int8
+  native-MXU and bf16-upcast contracts, each asserted equal to the
+  exact f32 scan
+- the fused single-block attention kernel (ops/attention.py) at every
+  eligible tower shape vs the einsum oracle
 
 Run it on the TPU after touching any Pallas kernel, BlockSpec, or
 device-path dispatch logic:
@@ -88,13 +91,14 @@ def main() -> None:
     assert exact <= full, (exact - full)
     print("[smoke] IVF full probe covers the exact top-8")
 
-    # --- fused candidate kernels at engagement scale (>= 32,768 rows:
-    # (N/CAND_BUCKET)·CAND_ROUNDS must cover the default 256 fetch) ---
+    # --- fused candidate kernels at engagement scale (>= 131,072 rows:
+    # (N/CAND_BUCKET)·CAND_ROUNDS must cover the default 256 fetch at
+    # the round-3 bucket=1024) ---
     import os
 
     from video_quierer_tpu.ops.topk import _fused_usable
 
-    n_big = 40 * 1024
+    n_big = 160 * 1024
     emb_big = rng.standard_normal((n_big, 512)).astype(np.float32)
     emb_big /= np.linalg.norm(emb_big, axis=-1, keepdims=True)
     assert _fused_usable(n_big, 256, 8), "fused stage must engage here"
@@ -150,6 +154,38 @@ def main() -> None:
         assert [r["frame_id"] for r in got1] == \
             [r["frame_id"] for r in want1], (mode, got1, want1)
         print(f"[smoke] approx+perm {mode} single-query == exact f32")
+
+    # fused single-block attention (ops/attention.py) on real Mosaic:
+    # every eligible tower shape, causal + valid_len, vs the einsum oracle
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops.attention import (
+        fused_attention, fused_attention_eligible)
+
+    def _einsum_attn(qa, ka, va, *, h, causal):
+        b, s, d = qa.shape
+        hd = d // h
+        sp = lambda t: t.reshape(b, s, h, hd)
+        lg = jnp.einsum("bqhd,bkhd->bhqk", sp(qa), sp(ka),
+                        preferred_element_type=jnp.float32) * (hd ** -0.5)
+        if causal:
+            m = jnp.tril(jnp.ones((s, s), dtype=bool))
+            lg = jnp.where(m[None, None], lg, -jnp.inf)
+        w = jax.nn.softmax(lg, axis=-1).astype(qa.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, sp(va)).reshape(b, s, d)
+
+    for s, h, d, causal, tag in ((50, 8, 512, False, "B/32 vision"),
+                                 (16, 8, 512, True, "text s16"),
+                                 (77, 8, 512, True, "text s77"),
+                                 (64, 12, 768, False, "SigLIP text")):
+        assert fused_attention_eligible(s, h, d), (s, h, d)
+        key = jax.random.PRNGKey(s * h)
+        qa, ka, va = (jax.random.normal(k, (3, s, d), jnp.float32)
+                      for k in jax.random.split(key, 3))
+        got = np.asarray(fused_attention(qa, ka, va, num_heads=h,
+                                         causal=causal))
+        want = np.asarray(_einsum_attn(qa, ka, va, h=h, causal=causal))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        print(f"[smoke] fused attention {tag} == einsum oracle")
 
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 

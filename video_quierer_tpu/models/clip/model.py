@@ -33,6 +33,10 @@ from video_quierer_tpu.models.clip.config import (
     CLIPTextConfig,
     CLIPVisionConfig,
 )
+from video_quierer_tpu.ops.attention import (
+    fused_attention,
+    fused_attention_eligible,
+)
 
 Dtype = Any
 
@@ -61,6 +65,13 @@ class Attention(nn.Module):
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
         q, k, v = (dense(n)(x) for n in ("q_proj", "k_proj", "v_proj"))
         b, s, _ = x.shape
+        if fused_attention_eligible(s, self.num_heads, d):
+            # fused Pallas path: one head-stacked VMEM-resident score
+            # block per item — measured 9.4k → 14k+ f/s on the B/32
+            # tower (ops/attention.py). Same f32-softmax contract.
+            out = fused_attention(q, k, v, num_heads=self.num_heads,
+                                  causal=self.causal)
+            return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
         split = lambda t: t.reshape(b, s, self.num_heads, head_dim)
         q, k, v = split(q), split(k), split(v)
         scale = head_dim ** -0.5
@@ -225,6 +236,17 @@ class TextTower(nn.Module):
         return x[jnp.arange(x.shape[0]), eot]
 
 
+def _normalize_f32(feats: jax.Array, normalize: bool) -> jax.Array:
+    """Cast to f32 BEFORE the L2 normalize: under bf16 serving towers a
+    bf16 norm leaves rows up to ~0.4% off unit length, which surfaces as
+    cosine scores > 1 against re-normalized f32 index rows. The f32
+    divide on a ``[B, proj]`` row is free next to the tower."""
+    feats = feats.astype(jnp.float32)
+    if normalize:
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats
+
+
 class CLIP(nn.Module):
     """Dual-tower CLIP with projection heads and a trainable logit scale."""
 
@@ -248,16 +270,12 @@ class CLIP(nn.Module):
     def encode_image(self, pixel_values: jax.Array,
                      normalize: bool = True) -> jax.Array:
         feats = self.visual_projection(self.vision(pixel_values))
-        if normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats.astype(jnp.float32)
+        return _normalize_f32(feats, normalize)
 
     def encode_text(self, input_ids: jax.Array,
                     normalize: bool = True) -> jax.Array:
         feats = self.text_projection(self.text(input_ids))
-        if normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats.astype(jnp.float32)
+        return _normalize_f32(feats, normalize)
 
     def __call__(self, pixel_values: jax.Array, input_ids: jax.Array):
         """Training forward: returns (image_feats, text_feats, logit_scale)."""

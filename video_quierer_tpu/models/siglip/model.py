@@ -180,17 +180,15 @@ class SigLIP(nn.Module):
 
     def encode_image(self, pixel_values: jax.Array,
                      normalize: bool = True) -> jax.Array:
-        feats = self.vision(pixel_values)
-        if normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats.astype(jnp.float32)
+        # f32 normalize (see clip/model.py:_normalize_f32 — bf16 norms
+        # leave rows ~0.4% off unit length)
+        from video_quierer_tpu.models.clip.model import _normalize_f32
+        return _normalize_f32(self.vision(pixel_values), normalize)
 
     def encode_text(self, input_ids: jax.Array,
                     normalize: bool = True) -> jax.Array:
-        feats = self.text(input_ids)
-        if normalize:
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        return feats.astype(jnp.float32)
+        from video_quierer_tpu.models.clip.model import _normalize_f32
+        return _normalize_f32(self.text(input_ids), normalize)
 
     def __call__(self, pixel_values: jax.Array, input_ids: jax.Array):
         img = self.encode_image(pixel_values)

@@ -547,10 +547,14 @@ CAND_ROUNDS = int(_os.environ.get("VQT_CAND_ROUNDS", "2"))
 # scan's BLOCK_ROWS): the candidate mirrors are bf16/int8, so a 1024-row
 # block is only 1 MB / 0.5 MB of DMA per grid step — too small for full
 # HBM streaming efficiency on v5e. Measured at 2M×512, B=64, bucket=1024
-# (round 3): 1024→2048 rows takes bf16 4.73→4.41 ms/batch and int8
-# 3.89→3.19 ms/batch. Must divide the index's capacity chunking
-# (device_index.py sizes its growth chunk to cover this).
-CAND_BLOCK_ROWS = int(_os.environ.get("VQT_CAND_BLOCK_ROWS", "2048"))
+# (round 3): bf16 4.73 (1024) → 4.41 (2048) → 4.32 ms/batch (4096);
+# int8 3.89 → 3.19 → 2.95 (8192 gains nothing further: 2.91). The
+# kernels sit ~0.3 ms over XLA's own bare matmul+rowmax at this shape
+# (bf16 3.83 ms / int8 2.51 — measured round 3), i.e. selection is
+# amortized and the matmul core itself is the wall. Must divide the
+# index's capacity chunking (device_index.py sizes its growth chunk to
+# cover this).
+CAND_BLOCK_ROWS = int(_os.environ.get("VQT_CAND_BLOCK_ROWS", "4096"))
 
 _IMAX = 2**31 - 1
 
