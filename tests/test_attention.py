@@ -92,13 +92,17 @@ def test_bf16_close_to_f32_oracle(rng):
 
 
 def test_eligibility_rules(monkeypatch):
-    # interpret mode on: eligibility is shape-driven
+    # interpret mode on: eligibility is shape-driven (whole heads must
+    # tile the 128-lane block; seq length is unconstrained)
     assert fused_attention_eligible(50, 8, 512)        # B/32 vision
     assert fused_attention_eligible(77, 8, 512)        # CLIP text
     assert fused_attention_eligible(64, 12, 768)       # SigLIP text
-    assert not fused_attention_eligible(196, 12, 768)  # SigLIP vision
-    assert not fused_attention_eligible(197, 12, 768)  # B/16 (rows>cap)
+    assert fused_attention_eligible(196, 12, 768)      # SigLIP vision
+    assert fused_attention_eligible(197, 12, 768)      # B/16
+    assert fused_attention_eligible(257, 16, 1024)     # L/14
     assert not fused_attention_eligible(50, 7, 512)    # d % heads
+    assert not fused_attention_eligible(50, 4, 320)    # 128 % hd
+    assert not fused_attention_eligible(50, 3, 192)    # d % 128
     monkeypatch.delenv("VQT_PALLAS_INTERPRET")
     assert not fused_attention_eligible(50, 8, 512)    # CPU → off
 

@@ -62,7 +62,12 @@ def test_finetune_loss_decreases(tmp_path):
         context_length = 8
 
         def encode_ids(self, text):
-            return [1 + (hash(w) % 60) for w in text.split()][:6]
+            # deterministic hash: builtin hash() is salted per process
+            # (PYTHONHASHSEED), which made the loss-decrease assertion
+            # flake across runs
+            import zlib
+            return [1 + (zlib.crc32(w.encode()) % 60)
+                    for w in text.split()][:6]
 
     # tiny model takes 16x16 inputs; use a matching pipeline image size
     tok = TinyTok()

@@ -1,4 +1,4 @@
-"""Fused single-block attention for the CLIP/SigLIP towers.
+"""Fused per-head attention for the CLIP/SigLIP towers.
 
 TPU-native replacement for the einsum-softmax attention the towers
 shipped with (models/clip/model.py:Attention — itself the JAX analog of
@@ -10,34 +10,34 @@ frames/s (41% MFU) while an identical tower with attention removed runs
 changes, and the HBM-materialized logits cost ~46% of the runtime even
 though attention math is ~1% of the tower's FLOPs.
 
-Design — the head-stacked single-block kernel
----------------------------------------------
-CLIP sequence lengths are tiny (50 image patches + CLS, 77 text
-tokens), so the whole score matrix fits in VMEM — no online-softmax
-streaming needed. The trick that makes it ONE clean kernel with zero
-relayouts: for projections laid out ``[B, S, H·hd]`` (h-minor, exactly
-what the q/k/v Dense layers emit), the reshape to ``[B, S·H, hd]`` is
-FREE — row ``r`` is the (s, h) pair ``s = r // H, h = r % H``. One
-``[S·H, S·H]`` matmul per batch item then computes every head's logits
-at once; cross-head products are masked with ``row % H == col % H``
-before an ordinary f32 softmax, and the ``@ V`` epilogue returns
-``[S·H, hd]`` whose free reshape back is ``[S, H·hd]``. Scores live and
-die in VMEM: the einsum path's per-layer logit materialization
-(``[256, 8, 50, 50]`` f32 ≈ 20 MB written + read, twice, per layer)
-never happens.
+Design — lane-grouped per-head kernel
+-------------------------------------
+CLIP sequence lengths are tiny (50–257 tokens), so a whole per-head
+``[S, S]`` score block fits comfortably in VMEM — no online-softmax
+streaming. The kernel tiles the BATCH and the HEAD axes instead:
 
-Cost of the trick: H× redundant MXU work on the masked cross-head
-products — but attention matmuls are ~1% of tower FLOPs, so the waste
-is noise next to the layout/materialization cost it removes. The fused
-path engages when ``S·H ≤ MAX_ROWS`` (VMEM bound on the f32 score
-block): ViT-B/32 (S·H = 400) and all text towers (≤ 616) qualify;
-ViT-B/16 / L/14 keep the einsum path (their bigger matmuls already run
-at ~50% MFU, and their score blocks would not fit).
+- grid ``(B/bb, D/128)``: each step loads ``[bb, S, 128]`` lane-blocks
+  of q/k/v — 128 lanes = ``128/hd`` whole heads, sliced straight out of
+  the ``[B, S, H·hd]`` h-minor projection layout by the BlockSpec index
+  map (no transposes, no reshapes, anywhere);
+- per item and head: one ``[S, hd]·[hd, S]`` logits matmul (f32
+  accumulate on the MXU), mask + softmax in VMEM, ``@ V``, heads
+  re-concatenated along lanes for a single block store.
 
-Numerics: logits accumulate in f32 on the MXU (``preferred_element_type``),
-softmax runs in f32, weights cast back to the compute dtype for the
-``@ V`` — the same contract as the einsum path. The scale is applied to
-the f32 logits rather than to bf16 ``q`` (equal or better rounding).
+Scores live and die in VMEM — the einsum path's per-layer logit
+materialization (``[256, 8, 50, 50]`` f32 ≈ 20 MB written + read,
+twice, per layer) never happens — and unlike a head-stacked single
+matmul (tried first: one ``[S·H, S·H]`` block-masked score matrix per
+item) there is NO H× redundant MXU/VPU work; that redundancy kept the
+stacked variant as slow as the einsum path it replaced (measured
+0.81 vs 0.86 ms/application).
+
+Numerics: logits accumulate in f32 (``preferred_element_type``); bf16
+towers use an unstabilized softmax with the elementwise chain in bf16
+(bf16 shares f32's exponent range, so ``exp`` is safe under a clamp —
+trained CLIP logits stay ≲30, clamped at 60; masked lanes are -inf → 0);
+f32 towers keep the exact stabilized f32 softmax (bit-parity work).
+The ``1/sqrt(hd)`` scale folds into q outside the kernel in f32.
 """
 
 from __future__ import annotations
@@ -54,14 +54,16 @@ from video_quierer_tpu.utils.env import use_pallas
 
 NEG_INF = float("-inf")
 
-# Upper bound on S·H for the fused path: the [S·H, S·H] f32 score block
-# plus its exp live in VMEM per in-flight batch item (~3.4 MB at 640).
-MAX_ROWS = int(_os.environ.get("VQT_ATTN_MAX_ROWS", "1024"))
+# Lane width per grid step (= one VMEM block of whole heads). Must be
+# a multiple of the 128-lane tile; hd must divide it. Wider groups cut
+# grid-step count (fixed per-step machinery) at the cost of VMEM.
+GROUP_LANES = int(_os.environ.get("VQT_ATTN_GROUP_LANES", "128"))
 
-# Batch items per grid step. The per-item score blocks dominate VMEM;
-# 2 keeps the worst eligible case (S·H=1024: 2·(4+4) MB scores + operand
-# blocks) inside the ~16 MB budget.
-BATCH_BLOCK = int(_os.environ.get("VQT_ATTN_BATCH_BLOCK", "2"))
+# Batch items per grid step: amortizes per-step machinery over
+# bb · (128/hd) per-head attentions. VMEM per step is tiny
+# (bb·3·S·128·2 B + one [S,S] f32 score block), so this is a pure
+# step-count / compile-time trade.
+BATCH_BLOCK = int(_os.environ.get("VQT_ATTN_BATCH_BLOCK", "8"))
 
 
 def _pallas_mode() -> str:
@@ -71,67 +73,68 @@ def _pallas_mode() -> str:
 
 
 def fused_attention_eligible(s: int, num_heads: int, d: int) -> bool:
-    """Shape rules for the fused kernel: head-minor rows must tile the
-    sublane dim and the score block must fit VMEM."""
+    """Shape rules: whole heads must tile the 128-lane block. Covers
+    every tower in the model zoo (B/32, B/16, L/14, SigLIP, all text
+    towers); ``s`` is unconstrained — the per-head [S, S] score block
+    is VMEM-resident at any model seq length."""
     if _pallas_mode() == "off":
         return False
     if _os.environ.get("VQT_FUSED_ATTN") == "0":   # A/B + escape hatch
         return False
-    if d % num_heads:
+    gl = min(GROUP_LANES, d)
+    if d % num_heads or d % gl or gl % 128:
         return False
-    rows = s * num_heads
-    return rows % 8 == 0 and rows <= MAX_ROWS
+    hd = d // num_heads
+    return gl % hd == 0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, valid: int,
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, hd: int, valid: int,
                  causal: bool):
-    """One grid step: full attention for ``BATCH_BLOCK`` batch items.
+    """One grid step: ``bb`` items × ``128/hd`` heads of full attention.
 
-    Refs are ``[Bb, S·H, hd]`` (head-minor rows). Per item: one
-    ``[S·H, S·H]`` logits matmul (f32 accumulate), the head-block /
-    validity / causal mask from fresh iotas, f32 softmax, ``@ V``.
+    Refs are ``[bb, S, 128]`` lane-blocks of the h-minor projections.
     Reductions keep a size-1 trailing axis (the hardware-Mosaic rule —
-    see ops/topk.py:_bucket_select_rows).
+    see ops/topk.py:_bucket_select_rows); matmul accumulators are f32
+    (Mosaic rejects bf16 accs on hardware).
     """
-    bb, rows, _ = q_ref.shape
+    bb, s, gl = q_ref.shape
     fast = q_ref.dtype == jnp.bfloat16
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
-    mask = (row % heads == col % heads) & (col < valid * heads)
-    if causal:
-        mask &= (row // heads) >= (col // heads)
+    masked = causal or valid < s
+    if masked:       # vision towers (valid == S, non-causal) skip the
+        col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)  # mask pass
+        mask = col < valid
+        if causal:
+            mask &= jax.lax.broadcasted_iota(jnp.int32, (s, s), 0) >= col
     for i in range(bb):                                # static, small
-        logits = jax.lax.dot_general(
-            q_ref[i], k_ref[i],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [S·H, S·H]
-        logits = jnp.where(mask, logits, NEG_INF)
-        if fast:
-            # bf16 towers: unstabilized softmax, elementwise chain in
-            # bf16 (2-per-lane VPU rate). The kernel is VPU-bound on
-            # these passes — the H×-redundant score block makes them
-            # the whole cost (measured 0.81 ms/application vs einsum's
-            # 0.86 with the stabilized f32 chain). No max-subtract:
-            # bf16 carries f32's exponent range, so exp overflows only
-            # past ~88 — the clamp at 60 caps trained CLIP logits
-            # (≲30) harmlessly; masked lanes are -inf → exp = 0.
-            e = jnp.exp(jnp.minimum(logits, 60.0).astype(jnp.bfloat16))
-            den = jnp.sum(e, axis=-1, keepdims=True)
-            w = e * (1.0 / den)
-        else:
-            # f32 towers: exact stabilized softmax (bit-parity work)
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            e = jnp.exp(logits - m)
-            den = jnp.sum(e, axis=-1, keepdims=True)
-            w = (e / den).astype(v_ref.dtype)
-        # f32 accumulate: hardware Mosaic requires a 32-bit matmul acc
-        # for bf16 operands (found on the real lowering; the interpreter
-        # accepts a bf16 acc)
-        o_ref[i] = jax.lax.dot_general(
-            w, v_ref[i],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)                            # [S·H, hd]
+        qi, ki, vi = q_ref[i], k_ref[i], v_ref[i]      # [S, 128]
+        outs = []
+        for h in range(gl // hd):                      # heads in block
+            sl = slice(h * hd, (h + 1) * hd)
+            logits = jax.lax.dot_general(
+                qi[:, sl], ki[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # [S, S]
+            if masked:
+                logits = jnp.where(mask, logits, NEG_INF)
+            if fast:
+                # unstabilized bf16 softmax (see module docstring)
+                e = jnp.exp(jnp.minimum(logits, 60.0)
+                            .astype(jnp.bfloat16))
+                den = jnp.sum(e, axis=-1, keepdims=True)
+                w = e * (1.0 / den)
+            else:
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                e = jnp.exp(logits - m)
+                den = jnp.sum(e, axis=-1, keepdims=True)
+                w = (e / den).astype(vi.dtype)
+            outs.append(jax.lax.dot_general(
+                w, vi[:, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype))                     # [S, hd]
+        # one concatenated [S, 128] block store (sliced stores are the
+        # riskier Mosaic form)
+        o_ref[i] = jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.jit,
@@ -142,33 +145,30 @@ def _fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                      interpret: bool) -> jax.Array:
     b, s, d = q.shape
     hd = d // num_heads
-    rows = s * num_heads
-    # fold the 1/sqrt(hd) scale into q OUTSIDE the kernel (f32 — better
-    # rounding than the einsum path's bf16 q*scale): saves one full
-    # f32 pass over the [S*H, S*H] score block per item in the
-    # VPU-bound kernel
+    # fold the 1/sqrt(hd) scale into q OUTSIDE the kernel in f32
+    # (better rounding than the einsum path's bf16 q*scale, and one
+    # fewer pass in the kernel)
     q = (q.astype(jnp.float32) * (hd ** -0.5)).astype(q.dtype)
 
-    bb = BATCH_BLOCK
+    bb = min(BATCH_BLOCK, b) if b % BATCH_BLOCK else BATCH_BLOCK
     b_pad = -(-b // bb) * bb
     if b_pad != b:                 # tiny batch-dim pad (serving B=1..)
         pad = ((0, b_pad - b), (0, 0), (0, 0))
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
 
-    # free reshapes: [B, S, H·hd] → [B, S·H, hd] (h-minor rows)
-    qs, ks, vs = (t.reshape(b_pad, rows, hd) for t in (q, k, v))
-    spec = pl.BlockSpec((bb, rows, hd), lambda i: (i, 0, 0),
+    gl = min(GROUP_LANES, d)
+    spec = pl.BlockSpec((bb, s, gl), lambda i, j: (i, 0, j),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, heads=num_heads, valid=valid_len,
+        functools.partial(_attn_kernel, hd=hd, valid=valid_len,
                           causal=causal),
-        out_shape=jax.ShapeDtypeStruct((b_pad, rows, hd), q.dtype),
-        grid=(b_pad // bb,),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s, d), q.dtype),
+        grid=(b_pad // bb, d // gl),
         in_specs=[spec, spec, spec],
         out_specs=spec,
         interpret=interpret,
-    )(qs, ks, vs)
-    return out.reshape(b_pad, s, d)[:b]
+    )(q, k, v)
+    return out[:b]
 
 
 def _einsum_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -198,7 +198,7 @@ def _einsum_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # kernel, backward transposes the einsum reference (same math; gradients
 # agree to rounding). Residuals are just (q, k, v) — the score block is
 # recomputed by the VJP, which is exactly the rematerialization a
-# seq≤77 attention wants anyway.
+# short-sequence attention wants anyway.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _attn(q, k, v, num_heads: int, valid_len: int, causal: bool):
     return _fused_attention(q, k, v, num_heads=num_heads,
