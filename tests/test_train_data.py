@@ -79,7 +79,10 @@ def test_finetune_loss_decreases(tmp_path):
     import cv2
     trainer = CLIPTrainer(TINY, learning_rate=3e-3, seed=0)
     losses = []
-    for _ in range(4):
+    # 6 epochs (not 4): the loss separation after 4 was borderline enough
+    # that XLA-CPU reduction-order jitter under full-suite contention
+    # occasionally flipped the assertion (seen once in-suite, round 3).
+    for _ in range(6):
         for images, ids in batches:
             small = np.stack([cv2.resize(f, (16, 16))
                               for f in images])
