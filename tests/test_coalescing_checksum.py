@@ -71,6 +71,31 @@ def test_coalesced_mixed_k(engine):
         assert len(res) == k
 
 
+def test_coalesce_width_from_config(tmp_path):
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "cw.mp4", n_frames=30)
+    cfg = EngineConfig(api=ApiConfig(max_frames=5), coalesce_width=128)
+    eng = VideoSearchEngine(str(vids), config=cfg, embedder=FakeEmbedder())
+    eng.startup()
+    eng.search_coalesced("width probe", k=2, use_cache=False)
+    assert eng._coalescer.max_batch == 128
+
+
+def test_batch_search_chunks_above_widest_bucket(engine):
+    # > TEXT_BUCKETS[-1] queries must chunk, and every chunk must agree
+    # with the per-query path
+    from video_quierer_tpu.models.clip.embedder import TEXT_BUCKETS
+    n = TEXT_BUCKETS[-1] + 3
+    queries = [f"wide chunk {i}" for i in range(n)]
+    batched = engine.search_batch(queries, k=2)
+    assert len(batched) == n
+    for q, rows in [(queries[0], batched[0]), (queries[-1], batched[-1])]:
+        direct = engine.search(q, k=2, use_cache=False)
+        assert [r["frame_id"] for r in rows] == \
+            [r["frame_id"] for r in direct]
+
+
 def test_coalesced_uses_cache(engine):
     r1 = engine.search_coalesced("cached co", k=3)
     hits = engine.metrics.counter("search_cache_hits")

@@ -283,7 +283,10 @@ def create_app(engine: Optional[VideoSearchEngine] = None,
                 # concurrent burst doesn't absorb a device compile
                 from video_quierer_tpu.models.clip.embedder import \
                     TEXT_BUCKETS
+                width = max(64, engine.config.coalesce_width)
                 for bucket in TEXT_BUCKETS[1:]:
+                    if bucket > width:
+                        break  # wider buckets compile lazily if ever hit
                     engine.search_batch(
                         [f"warmup {i}" for i in range(bucket)], k=ks[-1])
             asyncio.get_running_loop().run_in_executor(None, _warm)

@@ -26,10 +26,12 @@ logger = logging.getLogger(__name__)
 
 
 class SearchCoalescer:
-    # 64 matches the widest text bucket (models/clip/embedder.py:
-    # TEXT_BUCKETS) — measured 0.154 ms/query at 64-way over a 2M-frame
-    # corpus vs 0.47 ms at 32-way (the matrix read amortizes across the
-    # whole batch).
+    # Width comes from EngineConfig.coalesce_width (default 64); every
+    # width up to 256 is covered by a text bucket
+    # (models/clip/embedder.py TEXT_BUCKETS). Wider amortizes the scan's
+    # one HBM matrix read over more queries — measured 0.47 ms/query at
+    # 32-way → 0.154 at 64-way over a 2M-frame corpus, and the scan
+    # alone 0.135 → 0.073 ms/query going 64 → 256-way (round-3 probe).
     def __init__(self, engine, max_batch: int = 64,
                  max_wait_ms: float = 2.0):
         self._engine = engine

@@ -167,6 +167,13 @@ class ModelConfig:
 @dataclasses.dataclass
 class EngineConfig:
     videos_dir: str = "videos"
+    # Max queries the serving coalescer merges into one device pass
+    # (engine/batching.py). The scan's HBM read amortizes across the
+    # whole batch, so wider = more throughput under concurrent load at
+    # the cost of up to one batch of extra queueing; must be covered by
+    # a text bucket (models/clip/embedder.py TEXT_BUCKETS) or the flush
+    # pads to the next one.
+    coalesce_width: int = 64
     # opt-in: reprocess everything when index-affecting config keys change
     # (the dead-path bridge's config_hash staleness,
     # video_search_system_bridge.py:233-237; the live path never
@@ -201,10 +208,13 @@ class EngineConfig:
                 "(parallel/pipeline.py:pipelined_encode_image)")
         if self.model.pipeline_microbatches <= 0:
             raise ValueError("pipeline_microbatches must be positive")
+        if self.coalesce_width <= 0:
+            raise ValueError("coalesce_width must be positive")
 
 
 _ENV_OVERRIDES = {
     "VQT_VIDEOS_DIR": ("videos_dir", str),
+    "VQT_COALESCE_WIDTH": ("coalesce_width", int),
     "VQT_BATCH_SIZE": ("ingest.batch_size", int),
     "VQT_DECODE_WORKERS": ("ingest.num_decode_workers", int),
     "VQT_SAMPLING_STRATEGY": ("ingest.sampling_strategy", str),

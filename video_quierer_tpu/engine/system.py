@@ -583,16 +583,24 @@ class VideoSearchEngine:
         try:
             from video_quierer_tpu.models.clip.embedder import (
                 TEXT_BUCKETS, _bucket_for)
-            ids = emb.tokenizer(list(queries))
-            ids = getattr(emb, "prepare_text_ids", lambda x: x)(ids)
-            n = ids.shape[0]
-            bucket = _bucket_for(n, TEXT_BUCKETS)
-            if n < bucket:
-                ids = np.concatenate([ids, np.tile(ids[-1:],
-                                                   (bucket - n, 1))])
-            batches = self.index.search_batch_fused(
-                emb.text_encode_fn, emb.params, ids, self._bucket_k(k))
-            return [rows[:k] for rows in batches[:n]]
+            out: List[List[Dict]] = []
+            # above the widest bucket, chunk — executable shapes stay
+            # bounded to the bucket set whatever the caller sends
+            step = TEXT_BUCKETS[-1]
+            for lo in range(0, len(queries), step):
+                chunk = list(queries[lo:lo + step])
+                ids = emb.tokenizer(chunk)
+                ids = getattr(emb, "prepare_text_ids", lambda x: x)(ids)
+                n = ids.shape[0]
+                bucket = _bucket_for(n, TEXT_BUCKETS)
+                if n < bucket:
+                    ids = np.concatenate([ids, np.tile(ids[-1:],
+                                                       (bucket - n, 1))])
+                batches = self.index.search_batch_fused(
+                    emb.text_encode_fn, emb.params, ids,
+                    self._bucket_k(k))
+                out.extend(rows[:k] for rows in batches[:n])
+            return out
         except NotImplementedError:
             return None
         except Exception:
@@ -635,7 +643,8 @@ class VideoSearchEngine:
         that flag but gave it no behavior (SURVEY.md L9)."""
         if self._coalescer is None:
             from video_quierer_tpu.engine.batching import SearchCoalescer
-            self._coalescer = SearchCoalescer(self)
+            self._coalescer = SearchCoalescer(
+                self, max_batch=self.config.coalesce_width)
         return self._coalescer.search_ex(query, k, use_cache)
 
     def search_coalesced(self, query: str, k: int = 5,

@@ -39,8 +39,10 @@ logger = logging.getLogger(__name__)
 # Frame-batch buckets: each size compiles once; frames pad to the next one.
 IMAGE_BUCKETS = (32, 128, 256)
 # bucket 1 serves the latency path (single text query) without padding to
-# a batch of 8
-TEXT_BUCKETS = (1, 8, 32, 64)
+# a batch of 8; 128/256 serve wide coalesced batches (engine
+# coalesce_width) — each bucket compiles once, lazily, and the boot
+# warm-up only touches buckets up to the configured coalescer width
+TEXT_BUCKETS = (1, 8, 32, 64, 128, 256)
 # Sequence-length buckets for the CAUSAL text tower. The tokenizer pads
 # to the full 77-token context for HF parity, but under causal masking
 # no position after the last EOT can influence any pooled (EOT) output —
@@ -237,7 +239,14 @@ class CLIPEmbedder:
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         """Text queries → L2-normalized ``[B, D]`` f32."""
-        ids = trim_text_ids(self.tokenizer(list(texts)))
+        texts = list(texts)
+        if len(texts) > TEXT_BUCKETS[-1]:
+            # chunk to the widest bucket so executable shapes stay
+            # bounded whatever the caller sends
+            step = TEXT_BUCKETS[-1]
+            return np.concatenate([self.embed_texts(texts[i:i + step])
+                                   for i in range(0, len(texts), step)])
+        ids = trim_text_ids(self.tokenizer(texts))
         n = ids.shape[0]
         bucket = _bucket_for(n, TEXT_BUCKETS)
         if n < bucket:
