@@ -64,8 +64,10 @@ def main() -> None:
     k = 10
     fetch = max(256, 4 * k)     # index approx-candidate over-fetch rule
     queries = 64
-    coalesce = 64       # the server's enhanced_mode coalescer width
+    coalesce = 64       # the coalescer's default width
     coalesce_batches = 8
+    wide = 256          # EngineConfig.coalesce_width=256 deployment
+    wide_batches = 4
 
     # Corpus generated directly on device (4 GB f32 + 2 GB bf16 + 1 GB
     # int8 mirrors in HBM) — unit-normalized rows. The bf16/int8 mirrors
@@ -145,13 +147,16 @@ def main() -> None:
     texts = [f"a video of scene number {i} with people"
              for i in range(queries)]
     all_ids = [jnp.asarray(trim_text_ids(tokenizer(t))) for t in texts]
-    batch_texts = [f"batch {b} scene {i} with people"
-                   for b in range(coalesce_batches) for i in range(coalesce)]
-    batch_ids = [tokenizer(t) for t in batch_texts]
-    batches = [jnp.asarray(trim_text_ids(np.concatenate(
-        batch_ids[b * coalesce:(b + 1) * coalesce])))
-               for b in range(coalesce_batches)]
-    for a in all_ids + batches:
+    def _make_batches(width, count, tag):
+        txts = [f"{tag} {b} scene {i} with people"
+                for b in range(count) for i in range(width)]
+        tids = [tokenizer(t) for t in txts]
+        return [jnp.asarray(trim_text_ids(np.concatenate(
+            tids[b * width:(b + 1) * width]))) for b in range(count)]
+
+    batches = _make_batches(coalesce, coalesce_batches, "batch")
+    wide_b = _make_batches(wide, wide_batches, "wide")
+    for a in all_ids + batches + wide_b:
         a.block_until_ready()
 
     def run_mode(name, fn, inputs, per_dispatch_queries):
@@ -194,10 +199,18 @@ def main() -> None:
         "int8+f32-rerank coalesced x64", lambda ids: fused_int8(
             params, ids, codes, scales, perm, emb, n_rows), batches,
         coalesce)
+    w16_ms, w16_tput = run_mode(
+        "bf16+f32-rerank coalesced x256", lambda ids: fused_bf16(
+            params, ids, emb16, perm, emb, n_rows), wide_b, wide)
+    w8_ms, w8_tput = run_mode(
+        "int8+f32-rerank coalesced x256", lambda ids: fused_int8(
+            params, ids, codes, scales, perm, emb, n_rows), wide_b, wide)
 
     modes = {"per-request bf16": bf16_tput, "per-request int8": i8_tput,
              f"{coalesce}-way coalesced bf16": co_tput,
-             f"{coalesce}-way coalesced int8": co8_tput}
+             f"{coalesce}-way coalesced int8": co8_tput,
+             f"{wide}-way coalesced bf16": w16_tput,
+             f"{wide}-way coalesced int8": w8_tput}
     mode = max(modes, key=modes.get)
     best = modes[mode]
     print(json.dumps({

@@ -89,9 +89,12 @@ def test_warmup_precompiles_single_and_coalesced(tmp_path, monkeypatch):
     loop, state = _run_server(app)
     base = f"http://127.0.0.1:{state['port']}"
     # warm fires in a worker after startup: one search per distinct k +
-    # one batch per multi-query bucket (metrics "searches" counts
+    # one batch per multi-query bucket up to the configured coalescer
+    # width (wider buckets compile lazily; metrics "searches" counts
     # queries)
-    want = len({1, cfg.api.default_results, 10}) + sum(TEXT_BUCKETS[1:])
+    width = max(64, cfg.coalesce_width)
+    want = len({1, cfg.api.default_results, 10}) + \
+        sum(b for b in TEXT_BUCKETS[1:] if b <= width)
     for _ in range(200):
         if engine.metrics.snapshot()["counters"].get("searches",
                                                      0) >= want:
