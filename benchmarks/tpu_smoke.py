@@ -155,6 +155,37 @@ def main() -> None:
             [r["frame_id"] for r in want1], (mode, got1, want1)
         print(f"[smoke] approx+perm {mode} single-query == exact f32")
 
+    # fused device re-rank (index.device_rerank=on): candidate scan +
+    # exact f32 re-rank in one dispatch == host re-rank, row for row
+    import jax.numpy as jnp
+
+    enc_table = jnp.asarray(rng.standard_normal((100, 512))
+                            .astype(np.float32))
+
+    def enc_fn(params, ids):
+        feats = params[ids].mean(axis=1)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    ids_b = rng.integers(0, 100, (8, 8)).astype(np.int32)
+    for mode in ("bfloat16", "int8"):
+        os.environ["VQT_DEVICE_RERANK"] = "off"
+        try:
+            host_rows = big[mode].search_batch_fused(
+                enc_fn, enc_table, ids_b, k=10)
+            os.environ["VQT_DEVICE_RERANK"] = "on"
+            assert big[mode]._device_rerank_active()
+            dev_rows = big[mode].search_batch_fused(
+                enc_fn, enc_table, ids_b, k=10)
+        finally:
+            del os.environ["VQT_DEVICE_RERANK"]
+        for hr, dr in zip(host_rows, dev_rows):
+            assert [r["frame_id"] for r in hr] == \
+                [r["frame_id"] for r in dr], (mode, hr, dr)
+            np.testing.assert_allclose(
+                [r["score"] for r in hr], [r["score"] for r in dr],
+                rtol=1e-6, atol=1e-6)
+        print(f"[smoke] fused device re-rank {mode} == host re-rank")
+
     # fused single-block attention (ops/attention.py) on real Mosaic:
     # every eligible tower shape, causal + valid_len, vs the einsum oracle
     import jax.numpy as jnp

@@ -1,0 +1,120 @@
+"""Fused on-device exact re-rank (index.device_rerank) parity tests.
+
+The quantized modes' host re-rank (``DeviceVideoIndex._rerank_f32``) and
+the fused device re-rank must return identical rows — same ids, same
+tie order (score desc, host row asc), scores equal to f32 precision —
+because they implement the same contract against the same f32 rows
+(reference ordering semantics, video_search_overhaul.py:40-64).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from video_quierer_tpu.index.device_index import DeviceVideoIndex
+
+
+def _toy_encoder(vocab: int = 100, dim: int = 64, seed: int = 0):
+    table = np.random.default_rng(seed).standard_normal(
+        (vocab, dim)).astype(np.float32)
+
+    def encode_fn(params, ids):
+        feats = params[ids].mean(axis=1)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    return jnp.asarray(table), encode_fn
+
+
+def _filled_index(rng, dim=64, n=400, near_ties=True, **kw):
+    idx = DeviceVideoIndex(dim=dim, **kw)
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    if near_ties:
+        # clusters of near-duplicates (the corpora this product indexes)
+        emb[1::7] = emb[0::7][: emb[1::7].shape[0]] + 1e-7
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    for i in range(n):
+        idx.add_frame(emb[i], f"v{i % 5}.mp4", float(i))
+    return idx
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_device_rerank_matches_host(dtype, monkeypatch, rng):
+    params, encode_fn = _toy_encoder()
+    ids = rng.integers(0, 100, (8, 8)).astype(np.int32)
+
+    rows = {}
+    for mode in ("off", "on"):
+        monkeypatch.setenv("VQT_DEVICE_RERANK", mode)
+        index = _filled_index(np.random.default_rng(7),
+                              device_dtype=dtype, device_rerank=mode)
+        assert index._device_rerank_active() == (mode == "on")
+        rows[mode] = index.search_batch_fused(encode_fn, params, ids,
+                                              k=6)
+
+    for host_rows, dev_rows in zip(rows["off"], rows["on"]):
+        assert [r["frame_id"] for r in host_rows] == \
+            [r["frame_id"] for r in dev_rows]
+        assert [r["video_name"] for r in host_rows] == \
+            [r["video_name"] for r in dev_rows]
+        np.testing.assert_allclose(
+            [r["score"] for r in host_rows],
+            [r["score"] for r in dev_rows], rtol=1e-6, atol=1e-6)
+
+
+def test_device_rerank_follows_appends(monkeypatch, rng):
+    """The f32 store stays in sync through the incremental append path
+    (bucketed dynamic_update_slice appends after the first sync)."""
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "on")
+    params, encode_fn = _toy_encoder()
+    index = DeviceVideoIndex(dim=64, device_dtype="bfloat16",
+                             device_rerank="on")
+    emb = rng.standard_normal((64, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    for i in range(32):
+        index.add_frame(emb[i], "a.mp4", float(i))
+    ids = rng.integers(0, 100, (1, 8)).astype(np.int32)
+    first = index.search_batch_fused(encode_fn, params, ids, k=4)[0]
+    assert len(first) == 4
+    for i in range(32, 64):
+        index.add_frame(emb[i], "b.mp4", float(i))
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "off")
+    host = index.search_batch_fused(encode_fn, params, ids, k=6)[0]
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "on")
+    dev = index.search_batch_fused(encode_fn, params, ids, k=6)[0]
+    assert [r["frame_id"] for r in host] == [r["frame_id"] for r in dev]
+    np.testing.assert_allclose([r["score"] for r in host],
+                               [r["score"] for r in dev],
+                               rtol=1e-6, atol=1e-6)
+    assert any(r["video_name"] == "b.mp4" for r in dev)
+
+
+def test_device_rerank_survives_delete(monkeypatch, rng):
+    """Compaction (video delete) forces a full f32-store refresh."""
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "on")
+    params, encode_fn = _toy_encoder()
+    index = _filled_index(rng, device_dtype="int8", device_rerank="on",
+                          n=200)
+    ids = rng.integers(0, 100, (2, 8)).astype(np.int32)
+    index.search_batch_fused(encode_fn, params, ids, k=5)  # sync once
+    index.remove_video("v0.mp4")
+    dev = index.search_batch_fused(encode_fn, params, ids, k=5)
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "off")
+    host = index.search_batch_fused(encode_fn, params, ids, k=5)
+    for h, d in zip(host, dev):
+        assert [r["frame_id"] for r in h] == [r["frame_id"] for r in d]
+        assert not any(r["video_name"] == "v0.mp4" for r in d)
+
+
+def test_device_rerank_auto_budget(monkeypatch, rng):
+    index = _filled_index(rng, device_dtype="bfloat16",
+                          device_rerank="auto", n=64)
+    monkeypatch.setenv("VQT_DEVICE_RERANK_BUDGET_GB", "100")
+    assert index._device_rerank_active()
+    monkeypatch.setenv("VQT_DEVICE_RERANK_BUDGET_GB", "0.000001")
+    assert not index._device_rerank_active()
+
+
+def test_device_rerank_ignored_for_f32():
+    index = DeviceVideoIndex(device_dtype="float32", device_rerank="on")
+    assert not index._device_rerank_active()

@@ -125,6 +125,13 @@ class IndexConfig:
     ivf_nlist: int = 0       # 0 = auto (~sqrt(N))
     ivf_nprobe: int = 8
     ivf_min_rows: int = 4096
+    # Quantized modes: fuse the exact f32 re-rank into the search
+    # dispatch against an identity-layout f32 row store in HBM (one
+    # device pass per search, no host re-rank; identical results incl.
+    # tie order). "auto" = on for single-device deployments while store
+    # + mirror fit VQT_DEVICE_RERANK_BUDGET_GB (default 12);
+    # "on"/"off" force it. f32 mode and corpus meshes ignore it.
+    device_rerank: str = "auto"
 
 
 @dataclasses.dataclass
@@ -198,6 +205,9 @@ class EngineConfig:
                 f"sampling_strategy must be one of {SAMPLING_STRATEGIES}")
         if self.index.kind not in ("exact", "ivf"):
             raise ValueError("index.kind must be 'exact' or 'ivf'")
+        if self.index.device_rerank not in ("auto", "on", "off"):
+            raise ValueError(
+                "index.device_rerank must be 'auto', 'on' or 'off'")
         if self.index.ivf_nprobe <= 0:
             raise ValueError("ivf_nprobe must be positive")
         if self.model.parallel not in ("none", "pp"):
@@ -226,6 +236,7 @@ _ENV_OVERRIDES = {
     "VQT_CORPUS_SHARDS": ("index.corpus_shards", int),
     "VQT_CORPUS_SLICES": ("index.corpus_slices", int),
     "VQT_INDEX_DTYPE": ("index.device_dtype", str),
+    "VQT_DEVICE_RERANK": ("index.device_rerank", str),
     "VQT_INDEX_KIND": ("index.kind", str),
     "VQT_IVF_NLIST": ("index.ivf_nlist", int),
     "VQT_IVF_NPROBE": ("index.ivf_nprobe", int),

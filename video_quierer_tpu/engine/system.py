@@ -100,7 +100,8 @@ class VideoSearchEngine:
         self.index = DeviceVideoIndex(
             dim=self.config.index.embed_dim,
             device_dtype=self.config.index.device_dtype,
-            mesh=corpus_mesh)
+            mesh=corpus_mesh,
+            device_rerank=self.config.index.device_rerank)
         self.metrics = SystemMetrics()
         self.query_cache = QueryResultCache(
             max_size=self.config.cache.query_cache_size,

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import functools
 import io
+import os
 import threading
 import logging
 import pickle
@@ -120,11 +121,42 @@ def _video_rank_device(emb, scales, vid_ids, means, counts, q, valid, *,
     return top_vals, top_vids, best
 
 
+def _device_exact_rerank(f32_rows: jax.Array, q: jax.Array,
+                         cand: jax.Array, valid, k: int):
+    """Exact f32 re-rank of candidate host rows ON DEVICE — the traced
+    twin of ``DeviceVideoIndex._rerank_f32`` with identical semantics:
+    dead/pad candidates drop, duplicate rows drop (defensive, as on
+    host), ties break (score desc, host row asc). ``cand [B, fetch]``
+    host-row ids; returns ``([B, k] f32 scores, [B, k] i32 rows)`` with
+    -inf/pad for short rows, which ``_rows_from`` skips."""
+    n_pad = f32_rows.shape[0]
+    b = cand.shape[0]
+    cand = cand.astype(jnp.int32)
+    rows = jnp.take(f32_rows, jnp.clip(cand, 0, n_pad - 1),
+                    axis=0)                                  # [B, f, D]
+    # HIGHEST: exactness is the whole point of the re-rank stage, and
+    # the candidate matrices are tiny (fetch·D per query)
+    exact = jnp.einsum("bfd,bd->bf", rows, q,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    # defensive duplicate drop: sort by row id, mask equal neighbors
+    ids_s, sc_s = jax.lax.sort((cand, exact), num_keys=1, dimension=-1)
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, jnp.int32), ids_s[:, :-1]], axis=1)
+    dead = (ids_s == prev) | (ids_s >= valid)
+    sc_s = jnp.where(dead, _NEG_INF, sc_s)
+    ids_s = jnp.where(dead, jnp.int32(2**31 - 1), ids_s)
+    # host tie order: (score desc, row asc) == lex sort on (-score, row)
+    neg_s, ids_f = jax.lax.sort((-sc_s, ids_s), num_keys=2,
+                                dimension=-1)
+    return -neg_s[:, :k], ids_f[:, :k]
+
+
 class DeviceVideoIndex:
     """Exact-scan frame index, host-authoritative with a device mirror."""
 
     def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32",
-                 mesh=None):
+                 mesh=None, device_rerank: str = "auto"):
         """``device_dtype='bfloat16'`` halves the scan's HBM traffic (the
         entire cost of a query); results stay f32-scored and f32-ordered
         because the scan only FETCHES candidates that are exactly
@@ -146,8 +178,21 @@ class DeviceVideoIndex:
         """
         if device_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported device_dtype {device_dtype!r}")
+        if device_rerank not in ("auto", "on", "off"):
+            raise ValueError(
+                f"unsupported device_rerank {device_rerank!r}")
         self.dim = dim
         self.device_dtype = device_dtype
+        # Quantized modes: keep an identity-layout f32 row store in HBM
+        # and fuse the exact re-rank into the candidate dispatch (one
+        # device pass per search, no host re-rank). "auto" enables it on
+        # single-device deployments while f32 store + mirror fit the
+        # VQT_DEVICE_RERANK_BUDGET_GB HBM budget; results are identical
+        # to the host re-rank including its (score desc, row asc) tie
+        # order. f32 mode and corpus meshes ignore it (the f32 scan is
+        # already exact; a sharded store would need a cross-device
+        # candidate gather for no single-chip win).
+        self.device_rerank = device_rerank
         self.mesh = mesh
         if mesh is not None:
             from video_quierer_tpu.parallel.mesh import (CORPUS_AXIS,
@@ -212,6 +257,11 @@ class DeviceVideoIndex:
         self._inv_perm: Optional[np.ndarray] = None
         self._perm_dev: Optional[jax.Array] = None
         self._mirror_perm = False  # layout of the CURRENT device mirror
+        # identity-layout f32 row store for the fused device re-rank
+        # (quantized modes with device_rerank active)
+        self._device_f32: Optional[jax.Array] = None
+        self._f32_rows = 0
+        self._f32_cap = 0
         # video-level device mirror (means + id column), versioned
         self._video_rev = 0
         self._dev_video_rev = -1
@@ -482,6 +532,52 @@ class DeviceVideoIndex:
             self._device_rows = self._count
         return self._device_emb
 
+    # -- fused device re-rank store (quantized modes) -------------------
+
+    def _device_rerank_active(self) -> bool:
+        """Whether searches fuse the exact f32 re-rank on device (see
+        __init__). Checked before each executable build/sync; "auto"
+        re-evaluates as capacity grows, falling back to the host re-rank
+        when the f32 store would blow the HBM budget."""
+        if self.device_dtype == "float32" or self.mesh is not None:
+            return False
+        mode = os.environ.get("VQT_DEVICE_RERANK", self.device_rerank)
+        if mode == "off":
+            return False
+        if mode == "on":
+            return True
+        budget = float(os.environ.get("VQT_DEVICE_RERANK_BUDGET_GB",
+                                      "12")) * 1e9
+        cap = self._emb.shape[0]
+        mirror = cap * (self.dim + 4) if self.device_dtype == "int8" \
+            else cap * self.dim * 2
+        return cap * self.dim * 4 + mirror <= budget
+
+    def _sync_device_f32(self) -> jax.Array:
+        """Bring the identity-layout f32 row store up to date (same
+        incremental discipline as the mirror: full upload on capacity /
+        compaction change, bucketed ``dynamic_update_slice`` appends)."""
+        cap = self._emb.shape[0]
+        if self._device_f32 is None or self._f32_cap != cap \
+                or self._f32_rows > self._count:
+            self._device_f32 = jnp.asarray(self._emb, jnp.float32)
+            self._f32_cap = cap
+            self._f32_rows = self._count
+        elif self._f32_rows < self._count:
+            lo, hi = self._f32_rows, self._count
+            n = hi - lo
+            bucket = next((b for b in self._UPDATE_BUCKETS if n <= b),
+                          None)
+            if bucket is None or lo + bucket > cap:
+                self._device_f32 = jnp.asarray(self._emb, jnp.float32)
+            else:
+                rows = np.zeros((bucket, self.dim), np.float32)
+                rows[:n] = self._emb[lo:hi]
+                self._device_f32 = self._update_rows(
+                    self._device_f32, jnp.asarray(rows), jnp.int32(lo))
+            self._f32_rows = self._count
+        return self._device_f32
+
     # ------------------------------------------------------------------
     # Search
     # ------------------------------------------------------------------
@@ -606,26 +702,37 @@ class DeviceVideoIndex:
         perm = self._perm_arg()
         if perm is not None:
             operands = operands + (perm,)
+        dev_rr = rerank and self._device_rerank_active()
+        if dev_rr:
+            operands = operands + (self._sync_device_f32(),)
         from video_quierer_tpu.ops.topk import _candidate_mode
         key = (id(encode_fn), k_dev, self.device_dtype,
-               _candidate_mode() if rerank else None, perm is not None)
+               _candidate_mode() if rerank else None, perm is not None,
+               k if dev_rr else None)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
                 scan = self._fused_scan_fn(perm is not None)
 
-                def fused(params, ids_dev, *ops_valid, k=k_dev):
+                def fused(params, ids_dev, *ops_valid, k=k_dev,
+                          k_out=k, dev_rr=dev_rr):
                     *ops, valid = ops_valid
+                    if dev_rr:
+                        *ops, f32s = ops
                     q = encode_fn(params, ids_dev)
                     q = q / (jnp.linalg.norm(q, axis=-1,
                                              keepdims=True) + 1e-10)
                     vals, idxs = scan(ops, q, valid, k)
+                    if dev_rr:
+                        # exact f32 re-rank fused into the same dispatch
+                        vals, idxs = _device_exact_rerank(
+                            f32s, q, idxs, valid, k_out)
                     return vals, idxs, q
                 fn = jax.jit(fused)
                 self._fused_jits[key] = fn
         vals, idxs, q = fn(params, jnp.asarray(ids), *operands,
                            jnp.int32(self._count))
-        if rerank:
+        if rerank and not dev_rr:
             return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
         return self._rows_from(np.asarray(vals), np.asarray(idxs))
 
