@@ -215,3 +215,29 @@ def test_bfloat16_serving_mode(tmp_path):
     res = eng.search("throughput mode", k=2)
     assert len(res) == 2
     assert eng.index._emb.dtype == np.float32  # host store stays f32
+
+
+def test_thumbnail_url_enrichment(tmp_path):
+    """thumbnail_base_url set -> rows carry the dead path's URL template
+    (src/video_search_system.py:333-337); unset -> exact five-key
+    reference schema (covered by test_golden_shapes)."""
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    make_synthetic_video(vids / "tn.mp4", n_frames=20)
+    cfg = EngineConfig(api=ApiConfig(max_frames=4),
+                       thumbnail_base_url="http://cdn/thumbs")
+    eng = VideoSearchEngine(str(vids), config=cfg,
+                            embedder=FakeEmbedder())
+    eng.startup()
+    rows = eng.search("anything", k=2, use_cache=False)
+    assert rows and all(
+        r["thumbnail_url"] ==
+        f"http://cdn/thumbs/tn.mp4/thumbnail_{r['timestamp']:.2f}.jpg"
+        for r in rows)
+    # unset -> no thumbnail key
+    cfg2 = EngineConfig(api=ApiConfig(max_frames=4))
+    eng2 = VideoSearchEngine(str(vids), config=cfg2,
+                             embedder=FakeEmbedder())
+    eng2.startup()
+    assert all("thumbnail_url" not in r
+               for r in eng2.search("anything", k=2, use_cache=False))

@@ -181,6 +181,11 @@ class EngineConfig:
     # a text bucket (models/clip/embedder.py TEXT_BUCKETS) or the flush
     # pads to the next one.
     coalesce_width: int = 64
+    # Result enrichment: when set, every search row carries
+    # "thumbnail_url": "{base}/{video_name}/thumbnail_{ts:.2f}.jpg" —
+    # the dead path's template (src/video_search_system.py:333-337).
+    # Unset (default) keeps the exact reference five-key result schema.
+    thumbnail_base_url: Optional[str] = None
     # opt-in: reprocess everything when index-affecting config keys change
     # (the dead-path bridge's config_hash staleness,
     # video_search_system_bridge.py:233-237; the live path never
@@ -225,6 +230,7 @@ class EngineConfig:
 _ENV_OVERRIDES = {
     "VQT_VIDEOS_DIR": ("videos_dir", str),
     "VQT_COALESCE_WIDTH": ("coalesce_width", int),
+    "VQT_THUMBNAIL_BASE_URL": ("thumbnail_base_url", str),
     "VQT_BATCH_SIZE": ("ingest.batch_size", int),
     "VQT_DECODE_WORKERS": ("ingest.num_decode_workers", int),
     "VQT_SAMPLING_STRATEGY": ("ingest.sampling_strategy", str),

@@ -408,10 +408,20 @@ class VideoSearchEngine:
     # Search (ref: search, video_search_overhaul.py:439-456)
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _format(results: List[Dict]) -> List[Dict]:
+    def _format(self, results: List[Dict]) -> List[Dict]:
+        """Reference result shaping (``formatted_time``,
+        video_search_overhaul.py:450-453) + optional enrichment:
+        thumbnail URLs when ``thumbnail_base_url`` is configured — the
+        dead path's template verbatim (src/video_search_system.py:
+        333-337); with it unset the result schema stays the exact
+        reference five keys."""
+        base = self.config.thumbnail_base_url
         for r in results:
             r["formatted_time"] = format_timestamp(r["timestamp"])
+            if base:
+                r["thumbnail_url"] = (
+                    f"{base}/{r['video_name']}/"
+                    f"thumbnail_{r['timestamp']:.2f}.jpg")
         return results
 
     @staticmethod
