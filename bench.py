@@ -51,6 +51,7 @@ def main() -> None:
     from video_quierer_tpu.ops.quantize import quantize_rows
     from video_quierer_tpu.ops.topk import (
         BLOCK_ROWS,
+        CAND_BLOCK_ROWS,
         candidate_topk,
         candidate_topk_int8,
         cosine_topk,
@@ -58,16 +59,23 @@ def main() -> None:
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    import math
     n_videos, frames_per_video = 10_000, 200
     n_rows = n_videos * frames_per_video            # 2.0 M frames
-    n_pad = -(-n_rows // BLOCK_ROWS) * BLOCK_ROWS
+    # pad to the index's own capacity granularity: N_pad must divide by
+    # CAND_BLOCK_ROWS for the fused candidate kernel to engage
+    # (ops/topk.py:_fused_usable) — DeviceVideoIndex guarantees this via
+    # its growth chunk; a BLOCK_ROWS-only pad silently falls back to the
+    # score-materializing approx stage at batched widths
+    gran = math.lcm(BLOCK_ROWS, CAND_BLOCK_ROWS)
+    n_pad = -(-n_rows // gran) * gran
     k = 10
     fetch = max(256, 4 * k)     # index approx-candidate over-fetch rule
     queries = 64
     coalesce = 64       # the coalescer's default width
     coalesce_batches = 8
     wide = 256          # EngineConfig.coalesce_width=256 deployment
-    wide_batches = 4
+    wide_batches = 8
 
     # Corpus generated directly on device (4 GB f32 + 2 GB bf16 + 1 GB
     # int8 mirrors in HBM) — unit-normalized rows. The bf16/int8 mirrors
@@ -164,21 +172,26 @@ def main() -> None:
         v, i = fn(inputs[0])
         _ = float(v.sum())  # real sync = value fetch
         log(f"[{name}] compiled+warm in {time.time() - t0:.1f}s")
-        # settle pass: the first timed loop after a fresh compile has
-        # measured 3-6x steady state on this runtime (post-compile
-        # settling); run the loop once untimed, then measure.
+        # settle pass + two timed loops, report the second: the first
+        # timed loop over a freshly compiled executable has measured
+        # 1.5-6x steady state on this runtime even AFTER a settle pass
+        # (probe 2026-08-18: identical loop 12.39 -> 5.50 ms/batch);
+        # sustained serving throughput is the steady-state figure.
         _ = float(sum(fn(x)[0].sum() for x in inputs))
-        t0 = time.time()
-        outs = [fn(x) for x in inputs]
-        checksum = float(sum(o[0].sum() for o in outs))  # ON-device sums
-        wall = time.time() - t0
+        best = None
+        for rep in range(2):
+            t0 = time.time()
+            outs = [fn(x) for x in inputs]
+            checksum = float(sum(o[0].sum() for o in outs))  # ON-device
+            wall = time.time() - t0
+            assert np.isfinite(checksum)
+            log(f"[{name}] rep{rep + 1} {wall * 1000 / len(inputs):.2f} "
+                f"ms/dispatch [checksum {checksum:.1f}]")
         n_q = len(inputs) * per_dispatch_queries
         per_q_ms = wall / n_q * 1000.0
-        assert np.isfinite(checksum)
         v0 = np.asarray(outs[0][0]).reshape(per_dispatch_queries, -1)
         assert np.isfinite(v0).all() and (np.diff(v0, axis=-1) <= 1e-6).all()
-        log(f"[{name}] {per_q_ms:.2f} ms/query, {n_q / wall:.1f} searches/s"
-            f" [checksum {checksum:.1f}]")
+        log(f"[{name}] {per_q_ms:.2f} ms/query, {n_q / wall:.1f} searches/s")
         return per_q_ms, n_q / wall
 
     log("running serving modes (compiles are one-time, ~1-5 min each "

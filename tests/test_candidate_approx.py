@@ -196,3 +196,36 @@ def test_bf16_approx_fused_matches_two_step(rng, approx_mode):
         assert [r["frame_id"] for r in fq] == [r["frame_id"] for r in tq]
         np.testing.assert_allclose([r["score"] for r in fq],
                                    [r["score"] for r in tq], rtol=1e-5)
+
+
+def test_pack_select_matches_iter_select(rng, monkeypatch):
+    """The pack-key selection ("pack", default) and the two-phase
+    iterative selection ("iter") of the fused candidate kernel must
+    recover the same candidate sets up to the documented packing
+    resolution (~1.2e-4 — far below this corpus's score gaps), and both
+    must contain the true f32 top-k. Also exercises the all-dead-bucket
+    path (valid < one bucket) where the packed -inf key must unpack to
+    -inf, not NaN."""
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops import topk as T
+
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    n_pad = 4 * T.CAND_BLOCK_ROWS
+    emb = _unit_rows(rng, n_pad)
+    q = _unit_rows(rng, 16)
+    valid = n_pad - T.CAND_BUCKET - 3   # leaves a fully-dead tail bucket
+    true10 = np.argsort(-(emb[:valid] @ q.T), axis=0)[:10].T
+
+    outs = {}
+    for mode in ("pack", "iter"):
+        monkeypatch.setenv("VQT_CAND_SELECT", mode)
+        vals, idxs = candidate_topk(
+            jnp.asarray(emb, jnp.bfloat16), jnp.asarray(q), valid, k=64)
+        vals, idxs = np.asarray(vals), np.asarray(idxs)
+        assert np.isfinite(vals[vals > -np.inf]).all()
+        live = idxs[idxs < 2**31 - 1]
+        assert (live < valid).all()
+        for b in range(q.shape[0]):
+            assert set(true10[b]) <= set(idxs[b].tolist()), mode
+        outs[mode] = set(map(tuple, idxs.tolist()))
+    assert outs["pack"] == outs["iter"]
