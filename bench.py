@@ -76,6 +76,8 @@ def main() -> None:
     coalesce_batches = 8
     wide = 256          # EngineConfig.coalesce_width=256 deployment
     wide_batches = 8
+    w512 = 512          # coalesce_width=512: candidate kernels chunk
+    w512_batches = 4    # internally at CAND_MAX_B=256 (ops/topk.py)
 
     # Corpus generated directly on device (4 GB f32 + 2 GB bf16 + 1 GB
     # int8 mirrors in HBM) — unit-normalized rows. The bf16/int8 mirrors
@@ -164,7 +166,8 @@ def main() -> None:
 
     batches = _make_batches(coalesce, coalesce_batches, "batch")
     wide_b = _make_batches(wide, wide_batches, "wide")
-    for a in all_ids + batches + wide_b:
+    w512_b = _make_batches(w512, w512_batches, "w512")
+    for a in all_ids + batches + wide_b + w512_b:
         a.block_until_ready()
 
     def run_mode(name, fn, inputs, per_dispatch_queries):
@@ -218,12 +221,20 @@ def main() -> None:
     w8_ms, w8_tput = run_mode(
         "int8+f32-rerank coalesced x256", lambda ids: fused_int8(
             params, ids, codes, scales, perm, emb, n_rows), wide_b, wide)
+    v16_ms, v16_tput = run_mode(
+        "bf16+f32-rerank coalesced x512", lambda ids: fused_bf16(
+            params, ids, emb16, perm, emb, n_rows), w512_b, w512)
+    v8_ms, v8_tput = run_mode(
+        "int8+f32-rerank coalesced x512", lambda ids: fused_int8(
+            params, ids, codes, scales, perm, emb, n_rows), w512_b, w512)
 
     modes = {"per-request bf16": bf16_tput, "per-request int8": i8_tput,
              f"{coalesce}-way coalesced bf16": co_tput,
              f"{coalesce}-way coalesced int8": co8_tput,
              f"{wide}-way coalesced bf16": w16_tput,
-             f"{wide}-way coalesced int8": w8_tput}
+             f"{wide}-way coalesced int8": w8_tput,
+             f"{w512}-way coalesced bf16": v16_tput,
+             f"{w512}-way coalesced int8": v8_tput}
     mode = max(modes, key=modes.get)
     best = modes[mode]
     print(json.dumps({

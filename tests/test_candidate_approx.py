@@ -229,3 +229,30 @@ def test_pack_select_matches_iter_select(rng, monkeypatch):
             assert set(true10[b]) <= set(idxs[b].tolist()), mode
         outs[mode] = set(map(tuple, idxs.tolist()))
     assert outs["pack"] == outs["iter"]
+
+
+def test_wide_batch_chunks_match_narrow(rng, monkeypatch):
+    """Batches wider than VQT_CAND_MAX_B chunk through the fused kernel
+    (coalesce_width 512 support): results must equal the per-chunk calls
+    exactly, a narrow tail chunk must be handled, and the true top-k
+    must be recovered across every chunk."""
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops import topk as T
+
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VQT_CAND_MAX_B", "8")
+    n_pad = 2 * T.CAND_BLOCK_ROWS
+    emb = _unit_rows(rng, n_pad)
+    q = _unit_rows(rng, 20)          # chunks 8 + 8 + 4 (tail < FUSED_MIN_B)
+    valid = n_pad - 5
+    e16 = jnp.asarray(emb, jnp.bfloat16)
+    vals, idxs = candidate_topk(e16, jnp.asarray(q), valid, k=64)
+    assert idxs.shape == (20, 64)
+    monkeypatch.setenv("VQT_CAND_MAX_B", "256")
+    for lo, hi in ((0, 8), (8, 16), (16, 20)):
+        v2, i2 = candidate_topk(e16, jnp.asarray(q[lo:hi]), valid, k=64)
+        np.testing.assert_array_equal(np.asarray(idxs[lo:hi]),
+                                      np.asarray(i2))
+    true5 = np.argsort(-(emb[:valid] @ q.T), axis=0, kind="stable")[:5].T
+    for b in range(20):
+        assert set(true5[b]) <= set(np.asarray(idxs[b]).tolist())

@@ -27,7 +27,7 @@ logger = logging.getLogger(__name__)
 
 class SearchCoalescer:
     # Width comes from EngineConfig.coalesce_width (default 64); every
-    # width up to 256 is covered by a text bucket
+    # width up to 512 is covered by a text bucket
     # (models/clip/embedder.py TEXT_BUCKETS). Wider amortizes the scan's
     # one HBM matrix read over more queries — measured 0.47 ms/query at
     # 32-way → 0.154 at 64-way over a 2M-frame corpus, and the scan

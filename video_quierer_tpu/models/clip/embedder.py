@@ -39,10 +39,13 @@ logger = logging.getLogger(__name__)
 # Frame-batch buckets: each size compiles once; frames pad to the next one.
 IMAGE_BUCKETS = (32, 128, 256)
 # bucket 1 serves the latency path (single text query) without padding to
-# a batch of 8; 128/256 serve wide coalesced batches (engine
+# a batch of 8; 128/256/512 serve wide coalesced batches (engine
 # coalesce_width) — each bucket compiles once, lazily, and the boot
-# warm-up only touches buckets up to the configured coalescer width
-TEXT_BUCKETS = (1, 8, 32, 64, 128, 256)
+# warm-up only touches buckets up to the configured coalescer width.
+# Above 256 the candidate kernels chunk internally (ops/topk.py
+# CAND_MAX_B) so the score surface stays inside VMEM; the text encode
+# and the dispatch overhead still amortize over the full width.
+TEXT_BUCKETS = (1, 8, 32, 64, 128, 256, 512)
 # Sequence-length buckets for the CAUSAL text tower. The tokenizer pads
 # to the full 77-token context for HF parity, but under causal masking
 # no position after the last EOT can influence any pooled (EOT) output —

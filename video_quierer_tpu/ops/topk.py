@@ -978,12 +978,43 @@ def _fused_usable(n_pad: int, fetch: int, b: int) -> bool:
     return (n_pad // CAND_BUCKET) * CAND_ROUNDS >= fetch
 
 
+# Widest query batch one fused-kernel launch takes. The row-major
+# [B, blk] score surface plus its packed-key twin must fit VMEM next to
+# the double-buffered matrix block: B=256 at CAND_BLOCK_ROWS=4096
+# compiles and runs on v5e; 512 exceeds scoped VMEM. Wider serving
+# batches (coalesce_width 512) chunk here — matmul efficiency saturates
+# by B=256 (per-query scan cost is flat from 64 to 256, probe round 3),
+# so chunking costs nothing while the caller's text encode and dispatch
+# overhead still amortize over the full width.
+def _cand_max_b() -> int:
+    return int(_os.environ.get("VQT_CAND_MAX_B", "256"))
+
+
+def _chunked_stage(stage, queries: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """Split ``queries`` into ``_cand_max_b()``-wide chunks (static
+    Python slicing — shapes stay jit-stable per chunk) and concatenate
+    the per-chunk candidate lists."""
+    step = _cand_max_b()
+    outs = [stage(queries[i:i + step])
+            for i in range(0, queries.shape[0], step)]
+    return (jnp.concatenate([v for v, _ in outs], axis=0),
+            jnp.concatenate([i for _, i in outs], axis=0))
+
+
 def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
                     *, k: int, perm=None) -> Tuple[jax.Array, jax.Array]:
     """Local bf16/f32 candidate scan — fused kernel when usable, approx
     otherwise (``VQT_CANDIDATE_TOPK=approx`` forces the latter). No
     exact fallback, no 1-D squeeze: the building block shared by the
-    single-device dispatch and the per-shard sharded scans."""
+    single-device dispatch and the per-shard sharded scans. Batches
+    wider than ``CAND_MAX_B`` are chunked (each chunk re-decides
+    fused-vs-approx, so a narrow tail chunk simply takes the approx
+    path)."""
+    if queries.shape[0] > _cand_max_b():
+        return _chunked_stage(
+            lambda q: candidate_stage(emb, q, valid_count, k=k, perm=perm),
+            queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
             and _fused_usable(emb.shape[0], k, queries.shape[0]):
@@ -1000,6 +1031,11 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
                          queries: jax.Array, valid_count, *, k: int,
                          perm=None) -> Tuple[jax.Array, jax.Array]:
     """Int8 twin of :func:`candidate_stage`."""
+    if queries.shape[0] > _cand_max_b():
+        return _chunked_stage(
+            lambda q: candidate_stage_int8(codes, scales, q, valid_count,
+                                           k=k, perm=perm),
+            queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
             and _fused_usable(codes.shape[0], k, queries.shape[0]):
