@@ -1,0 +1,156 @@
+#!/usr/bin/env python3
+"""Engine-true coalesced serving throughput on real hardware.
+
+Unlike bench.py — which re-creates the serving dispatch from the ops
+layer to isolate device cost — this drives the ACTUAL product path:
+``VideoSearchEngine.search_coalesced`` from N concurrent threads, i.e.
+request futures → ``SearchCoalescer`` window/flush → tokenizer →
+``_search_batch_fused`` → ``DeviceVideoIndex.search_batch_fused``
+(fused text encode + candidate scan + re-rank) → per-request result
+formatting. What it measures therefore includes every host-side cost a
+live server pays per request: Python thread wake-ups, BPE tokenization,
+coalescer bookkeeping, result dict building.
+
+On a production TPU host (dozens of cores) the host side scales;
+on this 1-core measurement VM the tokenizer+threads are the wall, so
+the figure here is a LOWER bound on the engine's capability — the
+device-side ceiling is bench.py's number.
+
+    python benchmarks/serving_bench.py [--rows 2000000] [--threads 64]
+                                       [--seconds 20] [--width 256]
+
+Prints one JSON line on stdout; diagnostics to stderr.
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--threads", type=int, default=64)
+    ap.add_argument("--seconds", type=float, default=20.0)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=131072)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from video_quierer_tpu.engine.config import EngineConfig
+    from video_quierer_tpu.engine.system import VideoSearchEngine
+
+    log(f"backend: {jax.default_backend()}")
+    cfg = EngineConfig()
+    cfg.coalesce_width = args.width
+    cfg.api.cache_search = False
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        eng = VideoSearchEngine(videos_dir=tmp, config=cfg)
+
+        # Populate the index with a device-generated corpus (the host
+        # fetch is the honest ingest-side cost of synthetic rows; real
+        # ingest produces these rows from the embed pipeline).
+        log(f"populating {args.rows} rows...")
+        t0 = time.time()
+        done = 0
+        ci = 0
+        while done < args.rows:
+            n = min(args.chunk, args.rows - done)
+            x = jax.random.normal(jax.random.PRNGKey(ci), (n, 512),
+                                  jnp.float32)
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            rows = np.asarray(x)
+            eng.index.add_batch(rows, f"synthetic_{ci}.mp4",
+                                [float(t) for t in range(n)])
+            done += n
+            ci += 1
+            if ci % 4 == 0:
+                log(f"  {done}/{args.rows} rows ({time.time()-t0:.0f}s)")
+        log(f"populated in {time.time()-t0:.0f}s")
+
+        # one search builds device mirrors + compiles the narrow path;
+        # a wide burst compiles the coalesced buckets
+        t0 = time.time()
+        eng.search("warm up the mirrors", k=args.k, use_cache=False)
+        log(f"first search (mirror build + compile): {time.time()-t0:.0f}s")
+        from video_quierer_tpu.models.clip.embedder import TEXT_BUCKETS
+        for b in TEXT_BUCKETS[1:]:
+            if b > args.width:
+                break
+            t0 = time.time()
+            eng.search_batch([f"warm bucket {b} {i}" for i in range(b)],
+                             k=args.k)
+            log(f"warm bucket {b}: {time.time()-t0:.0f}s")
+
+        stop = threading.Event()
+        counts = [0] * args.threads
+        lats = []
+        errors = []
+
+        def worker(tid: int) -> None:
+            i = 0
+            while not stop.is_set():
+                q = f"thread {tid} query {i} people walking on a beach"
+                try:
+                    t1 = time.time()
+                    res = eng.search_coalesced(q, k=args.k,
+                                               use_cache=False)
+                    if i % 8 == 0:
+                        lats.append(time.time() - t1)
+                    assert res, "empty result"
+                except Exception as e:   # pragma: no cover
+                    errors.append(repr(e))
+                    break
+                counts[tid] = i = i + 1
+
+        threads = [threading.Thread(target=worker, args=(t,), daemon=True)
+                   for t in range(args.threads)]
+        for t in threads:
+            t.start()
+        time.sleep(5.0)                       # settle/compile tail
+        base = sum(counts)
+        t0 = time.time()
+        time.sleep(args.seconds)
+        total = sum(counts) - base
+        wall = time.time() - t0
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        tput = total / wall
+        if errors:
+            log(f"errors: {errors[:3]}")
+        batch_stats = eng.metrics.histogram_stats("coalesced_batch_size")
+        lat_ms = {}
+        if lats:
+            la = np.asarray(lats) * 1000.0
+            lat_ms = {"p50": round(float(np.percentile(la, 50)), 1),
+                      "p95": round(float(np.percentile(la, 95)), 1)}
+        print(json.dumps({
+            "metric": "engine_true_coalesced_serving",
+            "rows": args.rows,
+            "threads": args.threads,
+            "width": args.width,
+            "searches_per_s": round(tput, 1),
+            "client_latency_ms": lat_ms,
+            "coalesce_batch": {kk: round(float(v), 2)
+                               for kk, v in batch_stats.items()
+                               if kk in ("p50", "p95", "mean")},
+            "errors": len(errors),
+            "note": "full product path incl. host-side per-request costs "
+                    "on a 1-core VM; device ceiling is bench.py",
+        }))
+
+
+if __name__ == "__main__":
+    main()
