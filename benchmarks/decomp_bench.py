@@ -3,21 +3,29 @@
 
 Splits the headline dispatch (bench.py: text encode + fused candidate
 scan + exact f32 re-rank at a 2M-row corpus) into its stages and times
-each in isolation at the serving coalesce widths, so per-batch cost can
-be attributed: is the wall the matmul scan, the text tower, the re-rank
-gather, or dispatch overhead?
+each at the serving widths, attributing per-batch cost: text tower,
+bf16/int8 candidate scan, re-rank gather, or the full fused dispatch.
 
-Methodology is the honest tunnel harness (CLAUDE.md): distinct
-pre-staged device inputs, every dispatch enqueued before any result is
-touched, one untimed settle pass after compile, completion forced by a
-single device-side checksum fetch.
+Methodology — the only one that yields device-true numbers on this
+remote-tunnel runtime (CLAUDE.md): each stage runs R times over
+DISTINCT stacked inputs INSIDE one jit (``lax.scan``), so per-dispatch
+tunnel overhead amortizes to nothing and runtime memoization cannot
+fire; big arrays ride as jit arguments (closure constants re-upload
+through the tunnel); several distinct stacked inputs are enqueued
+before ONE device-side checksum fetch; two timed loops run and the
+second is reported (the first loop over a fresh executable reads
+1.5-6x steady state even after a settle pass).
 
-Usage:  python benchmarks/decomp_bench.py [--widths 64,256] [--batches 6]
+Usage:  python benchmarks/decomp_bench.py [--widths 64,256] [--r 8]
 
-Prints one line per (width, stage): ms/batch and ms/query.
+Prints one line per (width, stage): steady-state ms/batch and us/query.
+Reference stage table for 2026-08-18 (B=256, 2M rows, one v5e):
+encode 3.97 · scan-bf16 5.50 · scan-int8 4.84 · rerank 2.02 ·
+full-bf16 9.95 · full-int8 9.27 ms/batch.
 """
 
 import argparse
+import math
 import sys
 import time
 
@@ -29,7 +37,10 @@ def log(msg: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--widths", default="64,256")
-    ap.add_argument("--batches", type=int, default=6)
+    ap.add_argument("--r", type=int, default=8,
+                    help="stage applications stacked inside one jit")
+    ap.add_argument("--outer", type=int, default=4,
+                    help="distinct stacked inputs enqueued per timing")
     ap.add_argument("--rows", type=int, default=2_000_000)
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
@@ -37,6 +48,7 @@ def main() -> None:
     import numpy as np
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from video_quierer_tpu.models.clip.config import vit_b_32
     from video_quierer_tpu.models.clip.model import CLIP, init_params
@@ -49,10 +61,10 @@ def main() -> None:
     log(f"backend: {jax.default_backend()}")
     # align to the index's capacity granularity so the fused candidate
     # kernel engages (ops/topk.py:_fused_usable)
-    import math
     gran = math.lcm(BLOCK_ROWS, CAND_BLOCK_ROWS)
     n_pad = -(-args.rows // gran) * gran
     k, fetch = 10, 256
+    R, OUT = args.r, args.outer
 
     key = jax.random.PRNGKey(0)
     emb = jax.random.normal(key, (n_pad, 512), jnp.float32)
@@ -64,6 +76,7 @@ def main() -> None:
     codes = jnp.take(codes_h, perm, axis=0)
     scales = jnp.take(scales_h, perm, axis=0)
     del codes_h, scales_h
+    valid = jnp.int32(args.rows)
     for a in (emb16, codes, scales, perm):
         a.block_until_ready()
     log("corpus staged")
@@ -74,106 +87,104 @@ def main() -> None:
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         init_params(model, seed=0))
     tokenizer = load_tokenizer()
-    valid = jnp.int32(args.rows)
 
-    def _encode(params, ids):
-        feats = model.apply({"params": params}, ids,
-                            method=CLIP.encode_text)
+    def _encode(ids, p):
+        feats = model.apply({"params": p}, ids, method=CLIP.encode_text)
         return feats / (jnp.linalg.norm(feats, axis=-1,
                                         keepdims=True) + 1e-10)
 
-    def _rerank(emb32, q, cand):
-        rows = jnp.take(emb32, jnp.clip(cand, 0, n_pad - 1), axis=0)
+    def _rerank(q, cand, e32):
+        rows = jnp.take(e32, jnp.clip(cand, 0, n_pad - 1), axis=0)
         exact = jnp.einsum("bfd,bd->bf", rows, q,
                            preferred_element_type=jnp.float32)
         exact = jnp.where(cand < valid, exact, -jnp.inf)
-        vals, pos = jax.lax.top_k(exact, k)
+        vals, pos = lax.top_k(exact, k)
         return vals, jnp.take_along_axis(cand, pos, axis=-1)
 
-    stages_by_width = {}
+    rows_table = []
     for width in widths:
-        texts = [f"w{width} batch {b} scene {i} with people"
-                 for b in range(args.batches) for i in range(width)]
-        tids = [tokenizer(t) for t in texts]
-        ids = [jnp.asarray(trim_text_ids(np.concatenate(
-            tids[b * width:(b + 1) * width])))
-            for b in range(args.batches)]
-        qs = [jax.random.normal(jax.random.PRNGKey(100 + i), (width, 512),
-                                jnp.float32) for i in range(args.batches)]
-        qs = [q / jnp.linalg.norm(q, axis=-1, keepdims=True) for q in qs]
-        cands = [jax.random.randint(jax.random.PRNGKey(200 + i), (width, fetch),
-                                    0, args.rows, jnp.int32)
-                 for i in range(args.batches)]
-        for a in ids + qs + cands:
-            a.block_until_ready()
-        log(f"[{width}] ids shape {ids[0].shape} (trimmed seq bucket)")
+        # distinct stacked inputs: token ids [OUT][R, width, seq],
+        # normalized queries and random candidate sets for the isolated
+        # scan / re-rank stages
+        seqs = []
+        for o in range(OUT):
+            txts = [f"w{width} o{o} r{r} scene {i} with people"
+                    for r in range(R) for i in range(width)]
+            tids = np.concatenate([tokenizer(t) for t in txts])
+            tids = trim_text_ids(tids)
+            seqs.append(jnp.asarray(
+                tids.reshape(R, width, -1)).block_until_ready())
+        qs = []
+        for o in range(OUT):
+            q = jax.random.normal(jax.random.PRNGKey(100 + o),
+                                  (R, width, 512), jnp.float32)
+            qs.append((q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+                       ).block_until_ready())
+        cands = [jax.random.randint(jax.random.PRNGKey(200 + o),
+                                    (R, width, fetch), 0, args.rows,
+                                    jnp.int32).block_until_ready()
+                 for o in range(OUT)]
+        log(f"[{width}] ids shape {seqs[0].shape} (trimmed seq bucket)")
 
-        # every big array rides as an ARGUMENT — a jit closure constant
-        # re-embeds/re-uploads it per executable build (CLAUDE.md)
-        enc_raw = jax.jit(lambda p, i: _encode(p, i))
-        encode_j = lambda i: enc_raw(params, i)
-        s16_raw = jax.jit(lambda e, p, q: candidate_topk(
-            e, q, valid, k=fetch, perm=p))
-        scan16_j = lambda q: s16_raw(emb16, perm, q)
-        s8_raw = jax.jit(lambda c, s, p, q: candidate_topk_int8(
-            c, s, q, valid, k=fetch, perm=p))
-        scan8_j = lambda q: s8_raw(codes, scales, perm, q)
-        rr_raw = jax.jit(lambda e, q, c: _rerank(e, q, c))
-        rerank_j = lambda q, c: rr_raw(emb, q, c)
+        def reg(per_batch, bigs):
+            def run(stacked, *bs):
+                def body(acc, x):
+                    return acc + per_batch(x, *bs), None
+                return lax.scan(body, jnp.float32(0), stacked)[0]
+            j = jax.jit(run)
+            return lambda x, _j=j, _b=bigs: _j(x, *_b)
 
-        @jax.jit
-        def full16_raw(p, e32, e16, pm, i):
-            q = _encode(p, i)
+        def chk(vi):
+            v, i = vi
+            return v.sum() + (i % 7).sum().astype(jnp.float32)
+
+        def full16(ids, p, e16, pm, e32):
+            q = _encode(ids, p).astype(jnp.float32)
             _, cand = candidate_topk(e16, q, valid, k=fetch, perm=pm)
-            return _rerank(e32, q, cand)
+            return chk(_rerank(q, cand, e32))
 
-        @jax.jit
-        def full8_raw(p, e32, c8, s8, pm, i):
-            q = _encode(p, i)
-            _, cand = candidate_topk_int8(c8, s8, q, valid,
-                                          k=fetch, perm=pm)
-            return _rerank(e32, q, cand)
+        def full8(ids, p, c, s, pm, e32):
+            q = _encode(ids, p).astype(jnp.float32)
+            _, cand = candidate_topk_int8(c, s, q, valid, k=fetch, perm=pm)
+            return chk(_rerank(q, cand, e32))
 
         stages = [
-            ("encode", encode_j, ids, lambda o: o.sum()),
-            ("scan-bf16", scan16_j, qs, lambda o: o[0].sum()),
-            ("scan-int8", scan8_j, qs, lambda o: o[0].sum()),
-            ("rerank", rerank_j,
-             list(zip(qs, cands)), lambda o: o[0].sum()),
-            ("full-bf16",
-             lambda i: full16_raw(params, emb, emb16, perm, i),
-             ids, lambda o: o[0].sum()),
-            ("full-int8",
-             lambda i: full8_raw(params, emb, codes, scales, perm, i),
-             ids, lambda o: o[0].sum()),
+            ("encode", reg(lambda ids, p: _encode(ids, p).sum(),
+                           (params,)), seqs),
+            ("scan-bf16", reg(lambda q, e, pm: chk(candidate_topk(
+                e, q, valid, k=fetch, perm=pm)), (emb16, perm)), qs),
+            ("scan-int8", reg(lambda q, c, s, pm: chk(candidate_topk_int8(
+                c, s, q, valid, k=fetch, perm=pm)),
+                (codes, scales, perm)), qs),
+            ("rerank", reg(lambda qc, e32: chk(_rerank(qc[0], qc[1], e32)),
+                           (emb,)), list(zip(qs, cands))),
+            ("full-bf16", reg(full16, (params, emb16, perm, emb)), seqs),
+            ("full-int8", reg(full8, (params, codes, scales, perm, emb)),
+             seqs),
         ]
-        rows = {}
-        for name, fn, inputs, chk in stages:
-            call = (lambda fn: lambda x: fn(*x) if isinstance(x, tuple)
-                    else fn(x))(fn)
+        for name, fn, inputs in stages:
             t0 = time.time()
-            _ = float(jnp.sum(chk(call(inputs[0]))))
+            _ = float(fn(inputs[0]))
             log(f"[{width}] {name}: compiled in {time.time() - t0:.0f}s")
-            _ = float(sum(jnp.sum(chk(call(x))) for x in inputs))  # settle
-            # two timed loops, keep the second: the first loop over a
-            # fresh executable reads 1.5-6x steady state on this
-            # runtime even after the settle pass
+            _ = float(sum(map(float, [fn(x) for x in inputs])))  # settle
             for rep in (1, 2):
                 t0 = time.time()
-                outs = [call(x) for x in inputs]
-                checksum = float(sum(jnp.sum(chk(o)) for o in outs))
+                outs = [fn(x) for x in inputs]
+                total = outs[0]
+                for o in outs[1:]:
+                    total = total + o          # device-side adds
+                checksum = float(total)        # ONE fetch
                 wall = time.time() - t0
-                ms_b = wall / len(inputs) * 1000.0
+                ms_b = wall / (OUT * R) * 1000.0
                 assert np.isfinite(checksum)
                 log(f"[{width}] {name}: rep{rep} {ms_b:.2f} ms/batch "
-                    f"({ms_b / width * 1000:.1f} us/q) [chk {checksum:.1f}]")
-            rows[name] = ms_b
-        stages_by_width[width] = rows
+                    f"({ms_b / width * 1000:.1f} us/q) "
+                    f"[chk {checksum:.1f}]")
+            rows_table.append((width, name, ms_b))
 
     print("width stage ms/batch us/query")
-    for width, rows in stages_by_width.items():
-        for name, ms_b in rows.items():
-            print(f"{width} {name} {ms_b:.2f} {ms_b / width * 1000:.1f}")
+    for width, name, ms_b in rows_table:
+        print(f"{width} {name} {ms_b:.2f} {ms_b / width * 1000:.1f}")
 
 
 if __name__ == "__main__":
