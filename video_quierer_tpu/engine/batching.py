@@ -10,15 +10,28 @@ queries shares.
 
 Design: a daemon worker blocks on a queue; on wake it drains up to
 ``max_batch`` requests for up to ``max_wait_ms``, groups them by ``k``, and
-answers each group with one ``engine.search_batch`` call. A lone request
+answers each group with one fused device dispatch. A lone request
 therefore pays at most ``max_wait_ms`` extra latency.
+
+The flush path is PIPELINED (depth ``VQT_COALESCE_PIPELINE``, default 2):
+JAX dispatch is asynchronous, so the worker tokenizes + dispatches batch
+N+1 while a resolver thread is still materializing batch N's device
+results and building response rows. The two phases hand the engine's
+shared read lock across threads (acquired by the dispatcher, released by
+the resolver) so no index mutation can move rows under in-flight candidate
+indices — see DeviceVideoIndex.search_batch_fused_async. On a
+remote-tunnel TPU the result fetch alone is tens of milliseconds per
+flush; overlapping it with the next flush's host work converts the serving
+loop from sum-of-stages to max-of-stages.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Dict, List, Tuple
 
@@ -33,14 +46,26 @@ class SearchCoalescer:
     # 32-way → 0.154 at 64-way over a 2M-frame corpus, and the scan
     # alone 0.135 → 0.073 ms/query going 64 → 256-way (round-3 probe).
     def __init__(self, engine, max_batch: int = 64,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 pipeline_depth: int | None = None):
         self._engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
+        if pipeline_depth is None:
+            pipeline_depth = int(os.environ.get("VQT_COALESCE_PIPELINE",
+                                                "2"))
+        self.pipeline_depth = max(0, pipeline_depth)
         self._queue: "queue.Queue[Tuple[str, int, Future]]" = queue.Queue()
+        self._closed = False
+        self._resolve_q: "queue.Queue" = queue.Queue(
+            maxsize=max(1, self.pipeline_depth))
+        if self.pipeline_depth:
+            self._resolver = threading.Thread(
+                target=self._resolve_loop, daemon=True,
+                name="search-coalescer-resolve")
+            self._resolver.start()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="search-coalescer")
-        self._closed = False
         self._worker.start()
 
     def close(self) -> None:
@@ -95,6 +120,8 @@ class SearchCoalescer:
             except queue.Empty:
                 pass
             self._process(batch)
+        if self.pipeline_depth:
+            self._resolve_q.put(None)  # let the resolver drain, then exit
 
     def _process(self, batch) -> None:
         engine = self._engine
@@ -104,12 +131,72 @@ class SearchCoalescer:
             by_k.setdefault(k, []).append((query, fut))
         for k, items in by_k.items():
             queries = [q for q, _ in items]
+            engine.metrics.inc("searches", len(queries))
+            t0 = time.perf_counter()
+            # dispatch under the engine read lock; on the pipelined path
+            # the RESOLVER releases it (in-flight device indices must not
+            # see index rows move — utils/locks.py documents the
+            # cross-thread hand-off)
+            engine.lock.acquire_read()
             try:
-                results = engine.search_batch(queries, k=k)
+                resolve = (engine._dispatch_batch_fused(queries, k)
+                           if self.pipeline_depth else None)
+            except Exception:
+                logger.exception("coalesced dispatch failed — serial path")
+                resolve = None
+            if resolve is None:
+                # serial path (pipelining off, fused path unavailable, or
+                # dispatch error): complete the batch under the lock we
+                # already hold
+                try:
+                    batches = engine._search_batch_impl(queries, k)
+                    results = [engine._format(r) for r in batches]
+                    for (_, fut), res in zip(items, results):
+                        fut.set_result(res)
+                except Exception as e:  # propagate to all waiters
+                    logger.exception("coalesced search failed")
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+                finally:
+                    engine.lock.release_read()
+                    engine.metrics.observe(
+                        "batch_search_latency_ms",
+                        (time.perf_counter() - t0) * 1000.0)
+                continue
+            # hand (items, read lock) to the resolver; blocks when
+            # pipeline_depth flushes are already in flight
+            engine.metrics.inc("pipelined_flushes")
+            self._resolve_q.put((items, queries, k, resolve, t0))
+
+    def _resolve_loop(self) -> None:
+        engine = self._engine
+        while True:
+            item = self._resolve_q.get()
+            if item is None:
+                break
+            items, queries, k, resolve, t0 = item
+            try:
+                try:
+                    batches = resolve()
+                    results = [engine._format(r) for r in batches]
+                except Exception:
+                    # exotic (dispatch already succeeded): retry the whole
+                    # group serially under the lock we still hold
+                    logger.exception(
+                        "pipelined resolve failed — serial retry")
+                    engine.metrics.inc("fused_search_fallbacks")
+                    batches = engine._search_batch_impl(queries, k)
+                    results = [engine._format(r) for r in batches]
                 for (_, fut), res in zip(items, results):
                     fut.set_result(res)
             except Exception as e:  # propagate to all waiters
-                logger.exception("coalesced search failed")
+                logger.exception("coalesced resolve failed")
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
+                engine.lock.release_read()
+                engine.metrics.observe(
+                    "batch_search_latency_ms",
+                    (time.perf_counter() - t0) * 1000.0)

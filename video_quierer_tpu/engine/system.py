@@ -558,46 +558,66 @@ class VideoSearchEngine:
         (routes.py:628-634)."""
         self.metrics.inc("searches", len(queries))
         with self.lock.read(), self.metrics.timer("batch_search_latency"):
-            if self._ivf is not None:
-                emb = self._get_embedder()
-                q = (self._fallback_text.embed_texts(queries) if emb is None
-                     else emb.embed_texts(queries))
-                qn = np.stack([self.index.normalize_query(r) for r in q])
-                self.metrics.inc("ann_searches", len(queries))
-                vals, idxs = self._ivf.search(qn, k=k)
-                batches = self.index._rows_from(np.asarray(vals),
-                                                np.asarray(idxs))
-            else:
-                batches = self._search_batch_fused(queries, k)
-            if batches is None:
-                emb = self._get_embedder()
-                if emb is None:
-                    q = self._fallback_text.embed_texts(queries)
-                else:
-                    q = emb.embed_texts(queries)
-                batches = self.index.search_batch(q, k)
+            batches = self._search_batch_impl(queries, k)
         return [self._format(r) for r in batches]
 
-    def _search_batch_fused(self, queries: Sequence[str], k: int
-                            ) -> Optional[List[List[Dict]]]:
-        """Batched twin of _search_fused: B queries, one device dispatch.
-        Pads the token batch to the embedder's buckets so the executable
-        count stays bounded."""
+    def _search_batch_impl(self, queries: Sequence[str], k: int
+                           ) -> List[List[Dict]]:
+        """Lock-free body of :meth:`search_batch` — the caller holds the
+        engine read lock (search_batch itself, or the coalescer's
+        pipeline threads, which hand the lock across dispatch/resolve
+        phases and must not re-acquire it)."""
+        if self._ivf is not None:
+            emb = self._get_embedder()
+            q = (self._fallback_text.embed_texts(queries) if emb is None
+                 else emb.embed_texts(queries))
+            qn = np.stack([self.index.normalize_query(r) for r in q])
+            self.metrics.inc("ann_searches", len(queries))
+            vals, idxs = self._ivf.search(qn, k=k)
+            batches = self.index._rows_from(np.asarray(vals),
+                                            np.asarray(idxs))
+        else:
+            batches = self._search_batch_fused(queries, k)
+        if batches is None:
+            emb = self._get_embedder()
+            if emb is None:
+                q = self._fallback_text.embed_texts(queries)
+            else:
+                q = emb.embed_texts(queries)
+            batches = self.index.search_batch(q, k)
+        return batches
+
+    def _dispatch_batch_fused(self, queries: Sequence[str], k: int):
+        """Dispatch phase of the fused batch search: tokenizes, pads to
+        the embedder's buckets, and ENQUEUES the fused executable(s) on
+        the device (JAX dispatch is asynchronous). Returns a
+        ``resolve() -> List[List[Dict]]`` closure (unformatted rows,
+        trimmed to ``k``) or ``None`` when the fused path is unavailable.
+
+        The caller must hold the engine read lock from this call through
+        ``resolve()`` — in-flight candidate indices must not see rows
+        move (DeviceVideoIndex.search_batch_fused_async documents the
+        contract). The serving coalescer uses the split to overlap batch
+        N's device round-trip with batch N+1's tokenize+dispatch.
+        """
         if os.environ.get("VQT_FUSED_SEARCH", "1") == "0":
+            return None
+        if self._ivf is not None:   # ANN tier routes through search_batch
             return None
         emb = self._get_embedder()
         emb = getattr(emb, "inner", emb)
         if emb is None or not hasattr(emb, "text_encode_fn"):
             return None
-        if not hasattr(self.index, "search_batch_fused"):
+        if not hasattr(self.index, "search_batch_fused_async"):
             return None
         try:
             from video_quierer_tpu.models.clip.embedder import (
                 TEXT_BUCKETS, _bucket_for)
-            out: List[List[Dict]] = []
             # above the widest bucket, chunk — executable shapes stay
-            # bounded to the bucket set whatever the caller sends
+            # bounded to the bucket set whatever the caller sends; every
+            # chunk is dispatched before any result is fetched
             step = TEXT_BUCKETS[-1]
+            parts = []
             for lo in range(0, len(queries), step):
                 chunk = list(queries[lo:lo + step])
                 ids = emb.tokenizer(chunk)
@@ -607,13 +627,33 @@ class VideoSearchEngine:
                 if n < bucket:
                     ids = np.concatenate([ids, np.tile(ids[-1:],
                                                        (bucket - n, 1))])
-                batches = self.index.search_batch_fused(
+                parts.append((n, self.index.search_batch_fused_async(
                     emb.text_encode_fn, emb.params, ids,
-                    self._bucket_k(k))
-                out.extend(rows[:k] for rows in batches[:n])
-            return out
+                    self._bucket_k(k))))
+
+            def resolve() -> List[List[Dict]]:
+                out: List[List[Dict]] = []
+                for n, part in parts:
+                    batches = part()
+                    out.extend(rows[:k] for rows in batches[:n])
+                return out
+            return resolve
         except NotImplementedError:
             return None
+        except Exception:
+            logger.exception("fused batch dispatch failed — two-step path")
+            self.metrics.inc("fused_search_fallbacks")
+            return None
+
+    def _search_batch_fused(self, queries: Sequence[str], k: int
+                            ) -> Optional[List[List[Dict]]]:
+        """Batched twin of _search_fused: B queries, one device dispatch
+        (dispatch + immediate resolve of ``_dispatch_batch_fused``)."""
+        resolve = self._dispatch_batch_fused(queries, k)
+        if resolve is None:
+            return None
+        try:
+            return resolve()
         except Exception:
             logger.exception("fused batch search failed — two-step path")
             self.metrics.inc("fused_search_fallbacks")

@@ -656,21 +656,25 @@ class DeviceVideoIndex:
 
     def _rows_from(self, vals: np.ndarray, idxs: np.ndarray
                    ) -> List[List[Dict]]:
-        """Candidate (scores, indices) → reference result rows."""
+        """Candidate (scores, indices) → reference result rows.
+
+        Bulk ``.tolist()`` conversions instead of per-element numpy
+        scalar indexing: the serving coalescer formats width·k rows per
+        flush on the host, so this loop is on the request path."""
+        names = self._video_names
+        finite = np.isfinite(vals)
         out: List[List[Dict]] = []
         for b in range(vals.shape[0]):
-            rows: List[Dict] = []
-            for score, idx in zip(vals[b], idxs[b]):
-                if not np.isfinite(score):
-                    continue
-                idx = int(idx)
-                rows.append({
-                    "video_name": self._video_names[self._video_ids[idx]],
-                    "timestamp": float(self._timestamps[idx]),
-                    "frame_id": int(self._frame_ids[idx]),
-                    "score": float(score),
-                })
-            out.append(rows)
+            m = finite[b]
+            iv = idxs[b][m]
+            out.append([
+                {"video_name": names[v], "timestamp": t,
+                 "frame_id": f, "score": s}
+                for v, t, f, s in zip(self._video_ids[iv].tolist(),
+                                      self._timestamps[iv].tolist(),
+                                      self._frame_ids[iv].tolist(),
+                                      vals[b][m].tolist())
+            ])
         return out
 
     def search_batch_fused(self, encode_fn, params, ids, k: int = 5
@@ -688,9 +692,28 @@ class DeviceVideoIndex:
         queries), then re-rank the candidates exactly in f32 on host —
         same results as their two-step paths.
         """
+        return self.search_batch_fused_async(encode_fn, params, ids, k)()
+
+    def search_batch_fused_async(self, encode_fn, params, ids, k: int = 5
+                                 ):
+        """Two-phase twin of :meth:`search_batch_fused` for pipelined
+        serving (engine/batching.py): this call DISPATCHES the fused
+        executable (JAX dispatch is asynchronous — it returns as soon as
+        the work is enqueued) and returns a ``resolve() ->
+        List[List[Dict]]`` closure that materializes the device results
+        and builds the rows. The serving coalescer dispatches batch N+1
+        while batch N's results are still in flight, overlapping the
+        host→device round-trip with the next batch's host work.
+
+        Contract: no index mutation may happen between dispatch and
+        resolve — rows could move under the in-flight indices
+        (remove_video compacts; load replaces storage). Callers hold the
+        engine's shared read lock across BOTH phases (the coalescer's
+        dispatcher acquires it, its resolver releases it).
+        """
         n_q = int(np.asarray(ids).shape[0])
         if self._count == 0:
-            return [[] for _ in range(n_q)]
+            return lambda: [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
         rerank = self.device_dtype in ("bfloat16", "int8")
         k_dev = self._rerank_fetch(k) if rerank else k
@@ -733,8 +756,9 @@ class DeviceVideoIndex:
         vals, idxs, q = fn(params, jnp.asarray(ids), *operands,
                            jnp.int32(self._count))
         if rerank and not dev_rr:
-            return self._rerank_f32(np.asarray(q), np.asarray(idxs), k)
-        return self._rows_from(np.asarray(vals), np.asarray(idxs))
+            return lambda: self._rerank_f32(np.asarray(q),
+                                            np.asarray(idxs), k)
+        return lambda: self._rows_from(np.asarray(vals), np.asarray(idxs))
 
     def _fused_scan_fn(self, permuted: bool):
         """Scan callable ``(operands, q, valid, k) -> (vals, idxs)`` for

@@ -10,6 +10,14 @@ on the device — while ingest/delete/load must be exclusive.
 queued, so bulk ingest can't be starved by a search stream) and
 write-reentrant (mutation paths nest: ``rebuild`` → ``_ingest``). A thread
 holding the write lock may take the read lock as a no-op.
+
+Read holds are thread-agnostic (a plain reader count), so a read lock MAY
+be handed across threads: the serving coalescer's dispatcher acquires it
+and its resolver thread releases it, keeping index rows pinned while
+device results are in flight (engine/batching.py). Reads are NOT
+reentrant per-thread — a thread already holding a read must not
+re-acquire (a queued writer would deadlock against it); the engine's
+``_search_batch_impl`` split exists for that reason.
 """
 
 from __future__ import annotations
