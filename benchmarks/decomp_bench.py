@@ -17,6 +17,14 @@ second is reported (the first loop over a fresh executable reads
 1.5-6x steady state even after a settle pass).
 
 Usage:  python benchmarks/decomp_bench.py [--widths 64,256] [--r 8]
+            [--stages encode,rerank,...] [--fetch 256]
+            [--prec default|high|highest]
+
+``--stages`` compiles and times only the named stages (each stage costs
+~1-5 min of fresh-shape compile through the tunnel); ``--fetch`` sets
+the candidate over-fetch depth (the re-rank gather width); ``--prec``
+sets the re-rank einsum precision (the product re-rank uses HIGHEST —
+index/device_index.py:_device_exact_rerank).
 
 Prints one line per (width, stage): steady-state ms/batch and us/query.
 Reference stage table for 2026-08-18 (B=256, 2M rows, one v5e):
@@ -42,8 +50,14 @@ def main() -> None:
     ap.add_argument("--outer", type=int, default=4,
                     help="distinct stacked inputs enqueued per timing")
     ap.add_argument("--rows", type=int, default=2_000_000)
+    ap.add_argument("--stages", default="",
+                    help="comma list; empty = all")
+    ap.add_argument("--fetch", type=int, default=256)
+    ap.add_argument("--prec", default="default",
+                    choices=("default", "high", "highest"))
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
+    only = set(s for s in args.stages.split(",") if s)
 
     import numpy as np
     import jax
@@ -63,7 +77,9 @@ def main() -> None:
     # kernel engages (ops/topk.py:_fused_usable)
     gran = math.lcm(BLOCK_ROWS, CAND_BLOCK_ROWS)
     n_pad = -(-args.rows // gran) * gran
-    k, fetch = 10, 256
+    k, fetch = 10, args.fetch
+    prec = {"default": None, "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST}[args.prec]
     R, OUT = args.r, args.outer
 
     key = jax.random.PRNGKey(0)
@@ -96,7 +112,8 @@ def main() -> None:
     def _rerank(q, cand, e32):
         rows = jnp.take(e32, jnp.clip(cand, 0, n_pad - 1), axis=0)
         exact = jnp.einsum("bfd,bd->bf", rows, q,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
         exact = jnp.where(cand < valid, exact, -jnp.inf)
         vals, pos = lax.top_k(exact, k)
         return vals, jnp.take_along_axis(cand, pos, axis=-1)
@@ -163,6 +180,8 @@ def main() -> None:
              seqs),
         ]
         for name, fn, inputs in stages:
+            if only and name not in only:
+                continue
             t0 = time.time()
             _ = float(fn(inputs[0]))
             log(f"[{width}] {name}: compiled in {time.time() - t0:.0f}s")

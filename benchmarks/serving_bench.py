@@ -36,12 +36,15 @@ def log(m):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=2_000_000)
-    ap.add_argument("--threads", type=int, default=64)
+    ap.add_argument("--threads", default="64",
+                    help="comma list; each count measures one phase "
+                         "against the same warm engine")
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=131072)
     args = ap.parse_args()
+    thread_counts = [int(t) for t in str(args.threads).split(",")]
 
     import numpy as np
     import jax
@@ -93,60 +96,79 @@ def main() -> None:
                              k=args.k)
             log(f"warm bucket {b}: {time.time()-t0:.0f}s")
 
-        stop = threading.Event()
-        counts = [0] * args.threads
-        lats = []
-        errors = []
+        def run_phase(n_threads: int) -> dict:
+            stop = threading.Event()
+            counts = [0] * n_threads
+            lats = []
+            errors = []
 
-        def worker(tid: int) -> None:
-            i = 0
-            while not stop.is_set():
-                q = f"thread {tid} query {i} people walking on a beach"
-                try:
-                    t1 = time.time()
-                    res = eng.search_coalesced(q, k=args.k,
-                                               use_cache=False)
-                    if i % 8 == 0:
-                        lats.append(time.time() - t1)
-                    assert res, "empty result"
-                except Exception as e:   # pragma: no cover
-                    errors.append(repr(e))
-                    break
-                counts[tid] = i = i + 1
+            def worker(tid: int) -> None:
+                i = 0
+                while not stop.is_set():
+                    q = (f"t{n_threads} thread {tid} query {i} "
+                         "people walking on a beach")
+                    try:
+                        t1 = time.time()
+                        res = eng.search_coalesced(q, k=args.k,
+                                                   use_cache=False)
+                        if i % 8 == 0:
+                            lats.append(time.time() - t1)
+                        assert res, "empty result"
+                    except Exception as e:   # pragma: no cover
+                        errors.append(repr(e))
+                        break
+                    counts[tid] = i = i + 1
 
-        threads = [threading.Thread(target=worker, args=(t,), daemon=True)
-                   for t in range(args.threads)]
-        for t in threads:
-            t.start()
-        time.sleep(5.0)                       # settle/compile tail
-        base = sum(counts)
-        t0 = time.time()
-        time.sleep(args.seconds)
-        total = sum(counts) - base
-        wall = time.time() - t0
-        stop.set()
-        for t in threads:
-            t.join(timeout=10)
-        tput = total / wall
-        if errors:
-            log(f"errors: {errors[:3]}")
-        batch_stats = eng.metrics.histogram_stats("coalesced_batch_size")
-        lat_ms = {}
-        if lats:
-            la = np.asarray(lats) * 1000.0
-            lat_ms = {"p50": round(float(np.percentile(la, 50)), 1),
-                      "p95": round(float(np.percentile(la, 95)), 1)}
+            # per-phase batch-size stats: slice the histogram tail this
+            # phase appends (bench-only peek at the metrics deque)
+            hist = eng.metrics._histograms.get("coalesced_batch_size")
+            base_len = len(hist) if hist is not None else 0
+            threads = [threading.Thread(target=worker, args=(t,),
+                                        daemon=True)
+                       for t in range(n_threads)]
+            for t in threads:
+                t.start()
+            time.sleep(5.0)                       # settle/compile tail
+            base = sum(counts)
+            t0 = time.time()
+            time.sleep(args.seconds)
+            total = sum(counts) - base
+            wall = time.time() - t0
+            stop.set()
+            for t in threads:
+                t.join(timeout=10)
+            tput = total / wall
+            if errors:
+                log(f"errors: {errors[:3]}")
+            hist = eng.metrics._histograms.get("coalesced_batch_size")
+            sizes = np.asarray(list(hist)[base_len:]) if hist else None
+            batch = {}
+            if sizes is not None and sizes.size:
+                batch = {"mean": round(float(sizes.mean()), 2),
+                         "p50": round(float(np.percentile(sizes, 50)), 2),
+                         "p95": round(float(np.percentile(sizes, 95)), 2)}
+            lat_ms = {}
+            if lats:
+                la = np.asarray(lats) * 1000.0
+                lat_ms = {"p50": round(float(np.percentile(la, 50)), 1),
+                          "p95": round(float(np.percentile(la, 95)), 1)}
+            phase = {"threads": n_threads,
+                     "searches_per_s": round(tput, 1),
+                     "client_latency_ms": lat_ms,
+                     "coalesce_batch": batch,
+                     "errors": len(errors)}
+            log(f"phase {phase}")
+            return phase
+
+        phases = [run_phase(n) for n in thread_counts]
+        best = max(phases, key=lambda p: p["searches_per_s"])
         print(json.dumps({
             "metric": "engine_true_coalesced_serving",
             "rows": args.rows,
-            "threads": args.threads,
             "width": args.width,
-            "searches_per_s": round(tput, 1),
-            "client_latency_ms": lat_ms,
-            "coalesce_batch": {kk: round(float(v), 2)
-                               for kk, v in batch_stats.items()
-                               if kk in ("p50", "p95", "mean")},
-            "errors": len(errors),
+            "searches_per_s": best["searches_per_s"],
+            "best_threads": best["threads"],
+            "phases": phases,
             "note": "full product path incl. host-side per-request costs "
                     "on a 1-core VM; device ceiling is bench.py",
         }))
