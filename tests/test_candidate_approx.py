@@ -199,13 +199,14 @@ def test_bf16_approx_fused_matches_two_step(rng, approx_mode):
 
 
 def test_pack_select_matches_iter_select(rng, monkeypatch):
-    """The pack-key selection ("pack", default) and the two-phase
-    iterative selection ("iter") of the fused candidate kernel must
-    recover the same candidate sets up to the documented packing
-    resolution (~1.2e-4 — far below this corpus's score gaps), and both
-    must contain the true f32 top-k. Also exercises the all-dead-bucket
-    path (valid < one bucket) where the packed -inf key must unpack to
-    -inf, not NaN."""
+    """The biased pack-key selection ("packb", default), the unbiased
+    pack-key selection ("pack") and the two-phase iterative selection
+    ("iter") of the fused candidate kernel must recover the same
+    candidate sets up to the documented packing resolutions (~1.2e-4 /
+    ~5e-4 — far below this corpus's score gaps), and all must contain
+    the true f32 top-k. Also exercises the all-dead-bucket path
+    (valid < one bucket): "pack"'s floored -inf key must unpack to
+    -inf, not NaN, and "packb"'s zero dead-key must emit -inf."""
     import jax.numpy as jnp
     from video_quierer_tpu.ops import topk as T
 
@@ -217,7 +218,7 @@ def test_pack_select_matches_iter_select(rng, monkeypatch):
     true10 = np.argsort(-(emb[:valid] @ q.T), axis=0)[:10].T
 
     outs = {}
-    for mode in ("pack", "iter"):
+    for mode in ("packb", "pack", "iter"):
         monkeypatch.setenv("VQT_CAND_SELECT", mode)
         vals, idxs = candidate_topk(
             jnp.asarray(emb, jnp.bfloat16), jnp.asarray(q), valid, k=64)
@@ -229,6 +230,7 @@ def test_pack_select_matches_iter_select(rng, monkeypatch):
             assert set(true10[b]) <= set(idxs[b].tolist()), mode
         outs[mode] = set(map(tuple, idxs.tolist()))
     assert outs["pack"] == outs["iter"]
+    assert outs["packb"] == outs["iter"]
 
 
 def test_wide_batch_chunks_match_narrow(rng, monkeypatch):

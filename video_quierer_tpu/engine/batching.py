@@ -23,6 +23,18 @@ indices — see DeviceVideoIndex.search_batch_fused_async. On a
 remote-tunnel TPU the result fetch alone is tens of milliseconds per
 flush; overlapping it with the next flush's host work converts the serving
 loop from sum-of-stages to max-of-stages.
+
+Only FULL batches dispatch ahead. A partial batch whose window expired
+waits until nothing is in flight: the in-flight flush's threads are
+about to resubmit, and flushing early splits what would have been one
+full batch into fragments that each pay the full per-flush cost
+(tokenize bucket + dispatch + result-fetch RTT). Measured on the
+engine-true serving bench at threads == width (256): eager partial
+flushes collapsed the batch p50 from 256 to 45 and throughput from
+2,406 to 2,111 searches/s; with the full-batch gate, closed load keeps
+the non-pipelined cadence and pipelining engages exactly when offered
+load exceeds the width (e.g. 512 threads at width 256 — two full
+batches in flight).
 """
 
 from __future__ import annotations
@@ -59,6 +71,10 @@ class SearchCoalescer:
         self._closed = False
         self._resolve_q: "queue.Queue" = queue.Queue(
             maxsize=max(1, self.pipeline_depth))
+        # pipelined flushes dispatched but not yet resolved (guarded by
+        # _inflight_lock; read by the collection loop's partial-batch gate)
+        self._inflight = 0
+        self._inflight_lock = threading.Lock()
         if self.pipeline_depth:
             self._resolver = threading.Thread(
                 target=self._resolve_loop, daemon=True,
@@ -109,16 +125,24 @@ class SearchCoalescer:
             if first is None:
                 break
             batch = [first]
-            deadline = self.max_wait
-            try:
-                while len(batch) < self.max_batch:
-                    item = self._queue.get(timeout=deadline)
-                    if item is None:
-                        self._closed = True
+            while len(batch) < self.max_batch and not self._closed:
+                try:
+                    item = self._queue.get(timeout=self.max_wait)
+                except queue.Empty:
+                    # window expired: flush the partial batch only when
+                    # nothing is in flight — an in-flight flush's
+                    # threads are about to resubmit and fill this batch,
+                    # and eager partial flushes fragment the load (see
+                    # module docstring: 2,406 → 2,111 searches/s)
+                    with self._inflight_lock:
+                        inflight = self._inflight
+                    if inflight == 0:
                         break
-                    batch.append(item)
-            except queue.Empty:
-                pass
+                    continue
+                if item is None:
+                    self._closed = True
+                    break
+                batch.append(item)
             self._process(batch)
         if self.pipeline_depth:
             self._resolve_q.put(None)  # let the resolver drain, then exit
@@ -167,6 +191,8 @@ class SearchCoalescer:
             # hand (items, read lock) to the resolver; blocks when
             # pipeline_depth flushes are already in flight
             engine.metrics.inc("pipelined_flushes")
+            with self._inflight_lock:
+                self._inflight += 1
             self._resolve_q.put((items, queries, k, resolve, t0))
 
     def _resolve_loop(self) -> None:
@@ -197,6 +223,8 @@ class SearchCoalescer:
                         fut.set_exception(e)
             finally:
                 engine.lock.release_read()
+                with self._inflight_lock:
+                    self._inflight -= 1
                 engine.metrics.observe(
                     "batch_search_latency_ms",
                     (time.perf_counter() - t0) * 1000.0)

@@ -636,19 +636,32 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
 
 
 # Selection algorithm for the fused candidate kernels:
-#   "pack" (default) — scores become SORTABLE int32 keys with the
-#       position tie-break packed into the low mantissa bits, so each
-#       selection round is ONE int max-reduce (the argmax rides inside
-#       the key). Packing floors the low ``ceil_log2(bucket)`` mantissa
-#       bits: selection resolution ~1.2e-4 relative at bucket=1024 —
-#       30× finer than the bf16 mirror's own ~4e-3 score resolution, so
-#       the candidate contract is unchanged (candidates only feed the
-#       exact f32 re-rank). Measured v5e 2M×512 B=256 (probe round 3):
+#   "packb" (default) — "pack" with BIASED keys: cosine scores (the
+#       candidate-stage contract — normalized rows × normalized queries,
+#       |score| ≤ ~1 + quantization error) are shifted by +2.0 into the
+#       all-positive float range, where the raw bit pattern IS the
+#       sortable int32 key — the sign-fix compare/xor/select passes of
+#       "pack" and the kernel's separate dead-row -inf masking pass both
+#       collapse into ONE fused select in key space (dead rows → key 0,
+#       below every live biased key). Packing floors the low
+#       ``ceil_log2(bucket)`` mantissa bits of (score + 2.0): absolute
+#       selection resolution 2.4-4.9e-4 at bucket=1024 — still ~8-16×
+#       finer than the bf16 mirror's own ~4e-3 score resolution, so the
+#       candidate contract is unchanged (candidates only feed the exact
+#       f32 re-rank). PRECONDITION: scores > -2 (any cosine is).
+#   "pack" — unbiased sortable keys (monotone sign-fix map), exact
+#       selection resolution ~1.2e-4; for corpora whose "scores" are not
+#       cosines. Measured v5e 2M×512 B=256 (probe round 3) vs "iter":
 #       bf16 scan 8.94 → 5.10 ms/batch, int8 7.69 → 3.94.
 #   "iter" — the two-phase max / masked-iota-argmin rounds (~6 VPU
 #       reduce passes per element vs pack's ~2); the portable fallback.
 def _cand_select() -> str:
-    return _os.environ.get("VQT_CAND_SELECT", "pack")
+    return _os.environ.get("VQT_CAND_SELECT", "packb")
+
+# Key-space bias for "packb": live scores land in [1, 3] (all-positive
+# floats, whose int32 bit patterns sort like the floats); dead keys are
+# 0. Unpacked winners subtract it back out.
+_KEY_BIAS = 2.0
 
 
 def _sortable_keys(sc: jax.Array) -> jax.Array:
@@ -657,19 +670,21 @@ def _sortable_keys(sc: jax.Array) -> jax.Array:
     return jnp.where(bits < 0, bits ^ jnp.int32(0x7FFFFFFF), bits)
 
 
-def _bucket_select_rows(sc, base, vals_ref, idxs_ref, *, rounds: int,
-                        bucket: int):
+def _bucket_select_rows(sc, live, base, vals_ref, idxs_ref, *,
+                        rounds: int, bucket: int):
     """Per-bucket top-``rounds`` selection over query-major scores.
 
-    ``sc [B, blk]`` f32 (dead rows already -inf); ``base`` = this grid
-    step's global row offset. Buckets are contiguous ``bucket``-lane
-    ranges; each bucket's top ``rounds`` winners are assembled into
-    ``[B, rounds·nb]`` (vals) + their global MIRROR positions (idxs).
-    Callers translate mirror positions to host rows through the
-    permutation OUTSIDE the kernel (``_cand_merge``). Ties within a
-    bucket break to the lowest mirror position (exact under "iter";
-    under "pack" scores are first floored to the packing resolution, so
-    rows within ~1.2e-4 tie-break together — see ``_cand_select``).
+    ``sc [B, blk]`` f32 raw block scores; ``live [1, blk]`` bool marks
+    rows below the valid count (dead/pad rows must never be emitted as
+    candidates); ``base`` = this grid step's global row offset. Buckets
+    are contiguous ``bucket``-lane ranges; each bucket's top ``rounds``
+    winners are assembled into ``[B, rounds·nb]`` (vals) + their global
+    MIRROR positions (idxs). Callers translate mirror positions to host
+    rows through the permutation OUTSIDE the kernel (``_cand_merge``).
+    Ties within a bucket break to the lowest mirror position (exact
+    under "iter"; under "pack"/"packb" scores are first floored to the
+    packing resolution, so rows within ~1e-4 tie-break together — see
+    ``_cand_select``).
 
     Hardware-Mosaic rules this shape is built around (found by probing
     the real lowering — interpreter mode accepts every rejected form):
@@ -682,13 +697,24 @@ def _bucket_select_rows(sc, base, vals_ref, idxs_ref, *, rounds: int,
     b, blk = sc.shape
     nb = blk // bucket
     w = rounds * nb
+    mode = _cand_select()
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
     vals = jnp.full((b, w), NEG_INF, jnp.float32)
     idxs = jnp.full((b, w), jnp.int32(_IMAX), jnp.int32)
-    if _cand_select() == "pack":
+    if mode in ("pack", "packb"):
         pbits = max((bucket - 1).bit_length(), 1)
         lowmask = (1 << pbits) - 1
-        keys = _sortable_keys(sc)                        # [B, blk] i32
+        if mode == "packb":
+            # biased keys: one fused select does dead-row masking AND
+            # the float→sortable-int map (see _cand_select)
+            keys = jnp.where(
+                live,
+                jax.lax.bitcast_convert_type(sc + jnp.float32(_KEY_BIAS),
+                                             jnp.int32),
+                jnp.int32(0))                            # [B, blk] i32
+        else:
+            keys = _sortable_keys(
+                jnp.where(live, sc, NEG_INF))            # [B, blk] i32
         for j in range(nb):                              # static, small
             kj = keys[:, j * bucket:(j + 1) * bucket]
             pos = jax.lax.broadcasted_iota(jnp.int32, (b, bucket), 1)
@@ -700,18 +726,27 @@ def _bucket_select_rows(sc, base, vals_ref, idxs_ref, *, rounds: int,
                 wk = jnp.max(kj, axis=-1, keepdims=True)   # [B, 1]
                 p = jnp.int32(lowmask) - (wk & jnp.int32(lowmask))
                 vb = wk & jnp.int32(~lowmask)
-                v = jax.lax.bitcast_convert_type(
-                    jnp.where(vb < 0, vb ^ jnp.int32(0x7FFFFFFF), vb),
-                    jnp.float32)
-                # an all-dead bucket's floored -inf key unpacks to NaN;
-                # emit -inf so the merge can never promote it
-                v = jnp.where(jnp.isnan(v), NEG_INF, v)
+                if mode == "packb":
+                    # vb == 0 ⇔ every row in the bucket is dead (live
+                    # biased keys are ≥ bitcast(1.0) ≫ lowmask)
+                    v = jnp.where(
+                        vb == 0, NEG_INF,
+                        jax.lax.bitcast_convert_type(vb, jnp.float32)
+                        - jnp.float32(_KEY_BIAS))
+                else:
+                    v = jax.lax.bitcast_convert_type(
+                        jnp.where(vb < 0, vb ^ jnp.int32(0x7FFFFFFF), vb),
+                        jnp.float32)
+                    # an all-dead bucket's floored -inf key unpacks to
+                    # NaN; emit -inf so the merge can never promote it
+                    v = jnp.where(jnp.isnan(v), NEG_INF, v)
                 sel = col_ids == (r * nb + j)
                 vals = jnp.where(sel, v, vals)
                 idxs = jnp.where(sel, base + j * bucket + p, idxs)
                 if r + 1 < rounds:
                     kj = jnp.where(kj == wk, jnp.int32(-2**31), kj)
     else:
+        sc = jnp.where(live, sc, NEG_INF)
         for j in range(nb):                              # static, small
             sj = sc[:, j * bucket:(j + 1) * bucket]      # [B, bucket]
             pos = jax.lax.broadcasted_iota(jnp.int32, (b, bucket), 1)
@@ -746,11 +781,11 @@ def _cand_kernel(valid_ref, emb_ref, perm_ref, qt_ref, vals_ref, idxs_ref,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision)                            # [B, blk]
-    # dead-row mask on the HOST id carried by the perm row ([1, blk] →
-    # [B, blk] is an offset-0 broadcast — hardware-valid)
-    sc = jnp.where(perm_ref[0] < valid, sc, NEG_INF)
-    _bucket_select_rows(sc, pl.program_id(0) * blk, vals_ref, idxs_ref,
-                        rounds=rounds, bucket=bucket)
+    # dead-row liveness from the HOST id carried by the perm row
+    # ([1, blk] → [B, blk] is an offset-0 broadcast — hardware-valid);
+    # masking itself happens inside the selection (key-fused in packb)
+    _bucket_select_rows(sc, perm_ref[0] < valid, pl.program_id(0) * blk,
+                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket)
 
 
 def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
@@ -779,9 +814,8 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
             dimension_numbers=(((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         sc = raw * row_scale
-    sc = jnp.where(perm_ref[0] < valid, sc, NEG_INF)
-    _bucket_select_rows(sc, pl.program_id(0) * blk, vals_ref, idxs_ref,
-                        rounds=rounds, bucket=bucket)
+    _bucket_select_rows(sc, perm_ref[0] < valid, pl.program_id(0) * blk,
+                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket)
 
 
 def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
