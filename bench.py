@@ -81,21 +81,25 @@ def main() -> None:
 
     # Corpus generated directly on device (4 GB f32 + 2 GB bf16 + 1 GB
     # int8 mirrors in HBM) — unit-normalized rows. The bf16/int8 mirrors
-    # live under the index's row permutation, exactly the layout
-    # DeviceVideoIndex serves from (the fused candidate scan emits
-    # host-row indices through the perm column).
+    # use the index's live-PREFIX arrangement (DeviceVideoIndex's
+    # single-device layout): live rows fill positions [0, n_rows) in
+    # shuffled order, capacity padding after — the fused candidate
+    # kernels mask dead rows by position iota and the perm column only
+    # translates winner positions to host rows outside the kernel.
     log(f"building corpus {n_pad}x512 in HBM...")
     t0 = time.time()
     key = jax.random.PRNGKey(0)
     emb = jax.random.normal(key, (n_pad, 512), jnp.float32)
     emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-    perm = jax.random.permutation(jax.random.PRNGKey(7),
-                                  n_pad).astype(jnp.int32)
+    perm_live = jax.random.permutation(jax.random.PRNGKey(7),
+                                       n_rows).astype(jnp.int32)
+    perm = jnp.concatenate([perm_live,
+                            jnp.arange(n_rows, n_pad, dtype=jnp.int32)])
     emb16 = jnp.take(emb, perm, axis=0).astype(jnp.bfloat16)
     codes_h, scales_h = quantize_rows(emb)
     codes = jnp.take(codes_h, perm, axis=0)
     scales = jnp.take(scales_h, perm, axis=0)
-    del codes_h, scales_h
+    del codes_h, scales_h, perm_live
     for a in (emb16, codes, scales, perm):
         a.block_until_ready()
     log(f"corpus ready in {time.time() - t0:.1f}s")
@@ -133,14 +137,14 @@ def main() -> None:
     def fused_bf16(params, ids, emb16, perm, emb32, valid):
         q = _encode(params, ids)
         _, cand = candidate_topk(emb16, q, valid, k=fetch,
-                                 perm=perm)                  # [B, fetch]
+                                 perm=perm, prefix=True)     # [B, fetch]
         return _rerank(emb32, q, cand, valid)
 
     @jax.jit
     def fused_int8(params, ids, codes, scales, perm, emb32, valid):
         q = _encode(params, ids)
         _, cand = candidate_topk_int8(codes, scales, q, valid, k=fetch,
-                                      perm=perm)
+                                      perm=perm, prefix=True)
         return _rerank(emb32, q, cand, valid)
 
     @jax.jit

@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--fetch", type=int, default=256)
     ap.add_argument("--prec", default="default",
                     choices=("default", "high", "highest"))
+    ap.add_argument("--layout", default="prefix",
+                    choices=("prefix", "perm"),
+                    help="mirror arrangement: live-prefix (the "
+                         "single-device serving default; iota liveness, "
+                         "VQT_CAND_ORIENT picks the matmul orientation) "
+                         "or the fixed full-capacity permutation the "
+                         "corpus meshes use")
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
     only = set(s for s in args.stages.split(",") if s)
@@ -85,8 +92,15 @@ def main() -> None:
     key = jax.random.PRNGKey(0)
     emb = jax.random.normal(key, (n_pad, 512), jnp.float32)
     emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
-    perm = jax.random.permutation(jax.random.PRNGKey(7),
-                                  n_pad).astype(jnp.int32)
+    prefix = args.layout == "prefix"
+    if prefix:
+        perm = jnp.concatenate([
+            jax.random.permutation(jax.random.PRNGKey(7),
+                                   args.rows).astype(jnp.int32),
+            jnp.arange(args.rows, n_pad, dtype=jnp.int32)])
+    else:
+        perm = jax.random.permutation(jax.random.PRNGKey(7),
+                                      n_pad).astype(jnp.int32)
     emb16 = jnp.take(emb, perm, axis=0).astype(jnp.bfloat16)
     codes_h, scales_h = quantize_rows(emb)
     codes = jnp.take(codes_h, perm, axis=0)
@@ -157,21 +171,24 @@ def main() -> None:
 
         def full16(ids, p, e16, pm, e32):
             q = _encode(ids, p).astype(jnp.float32)
-            _, cand = candidate_topk(e16, q, valid, k=fetch, perm=pm)
+            _, cand = candidate_topk(e16, q, valid, k=fetch, perm=pm,
+                                     prefix=prefix)
             return chk(_rerank(q, cand, e32))
 
         def full8(ids, p, c, s, pm, e32):
             q = _encode(ids, p).astype(jnp.float32)
-            _, cand = candidate_topk_int8(c, s, q, valid, k=fetch, perm=pm)
+            _, cand = candidate_topk_int8(c, s, q, valid, k=fetch,
+                                          perm=pm, prefix=prefix)
             return chk(_rerank(q, cand, e32))
 
         stages = [
             ("encode", reg(lambda ids, p: _encode(ids, p).sum(),
                            (params,)), seqs),
             ("scan-bf16", reg(lambda q, e, pm: chk(candidate_topk(
-                e, q, valid, k=fetch, perm=pm)), (emb16, perm)), qs),
+                e, q, valid, k=fetch, perm=pm, prefix=prefix)),
+                (emb16, perm)), qs),
             ("scan-int8", reg(lambda q, c, s, pm: chk(candidate_topk_int8(
-                c, s, q, valid, k=fetch, perm=pm)),
+                c, s, q, valid, k=fetch, perm=pm, prefix=prefix)),
                 (codes, scales, perm)), qs),
             ("rerank", reg(lambda qc, e32: chk(_rerank(qc[0], qc[1], e32)),
                            (emb,)), list(zip(qs, cands))),

@@ -123,16 +123,50 @@ def main() -> None:
     topk_mod.FUSED_MIN_B = 1
     try:
         for mode in ("bfloat16", "int8"):
-            assert big[mode]._mirror_permuted(), mode
+            assert big[mode]._mirror_layout() == "prefix", mode
             got1 = big[mode].search(qb[0], k=10)        # fused B=1
+            assert big[mode]._mirror_layout_cur == "prefix", mode
             assert [r["frame_id"] for r in got1] == \
                 [r["frame_id"] for r in want1], (mode, got1, want1)
             gotb = big[mode].search_batch(qb, k=10)     # fused batched
             for wr, gr in zip(wantb, gotb):
                 assert [r["frame_id"] for r in wr] == \
                     [r["frame_id"] for r in gr], (mode, gr, wr)
-            print(f"[smoke] fused {mode} candidate scan (permuted "
+            print(f"[smoke] fused {mode} candidate scan (live-prefix "
                   f"mirror, B=1 + batched) == exact f32 @ {n_big} rows")
+
+        # prefix-kernel ORIENTATIONS (col is the serving default; row is
+        # the fallback) + the fixed-perm kernels the corpus meshes run —
+        # all four against the same exact oracle
+        for orient in ("col", "row"):
+            os.environ["VQT_CAND_ORIENT"] = orient
+            try:
+                for mode in ("bfloat16", "int8"):
+                    big[mode]._fused_jits.clear()
+                    gotb = big[mode].search_batch(qb, k=10)
+                    for wr, gr in zip(wantb, gotb):
+                        assert [r["frame_id"] for r in wr] == \
+                            [r["frame_id"] for r in gr], (mode, orient)
+                print(f"[smoke] prefix kernels orient={orient} == exact")
+            finally:
+                del os.environ["VQT_CAND_ORIENT"]
+        from video_quierer_tpu.ops.topk import (candidate_topk,
+                                                candidate_topk_int8)
+        import jax.numpy as _jnp
+        perm16 = big["bfloat16"]._perm_arg()
+        _, cidx = candidate_topk(big["bfloat16"]._device_emb,
+                                 _jnp.asarray(qb), n_big, k=256,
+                                 perm=perm16, prefix=False)
+        perm8 = big["int8"]._perm_arg()
+        _, cidx8 = candidate_topk_int8(big["int8"]._device_emb,
+                                       big["int8"]._device_scales,
+                                       _jnp.asarray(qb), n_big, k=256,
+                                       perm=perm8, prefix=False)
+        for b_i, wr in enumerate(wantb):
+            exact_ids = {r["frame_id"] for r in wr}
+            assert exact_ids <= set(np.asarray(cidx)[b_i].tolist()), b_i
+            assert exact_ids <= set(np.asarray(cidx8)[b_i].tolist()), b_i
+        print("[smoke] fixed-perm kernels (mesh layout) cover exact top-k")
 
         # int8 bf16-upcast contract variant (VQT_INT8_MXU=upcast)
         os.environ["VQT_INT8_MXU"] = "upcast"

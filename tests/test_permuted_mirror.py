@@ -99,7 +99,7 @@ def test_identity_layout_would_miss(rng, fused_interpret, monkeypatch):
     for idx in (f32, b16):
         idx.add_batch(corpus, "a.mp4",
                       [float(t) for t in range(len(corpus))])
-    assert not b16._mirror_perm
+    assert b16._mirror_layout_cur == "id"
     missed = 0
     for c in range(0, 100, 17):
         q = corpus[c * 160] + 1e-4 * rng.standard_normal(512).astype(
@@ -189,13 +189,13 @@ def test_candidate_mode_switch_relays_mirror(rng, fused_interpret,
     q = corpus[300] + 1e-2 * rng.standard_normal(512).astype(np.float32)
     want = [r["frame_id"] for r in f32.search(q, k=6)]
     assert [r["frame_id"] for r in b16.search(q, k=6)] == want
-    assert b16._mirror_perm
+    assert b16._mirror_layout_cur == "prefix"
     monkeypatch.setenv("VQT_CANDIDATE_TOPK", "pallas")
     assert [r["frame_id"] for r in b16.search(q, k=6)] == want
-    assert not b16._mirror_perm
+    assert b16._mirror_layout_cur == "id"
     monkeypatch.delenv("VQT_CANDIDATE_TOPK")
     assert [r["frame_id"] for r in b16.search(q, k=6)] == want
-    assert b16._mirror_perm
+    assert b16._mirror_layout_cur == "prefix"
 
 
 def test_sharded_fused_candidate_stage(rng, fused_interpret, monkeypatch):

@@ -247,16 +247,29 @@ class DeviceVideoIndex:
         self._device_rows = 0      # rows synced to device
         self._device_cap = 0       # capacity of the device mirror
         # Mirror permutation (bf16/int8 candidate modes): mirror row p
-        # holds host row _perm[p]. Fixed pseudo-random per capacity, so
-        # ADJACENT host rows (near-duplicate frames of one video — the
-        # corpora this product indexes) scatter across the candidate
-        # stage's per-bucket selection ranges; see ops/topk.py candidate
-        # overview for the recall math. _inv_perm maps host row → mirror
-        # position (appends scatter through it).
+        # holds host row _perm[p], so ADJACENT host rows (near-duplicate
+        # frames of one video — the corpora this product indexes)
+        # scatter across the candidate stage's per-bucket selection
+        # ranges; see ops/topk.py candidate overview for the recall
+        # math. Two arrangements:
+        #
+        # - "prefix" (single device): live rows fill mirror positions
+        #   [0, count) in uniformly-shuffled order, maintained by
+        #   incremental Fisher–Yates on append (_extend_perm_to). The
+        #   kernels then need NO perm operand — liveness is position <
+        #   count — which drops 4 B/row of scan traffic and unlocks the
+        #   col-major matmul orientation (ops/topk.py prefix kernels).
+        # - "perm" (corpus mesh): fixed full-capacity permutation, so
+        #   live rows spread uniformly across shards at any fill level.
+        #
+        # _inv_perm maps host row → mirror position (appends scatter
+        # through it).
         self._perm: Optional[np.ndarray] = None
         self._inv_perm: Optional[np.ndarray] = None
+        self._perm_rows = 0            # prefix: host rows covered
+        self._fy_rng: Optional[np.random.Generator] = None
         self._perm_dev: Optional[jax.Array] = None
-        self._mirror_perm = False  # layout of the CURRENT device mirror
+        self._mirror_layout_cur = "id"  # layout of the CURRENT mirror
         # identity-layout f32 row store for the fused device re-rank
         # (quantized modes with device_rerank active)
         self._device_f32: Optional[jax.Array] = None
@@ -402,6 +415,14 @@ class DeviceVideoIndex:
         ``pos == capacity`` (out of range) and are dropped."""
         return dev.at[pos].set(rows, mode="drop")
 
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _scatter_vec(dev: jax.Array, vals: jax.Array, pos: jax.Array
+                     ) -> jax.Array:
+        """1-D twin of :meth:`_scatter_rows` (the perm column, int8 row
+        scales)."""
+        return dev.at[pos].set(vals, mode="drop")
+
     def _mirror_permuted(self) -> bool:
         """Whether the device mirror should live under the row
         permutation: the bf16/int8 candidate modes, except under the
@@ -411,15 +432,28 @@ class DeviceVideoIndex:
         return (self.device_dtype != "float32"
                 and _candidate_mode() != "pallas")
 
+    def _mirror_layout(self) -> str:
+        """Target mirror layout: ``"id"`` (f32 / exact-candidate escape
+        hatch), ``"prefix"`` (single-device quantized — live-prefix
+        arrangement, iota liveness in-kernel), ``"perm"`` (corpus mesh —
+        fixed full-capacity permutation so shards stay balanced at any
+        fill level)."""
+        if not self._mirror_permuted():
+            return "id"
+        return "perm" if self.mesh is not None else "prefix"
+
     def _require_perm(self, cap: int) -> None:
-        """(Re)build the permutation for the current capacity and make
-        sure its device column is placed (sharded like the rows on a
-        corpus mesh)."""
-        if self._perm is None or self._perm.shape[0] != cap:
+        """(Re)build the fixed full-capacity permutation ("perm" layout,
+        corpus meshes) and make sure its device column is placed (sharded
+        like the rows)."""
+        if self._perm is None or self._perm.shape[0] != cap \
+                or self._perm_rows:
             rng = np.random.default_rng(0xC0FFEE + cap)
             self._perm = rng.permutation(cap).astype(np.int32)
             self._inv_perm = np.empty(cap, np.int32)
             self._inv_perm[self._perm] = np.arange(cap, dtype=np.int32)
+            self._perm_rows = 0
+            self._fy_rng = None
             self._perm_dev = None
         if self._perm_dev is None:
             arr = jnp.asarray(self._perm)
@@ -428,10 +462,61 @@ class DeviceVideoIndex:
                 arr = shard_corpus_vec(arr, self.mesh)
             self._perm_dev = arr
 
+    def _extend_perm_to(self, count: int, cap: int
+                        ) -> Optional[np.ndarray]:
+        """Maintain the live-PREFIX arrangement up to ``count`` host rows.
+
+        Incremental Fisher–Yates insertion: extending a uniform random
+        arrangement of ``m`` rows by one new row = pick ``j ≤ m``
+        uniformly, move the occupant of position ``j`` to position ``m``,
+        put the new row at ``j`` — so the prefix stays uniformly shuffled
+        after every append batch without touching the other rows.
+
+        Returns the (unique, sorted) mirror positions whose content
+        changed — at most ``2·n_new`` — or ``None`` when the arrangement
+        was rebuilt from scratch (capacity change, compaction, first
+        build: vectorized ``rng.permutation``; callers must re-place the
+        whole mirror, which those events force anyway)."""
+        if (self._perm is None or self._perm.shape[0] != cap
+                or self._perm_rows > count or self._fy_rng is None):
+            rng = np.random.default_rng(0xC0FFEE ^ cap)
+            perm = np.arange(cap, dtype=np.int32)
+            perm[:count] = rng.permutation(count).astype(np.int32)
+            inv = np.empty(cap, np.int32)
+            inv[perm] = np.arange(cap, dtype=np.int32)
+            self._perm, self._inv_perm = perm, inv
+            self._perm_rows = count
+            self._fy_rng = rng
+            self._perm_dev = None
+            return None
+        if count == self._perm_rows:
+            return np.empty(0, np.int32)
+        lo, hi = self._perm_rows, count
+        perm, inv = self._perm, self._inv_perm
+        js = self._fy_rng.integers(0, np.arange(lo, hi) + 1)
+        changed = []
+        for i in range(hi - lo):
+            m = lo + i   # prefix size before this insert == new host row
+            j = int(js[i])
+            if j != m:
+                disp = int(perm[j])
+                perm[m] = disp
+                inv[disp] = m
+                perm[j] = m
+                inv[m] = j
+                changed.append(j)
+            else:
+                perm[m] = m
+                inv[m] = m
+            changed.append(m)
+        self._perm_rows = count
+        return np.unique(np.asarray(changed, np.int32))
+
     def _perm_arg(self) -> Optional[jax.Array]:
         """The perm operand for the candidate scans — None for an
         identity-layout mirror."""
-        return self._perm_dev if self._mirror_perm else None
+        return (self._perm_dev
+                if self._mirror_layout_cur in ("perm", "prefix") else None)
 
     # append sizes are bucketed so _update_rows compiles a handful of
     # shapes instead of one per batch size
@@ -449,25 +534,71 @@ class DeviceVideoIndex:
             self._sync_device_int8_locked()
 
     def _sync_device_int8_locked(self) -> None:
-        """int8 mirror: host-side per-row quantization, full refresh on
-        change (codes are 1/4 the bytes of f32, so even a full upload is
-        cheaper than one f32 incremental pass at scale). Stored under the
-        row permutation in the candidate modes (see _reset_storage)."""
+        """int8 mirror: host-side per-row quantization. Full refresh on
+        capacity/compaction/layout change; under the live-prefix layout
+        small append batches scatter only the ≤2·n changed positions
+        (codes + scales + perm column), so per-upload syncs don't re-ship
+        the whole 1-byte/element mirror."""
         cap = self._emb.shape[0]
-        permuted = self._mirror_permuted()
-        if self._device_emb is not None and self._device_cap == cap \
-                and self._device_rows == self._count \
-                and self._mirror_perm == permuted:
+        layout = self._mirror_layout()
+        clean = (self._device_emb is not None and self._device_cap == cap
+                 and self._device_rows == self._count
+                 and self._mirror_layout_cur == layout)
+        if clean:
+            return
+        changed: Optional[np.ndarray] = None
+        if layout == "prefix":
+            if (self._device_emb is not None and self._device_cap == cap
+                    and self._mirror_layout_cur == layout
+                    and 0 <= self._count - self._device_rows
+                    <= self._UPDATE_BUCKETS[-1]):
+                changed = self._extend_perm_to(self._count, cap)
+            else:
+                self._perm = None       # force the vectorized rebuild
+                self._extend_perm_to(self._count, cap)
+        elif layout == "perm":
+            self._require_perm(cap)
+        if changed is not None and self._perm_dev is not None:
+            # incremental prefix append: quantize + scatter the changed
+            # positions only (padded to a bucketed shape)
+            n = changed.shape[0]
+            bucket = next(b for b in self._UPDATE_BUCKETS + (
+                2 * self._UPDATE_BUCKETS[-1],) if n <= b)
+            pos = np.full(bucket, cap, np.int32)
+            pos[:n] = changed
+            rows = np.zeros((bucket, self.dim), np.float32)
+            rows[:n] = self._emb[self._perm[changed]]
+            absmax = np.abs(rows).max(axis=-1, keepdims=True)
+            scales = (absmax / 127.0).astype(np.float32)
+            safe = np.where(scales > 0, scales, 1.0)
+            codes = np.clip(np.round(rows / safe), -127,
+                            127).astype(np.int8)
+            pvals = np.full(bucket, cap, np.int32)
+            pvals[:n] = self._perm[changed]
+            pos_dev = jnp.asarray(pos)
+            self._device_emb = self._scatter_rows(
+                self._device_emb, jnp.asarray(codes), pos_dev)
+            self._device_scales = self._scatter_rows(
+                self._device_scales, jnp.asarray(scales), pos_dev)
+            self._perm_dev = self._scatter_vec(
+                self._perm_dev, jnp.asarray(pvals), pos_dev)
+            self._device_rows = self._count
             return
         live = self._emb
         absmax = np.abs(live).max(axis=-1, keepdims=True)
         scales = (absmax / 127.0).astype(np.float32)
         safe = np.where(scales > 0, scales, 1.0)
         codes = np.clip(np.round(live / safe), -127, 127).astype(np.int8)
-        if permuted:
-            self._require_perm(cap)
+        if layout != "id":
             codes = codes[self._perm]
             scales = scales[self._perm]
+            if self._perm_dev is None:
+                arr = jnp.asarray(self._perm)
+                if self.mesh is not None:
+                    from video_quierer_tpu.index.sharded import (
+                        shard_corpus_vec)
+                    arr = shard_corpus_vec(arr, self.mesh)
+                self._perm_dev = arr
         if self.mesh is not None:
             from video_quierer_tpu.index.sharded import shard_corpus
             self._device_emb = shard_corpus(jnp.asarray(codes), self.mesh)
@@ -478,7 +609,7 @@ class DeviceVideoIndex:
             self._device_scales = jnp.asarray(scales)
         self._device_cap = cap
         self._device_rows = self._count
-        self._mirror_perm = permuted
+        self._mirror_layout_cur = layout
 
     def _sync_device(self) -> jax.Array:
         with self._sync_lock:
@@ -489,37 +620,66 @@ class DeviceVideoIndex:
         dtype = jnp.bfloat16 if self.device_dtype == "bfloat16" \
             else jnp.float32
         cap = self._emb.shape[0]
-        permuted = self._mirror_permuted()
-        if permuted:
+        layout = self._mirror_layout()
+        if layout == "perm":
             self._require_perm(cap)
 
-        def host_matrix():
-            return self._emb[self._perm] if permuted else self._emb
+        def full_place():
+            if layout == "prefix":
+                self._perm = None        # vectorized arrangement rebuild
+                self._extend_perm_to(self._count, cap)
+            mat = self._emb[self._perm] if layout != "id" else self._emb
+            self._device_emb = self._place(mat, dtype)
+            if layout == "prefix":
+                self._perm_dev = jnp.asarray(self._perm)
 
         if self._device_emb is None or self._device_cap != cap \
                 or self._device_rows > self._count \
-                or self._mirror_perm != permuted:
+                or self._mirror_layout_cur != layout:
             # capacity change, compaction, or layout change → full upload
-            self._device_emb = self._place(host_matrix(), dtype)
+            full_place()
             self._device_cap = cap
             self._device_rows = self._count
-            self._mirror_perm = permuted
+            self._mirror_layout_cur = layout
         elif self._device_rows < self._count:
             lo, hi = self._device_rows, self._count
             n = hi - lo
             bucket = next((b for b in self._UPDATE_BUCKETS if n <= b),
                           None)
             if bucket is None or self.mesh is not None \
-                    or (not permuted and lo + bucket > cap):
+                    or (layout == "id" and lo + bucket > cap):
                 # oversized batch, sharded mirror (updates would
                 # reshuffle anyway), or capacity edge → full re-place
-                self._device_emb = self._place(host_matrix(), dtype)
+                full_place()
+            elif layout == "prefix":
+                # Fisher–Yates extension: scatter the ≤2·n changed
+                # positions (new rows at their draw positions + the rows
+                # they displaced to the prefix end) and the perm column
+                changed = self._extend_perm_to(self._count, cap)
+                if changed is None or self._perm_dev is None:
+                    full_place()
+                else:
+                    m = changed.shape[0]
+                    b2 = next(b for b in self._UPDATE_BUCKETS + (
+                        2 * self._UPDATE_BUCKETS[-1],) if m <= b)
+                    pos = np.full(b2, cap, np.int32)
+                    pos[:m] = changed
+                    rows = np.zeros((b2, self.dim), self._emb.dtype)
+                    rows[:m] = self._emb[self._perm[changed]]
+                    pvals = np.full(b2, cap, np.int32)
+                    pvals[:m] = self._perm[changed]
+                    pos_dev = jnp.asarray(pos)
+                    self._device_emb = self._scatter_rows(
+                        self._device_emb, jnp.asarray(rows, dtype),
+                        pos_dev)
+                    self._perm_dev = self._scatter_vec(
+                        self._perm_dev, jnp.asarray(pvals), pos_dev)
             else:
                 # pad the update to the bucket; padding entries are
                 # harmless (masked contiguous rows / dropped scatter)
                 rows = np.zeros((bucket, self.dim), self._emb.dtype)
                 rows[:n] = self._emb[lo:hi]
-                if permuted:
+                if layout == "perm":
                     pos = np.full(bucket, cap, np.int32)
                     pos[:n] = self._inv_perm[lo:hi]
                     self._device_emb = self._scatter_rows(
@@ -645,8 +805,10 @@ class DeviceVideoIndex:
                               perm=self._perm_arg() if bf16 else None)
         elif bf16:
             from video_quierer_tpu.ops.topk import candidate_topk
-            vals, idxs = candidate_topk(emb, jnp.asarray(q), self._count,
-                                        k=k_dev, perm=self._perm_arg())
+            vals, idxs = candidate_topk(
+                emb, jnp.asarray(q), self._count, k=k_dev,
+                perm=self._perm_arg(),
+                prefix=self._mirror_layout_cur == "prefix")
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count,
                                      k=k_dev)
@@ -729,13 +891,14 @@ class DeviceVideoIndex:
         if dev_rr:
             operands = operands + (self._sync_device_f32(),)
         from video_quierer_tpu.ops.topk import _candidate_mode
+        layout = self._mirror_layout_cur
         key = (id(encode_fn), k_dev, self.device_dtype,
-               _candidate_mode() if rerank else None, perm is not None,
+               _candidate_mode() if rerank else None, layout,
                k if dev_rr else None)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
-                scan = self._fused_scan_fn(perm is not None)
+                scan = self._fused_scan_fn(layout)
 
                 def fused(params, ids_dev, *ops_valid, k=k_dev,
                           k_out=k, dev_rr=dev_rr):
@@ -760,14 +923,18 @@ class DeviceVideoIndex:
                                             np.asarray(idxs), k)
         return lambda: self._rows_from(np.asarray(vals), np.asarray(idxs))
 
-    def _fused_scan_fn(self, permuted: bool):
+    def _fused_scan_fn(self, layout: str):
         """Scan callable ``(operands, q, valid, k) -> (vals, idxs)`` for
         the fused executable, resolved once per (dtype, mesh, candidate
         impl, mirror layout) — the single place the fused path picks its
-        kernel. With ``permuted`` the perm column rides as the LAST
-        operand."""
+        kernel. Under a permuted layout ("perm"/"prefix") the perm
+        column rides as the LAST operand; "prefix" additionally routes
+        the candidate stage to the live-prefix kernels (iota liveness,
+        col-major orientation — ops/topk.py)."""
         int8 = self.device_dtype == "int8"
         bf16 = self.device_dtype == "bfloat16"
+        permuted = layout in ("perm", "prefix")
+        prefix = layout == "prefix"
         n_data = 2 if int8 else 1
 
         def split(ops):
@@ -804,12 +971,13 @@ class DeviceVideoIndex:
             def fn(ops, q, valid, k):
                 data, perm = split(ops)
                 return candidate_topk_int8(data[0], data[1], q, valid,
-                                           k=k, perm=perm)
+                                           k=k, perm=perm, prefix=prefix)
             return fn
         if bf16:
             def fn(ops, q, valid, k):
                 data, perm = split(ops)
-                return candidate_topk(data[0], q, valid, k=k, perm=perm)
+                return candidate_topk(data[0], q, valid, k=k, perm=perm,
+                                      prefix=prefix)
             return fn
         return lambda ops, q, valid, k: cosine_topk(ops[0], q, valid, k=k)
 
@@ -839,10 +1007,10 @@ class DeviceVideoIndex:
                 impl=self._candidate_impl(), perm=self._perm_arg())
         else:
             from video_quierer_tpu.ops.topk import candidate_topk_int8
-            _, idxs = candidate_topk_int8(self._device_emb,
-                                          self._device_scales,
-                                          jnp.asarray(q), self._count,
-                                          k=fetch, perm=self._perm_arg())
+            _, idxs = candidate_topk_int8(
+                self._device_emb, self._device_scales, jnp.asarray(q),
+                self._count, k=fetch, perm=self._perm_arg(),
+                prefix=self._mirror_layout_cur == "prefix")
         return self._rerank_f32(q, np.asarray(idxs), k)
 
     def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int

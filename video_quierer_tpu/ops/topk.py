@@ -560,13 +560,16 @@ _IMAX = 2**31 - 1
 
 
 def _approx_topk_from_scores(scores: jax.Array, valid_count: jax.Array,
-                             *, k: int, recall: float, perm=None
+                             *, k: int, recall: float, perm=None,
+                             prefix: bool = False
                              ) -> Tuple[jax.Array, jax.Array]:
     """Mask capacity padding, hardware ApproxTopK, pad short results —
     the shared tail of both approx scans. With ``perm`` (mirror row →
     host row) validity masks on the host index and the returned indices
-    are translated to host rows."""
-    if perm is None:
+    are translated to host rows; under the live-PREFIX layout
+    (``prefix=True``) liveness is positional and ``perm`` is only the
+    output translation."""
+    if perm is None or prefix:
         rows = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(rows < valid_count, scores, NEG_INF)
     else:
@@ -583,10 +586,11 @@ def _approx_topk_from_scores(scores: jax.Array, valid_count: jax.Array,
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "recall"))
+@functools.partial(jax.jit, static_argnames=("k", "recall", "prefix"))
 def _approx_scan(emb: jax.Array, queries: jax.Array,
                  valid_count: jax.Array, *, k: int, recall: float,
-                 perm=None) -> Tuple[jax.Array, jax.Array]:
+                 perm=None, prefix: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
     # contract queries[B, D] with emb[N, D] on D without materializing a
     # transpose; f32 accumulation regardless of the mirror dtype
     scores = jax.lax.dot_general(
@@ -594,14 +598,16 @@ def _approx_scan(emb: jax.Array, queries: jax.Array,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [B, N]
     return _approx_topk_from_scores(scores, valid_count, k=k,
-                                    recall=recall, perm=perm)
+                                    recall=recall, perm=perm,
+                                    prefix=prefix)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "recall", "native"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "recall", "native", "prefix"))
 def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
                       queries: jax.Array, valid_count: jax.Array,
                       *, k: int, recall: float, perm=None,
-                      native: bool = False
+                      native: bool = False, prefix: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     if native:
         # native int8 MXU contract (VQT_INT8_MXU=native, the default):
@@ -627,7 +633,8 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
             preferred_element_type=jnp.float32)  # [B, N]
         scores = scores * scales[:, 0][None, :]
     return _approx_topk_from_scores(scores, valid_count, k=k,
-                                    recall=recall, perm=perm)
+                                    recall=recall, perm=perm,
+                                    prefix=prefix)
 
 
 # ---------------------------------------------------------------------------
@@ -818,6 +825,158 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
                         vals_ref, idxs_ref, rounds=rounds, bucket=bucket)
 
 
+# --------------------------------------------------------------------------
+# Live-PREFIX mirror kernels
+# --------------------------------------------------------------------------
+#
+# When the mirror's live rows occupy a shuffled PREFIX of the device
+# buffer (DeviceVideoIndex's single-device layout: incremental
+# Fisher–Yates appends keep mirror positions [0, count) a uniform random
+# permutation of the host rows), liveness is ``position < valid_count``
+# — pure iota, no perm column read in-kernel. That removes 4 B/row of
+# HBM traffic AND unblocks the col-major ``[blk, B]`` matmul
+# orientation, which the row-major form measured ~6% (bf16) / ~11%
+# (int8) slower at B=256 but previously required a ``[blk, 1]``
+# perm block that lane-pads to 2 MB of VMEM (ROADMAP round-3 probe).
+# The perm column still exists — ``_merge_tail`` translates winner
+# positions to host rows OUTSIDE the kernel, exactly as before.
+#
+# Orientation knob: "col" scores blocks as ``emb[blk,D] @ qt[D,B]``
+# (selection reduces over sublanes), "row" keeps the query-major
+# ``[B, blk]`` form of the perm kernels. Col-major selection implements
+# the "packb" key scheme only; other VQT_CAND_SELECT values force "row".
+def _cand_orient() -> str:
+    mode = _os.environ.get("VQT_CAND_ORIENT", "col")
+    return mode if _cand_select() == "packb" else "row"
+
+
+def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
+                        rounds: int, bucket: int):
+    """Block-major twin of :func:`_bucket_select_rows` (packb keys only).
+
+    ``sc [blk, B]`` f32 raw block scores; liveness = global mirror
+    position (``base`` + row) < ``valid`` — the live-prefix layout's
+    contract. Buckets are contiguous ``bucket``-SUBLANE ranges; winners
+    assemble into ``[rounds·nb, B]`` vals + global mirror positions.
+    Reductions run over the sublane axis with a size-1 keepdims result
+    (``[1, B]``), broadcast back over offset-0 — the forms the hardware
+    Mosaic lowering accepts (validated in benchmarks/tpu_smoke.py).
+    """
+    blk, b = sc.shape
+    nb = blk // bucket
+    w = rounds * nb
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    vals = jnp.full((w, b), NEG_INF, jnp.float32)
+    idxs = jnp.full((w, b), jnp.int32(_IMAX), jnp.int32)
+    pbits = max((bucket - 1).bit_length(), 1)
+    lowmask = (1 << pbits) - 1
+    live = (jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
+            + base) < valid
+    keys = jnp.where(
+        live,
+        jax.lax.bitcast_convert_type(sc + jnp.float32(_KEY_BIAS),
+                                     jnp.int32),
+        jnp.int32(0))                                    # [blk, B] i32
+    for j in range(nb):                                  # static, small
+        kj = keys[j * bucket:(j + 1) * bucket, :]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (bucket, b), 0)
+        kj = (kj & jnp.int32(~lowmask)) + (jnp.int32(lowmask) - pos)
+        for r in range(rounds):
+            wk = jnp.max(kj, axis=0, keepdims=True)      # [1, B]
+            p = jnp.int32(lowmask) - (wk & jnp.int32(lowmask))
+            vb = wk & jnp.int32(~lowmask)
+            v = jnp.where(
+                vb == 0, NEG_INF,
+                jax.lax.bitcast_convert_type(vb, jnp.float32)
+                - jnp.float32(_KEY_BIAS))
+            sel = row_ids == (r * nb + j)
+            vals = jnp.where(sel, v, vals)
+            idxs = jnp.where(sel, base + j * bucket + p, idxs)
+            if r + 1 < rounds:
+                kj = jnp.where(kj == wk, jnp.int32(-2**31), kj)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
+
+
+def _cand_kernel_prefix(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref,
+                        *, rounds: int, bucket: int, orient: str):
+    """Fused candidate step over a live-prefix mirror (f32/bf16): no
+    perm operand — liveness is position iota vs the valid count."""
+    valid = valid_ref[0]
+    blk = emb_ref.shape[0]
+    base = pl.program_id(0) * blk
+    precision = (_SCAN_PRECISION_F32
+                 if emb_ref.dtype == jnp.float32 else None)
+    if orient == "col":
+        sc = jax.lax.dot_general(
+            emb_ref[:], qt_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                        # [blk, B]
+        _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+    else:
+        sc = jax.lax.dot_general(
+            qt_ref[:], emb_ref[:],
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)                        # [B, blk]
+        live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+                + base) < valid
+        _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+
+
+def _cand_kernel_int8_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
+                             qscale_ref, vals_ref, idxs_ref, *,
+                             rounds: int, bucket: int, native: bool,
+                             orient: str):
+    """Int8 live-prefix candidate step. Col orientation takes the row
+    scales as a ``[blk, 1]`` block (lane-padded — ~1 MB VMEM per 2048
+    rows; the layout the perm column could not afford, but the scales
+    are the ONLY per-row operand left) and the query scales lane-major
+    ``[1, B]``; row orientation keeps the perm kernels' layouts."""
+    valid = valid_ref[0]
+    blk = emb_ref.shape[0]
+    base = pl.program_id(0) * blk
+    if orient == "col":
+        row_scale = scales_ref[0]                       # [blk, 1]
+        if native:
+            raw = jax.lax.dot_general(
+                emb_ref[:], qt_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)       # [blk, B] i32
+            sc = raw.astype(jnp.float32) * row_scale * qscale_ref[:]
+        else:
+            raw = jax.lax.dot_general(
+                emb_ref[:].astype(jnp.bfloat16),
+                qt_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc = raw * row_scale
+        _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+    else:
+        row_scale = scales_ref[0]                       # [1, blk]
+        if native:
+            raw = jax.lax.dot_general(
+                qt_ref[:], emb_ref[:],
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)       # [B, blk] i32
+            sc = raw.astype(jnp.float32) * row_scale * qscale_ref[:]
+        else:
+            raw = jax.lax.dot_general(
+                qt_ref[:].astype(jnp.bfloat16),
+                emb_ref[:].astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            sc = raw * row_scale
+        live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+                + base) < valid
+        _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+
+
 def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
                 *, fetch: int) -> Tuple[jax.Array, jax.Array]:
     """Merge per-block bucket winners ``[n_blocks, B, w]`` to the global
@@ -838,6 +997,23 @@ def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
     n_blocks, b, w = bvals.shape
     cand_vals = bvals.reshape(n_blocks, b * w).T.reshape(b, w * n_blocks)
     cand_idxs = bidxs.reshape(n_blocks, b * w).T.reshape(b, w * n_blocks)
+    return _merge_tail(cand_vals, cand_idxs, perm, fetch=fetch)
+
+
+def _cand_merge_cols(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
+                     *, fetch: int) -> Tuple[jax.Array, jax.Array]:
+    """:func:`_cand_merge` for block-major winner blocks ``[n_blocks, w,
+    B]`` (the col-major kernels): one free reshape + one clean 2D
+    transpose lands query-major directly."""
+    n_blocks, w, b = bvals.shape
+    cand_vals = bvals.reshape(n_blocks * w, b).T
+    cand_idxs = bidxs.reshape(n_blocks * w, b).T
+    return _merge_tail(cand_vals, cand_idxs, perm, fetch=fetch)
+
+
+def _merge_tail(cand_vals: jax.Array, cand_idxs: jax.Array,
+                perm: jax.Array, *, fetch: int
+                ) -> Tuple[jax.Array, jax.Array]:
     k_eff = min(fetch, cand_vals.shape[1])
     vals, pos = jax.lax.approx_max_k(cand_vals, k_eff,
                                      recall_target=0.999)
@@ -984,6 +1160,140 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
     return _cand_merge(bvals, bidxs, perm, fetch=fetch)
 
 
+def _prefix_out(orient: str, n_blocks: int, b: int, w: int):
+    """Out shapes + specs for the prefix kernels: block-major
+    ``[n_blocks, w, B]`` under "col", query-major ``[n_blocks, B, w]``
+    under "row"."""
+    dims = (w, b) if orient == "col" else (b, w)
+    shapes = [jax.ShapeDtypeStruct((n_blocks,) + dims, jnp.float32),
+              jax.ShapeDtypeStruct((n_blocks,) + dims, jnp.int32)]
+    specs = [pl.BlockSpec((1,) + dims, lambda i, *_: (i, 0, 0),
+                          memory_space=pltpu.VMEM) for _ in range(2)]
+    return shapes, specs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fetch", "rounds", "bucket", "orient",
+                                    "interpret"))
+def _pallas_cand_scan_prefix(emb: jax.Array, perm: jax.Array,
+                             queries: jax.Array, valid_count: jax.Array,
+                             *, fetch: int, rounds: int, bucket: int,
+                             orient: str, interpret: bool = False
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """Fused candidate scan over a live-PREFIX mirror (f32/bf16): the
+    kernel reads only the matrix block and the query panel — dead-row
+    masking is iota vs ``valid_count``; ``perm`` is used OUTSIDE the
+    kernel to translate winner positions to host rows."""
+    n_pad, d = emb.shape
+    b = queries.shape[0]
+    qt = queries.astype(emb.dtype).T  # [D, B]
+    n_blocks = n_pad // CAND_BLOCK_ROWS
+    w = rounds * (CAND_BLOCK_ROWS // bucket)
+    out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
+    bvals, bidxs = pl.pallas_call(
+        functools.partial(_cand_kernel_prefix, rounds=rounds,
+                          bucket=bucket, orient=orient),
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((CAND_BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * d * emb.dtype.itemsize
+            + d * b * 4 + 2 * n_blocks * b * w * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), emb, qt)
+    merge = _cand_merge_cols if orient == "col" else _cand_merge
+    return merge(bvals, bidxs, perm, fetch=fetch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fetch", "rounds", "bucket", "native",
+                                    "orient", "interpret"))
+def _pallas_cand_scan_int8_prefix(codes: jax.Array, scales: jax.Array,
+                                  perm: jax.Array, queries: jax.Array,
+                                  valid_count: jax.Array, *, fetch: int,
+                                  rounds: int, bucket: int, native: bool,
+                                  orient: str, interpret: bool = False
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Int8 twin of :func:`_pallas_cand_scan_prefix`. The row scales are
+    the one per-row operand left in-kernel: ``[1, 1, blk]`` lane-major
+    blocks under "row", ``[1, blk, 1]`` sublane-major (lane-padded, ~1 MB
+    VMEM per 2048 rows) under "col"."""
+    n_pad, d = codes.shape
+    b = queries.shape[0]
+    n_blocks = n_pad // CAND_BLOCK_ROWS
+    w = rounds * (CAND_BLOCK_ROWS // bucket)
+    if native:
+        qabs = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = (qabs / 127.0).astype(jnp.float32)
+        qsafe = jnp.where(qscale > 0, qscale, 1.0)
+        qt = jnp.clip(jnp.round(queries / qsafe), -127,
+                      127).astype(jnp.int8).T            # [D, B]
+        qs = qscale                                      # [B, 1]
+    else:
+        qt = queries.astype(jnp.bfloat16).T
+        qs = jnp.ones((b, 1), jnp.float32)
+    if orient == "col":
+        scales_op = scales[:, 0].reshape(n_blocks, CAND_BLOCK_ROWS, 1)
+        scales_spec = pl.BlockSpec((1, CAND_BLOCK_ROWS, 1),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        qs_op = qs.T                                     # [1, B]
+        qs_spec = pl.BlockSpec((1, b), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        scales_op = scales[:, 0].reshape(n_blocks, 1, CAND_BLOCK_ROWS)
+        scales_spec = pl.BlockSpec((1, 1, CAND_BLOCK_ROWS),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        qs_op = qs                                       # [B, 1]
+        qs_spec = pl.BlockSpec((b, 1), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
+    bvals, bidxs = pl.pallas_call(
+        functools.partial(_cand_kernel_int8_prefix, rounds=rounds,
+                          bucket=bucket, native=native, orient=orient),
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((CAND_BLOCK_ROWS, d), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                scales_spec,
+                pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                qs_spec,
+            ],
+            out_specs=out_specs,
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * (d + 4) + d * b
+            + 2 * n_blocks * b * w * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), codes, scales_op, qt, qs_op)
+    merge = _cand_merge_cols if orient == "col" else _cand_merge
+    return merge(bvals, bidxs, perm, fetch=fetch)
+
+
 def _int8_native() -> bool:
     return _os.environ.get("VQT_INT8_MXU", "native") == "native"
 
@@ -1037,51 +1347,66 @@ def _chunked_stage(stage, queries: jax.Array
 
 
 def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
-                    *, k: int, perm=None) -> Tuple[jax.Array, jax.Array]:
+                    *, k: int, perm=None, prefix: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
     """Local bf16/f32 candidate scan — fused kernel when usable, approx
     otherwise (``VQT_CANDIDATE_TOPK=approx`` forces the latter). No
     exact fallback, no 1-D squeeze: the building block shared by the
     single-device dispatch and the per-shard sharded scans. Batches
     wider than ``CAND_MAX_B`` are chunked (each chunk re-decides
     fused-vs-approx, so a narrow tail chunk simply takes the approx
-    path)."""
+    path). ``prefix=True`` asserts the live-PREFIX mirror layout
+    (liveness = position < valid_count; ``perm`` translates only)."""
     if queries.shape[0] > _cand_max_b():
         return _chunked_stage(
-            lambda q: candidate_stage(emb, q, valid_count, k=k, perm=perm),
+            lambda q: candidate_stage(emb, q, valid_count, k=k, perm=perm,
+                                      prefix=prefix),
             queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
             and _fused_usable(emb.shape[0], k, queries.shape[0]):
         if perm is None:
             perm = jnp.arange(emb.shape[0], dtype=jnp.int32)
+        if prefix:
+            return _pallas_cand_scan_prefix(
+                emb, perm, queries, valid_count, fetch=k,
+                rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+                orient=_cand_orient(), interpret=pallas == "interpret")
         return _pallas_cand_scan(emb, perm, queries, valid_count, fetch=k,
                                  rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
                                  interpret=pallas == "interpret")
     return _approx_scan(emb, queries, valid_count, k=k,
-                        recall=_approx_recall(), perm=perm)
+                        recall=_approx_recall(), perm=perm, prefix=prefix)
 
 
 def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
                          queries: jax.Array, valid_count, *, k: int,
-                         perm=None) -> Tuple[jax.Array, jax.Array]:
+                         perm=None, prefix: bool = False
+                         ) -> Tuple[jax.Array, jax.Array]:
     """Int8 twin of :func:`candidate_stage`."""
     if queries.shape[0] > _cand_max_b():
         return _chunked_stage(
             lambda q: candidate_stage_int8(codes, scales, q, valid_count,
-                                           k=k, perm=perm),
+                                           k=k, perm=perm, prefix=prefix),
             queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
             and _fused_usable(codes.shape[0], k, queries.shape[0]):
         if perm is None:
             perm = jnp.arange(codes.shape[0], dtype=jnp.int32)
+        if prefix:
+            return _pallas_cand_scan_int8_prefix(
+                codes, scales, perm, queries, valid_count, fetch=k,
+                rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+                native=_int8_native(), orient=_cand_orient(),
+                interpret=pallas == "interpret")
         return _pallas_cand_scan_int8(
             codes, scales, perm, queries, valid_count, fetch=k,
             rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
             native=_int8_native(), interpret=pallas == "interpret")
     return _approx_scan_int8(codes, scales, queries, valid_count, k=k,
                              recall=_approx_recall(), perm=perm,
-                             native=_int8_native())
+                             native=_int8_native(), prefix=prefix)
 
 
 def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
@@ -1102,28 +1427,33 @@ def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
 
 
 def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
-                   k: int, perm=None) -> Tuple[jax.Array, jax.Array]:
+                   k: int, perm=None, prefix: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the bf16 candidate stage: :func:`cosine_topk` interface,
     but scores/order only feed the caller's exact f32 re-rank, and ``k``
     may exceed MAX_K (deep fetch, up to APPROX_FETCH_CAP). ``perm`` is
     the mirror's row permutation (mirror row → host row); indices are
-    returned in HOST row space. The ``pallas`` exact fallback requires
-    an identity-layout mirror (perm=None)."""
+    returned in HOST row space. ``prefix=True`` = live-prefix layout
+    (mirror positions [0, valid) live, perm translates only). The
+    ``pallas`` exact fallback requires an identity-layout mirror
+    (perm=None)."""
     return _candidate_dispatch(
         lambda kk: cosine_topk(emb, queries, valid_count, k=kk),
-        lambda q, v, p: candidate_stage(emb, q, v, k=k, perm=p),
+        lambda q, v, p: candidate_stage(emb, q, v, k=k, perm=p,
+                                        prefix=prefix),
         queries, valid_count, k, perm)
 
 
 def candidate_topk_int8(emb_i8: jax.Array, scales: jax.Array,
                         queries: jax.Array, valid_count, *, k: int,
-                        perm=None) -> Tuple[jax.Array, jax.Array]:
+                        perm=None, prefix: bool = False
+                        ) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the int8 candidate stage (see :func:`candidate_topk`)."""
     return _candidate_dispatch(
         lambda kk: cosine_topk_int8(emb_i8, scales, queries, valid_count,
                                     k=kk),
         lambda q, v, p: candidate_stage_int8(emb_i8, scales, q, v, k=k,
-                                             perm=p),
+                                             perm=p, prefix=prefix),
         queries, valid_count, k, perm)
 
 
