@@ -62,9 +62,13 @@ def main() -> None:
                          "VQT_CAND_ORIENT picks the matmul orientation) "
                          "or the fixed full-capacity permutation the "
                          "corpus meshes use")
+    ap.add_argument("--orients", default="col",
+                    help="comma list of prefix-kernel orientations to "
+                         "sweep for the scan/full stages (col,row)")
     args = ap.parse_args()
     widths = [int(w) for w in args.widths.split(",")]
     only = set(s for s in args.stages.split(",") if s)
+    orients = [o for o in args.orients.split(",") if o]
 
     import numpy as np
     import jax
@@ -181,24 +185,30 @@ def main() -> None:
                                           perm=pm, prefix=prefix)
             return chk(_rerank(q, cand, e32))
 
+        # builders, not built fns: orientation is read from the env at
+        # TRACE time, so each measured orient needs a fresh jit
         stages = [
-            ("encode", reg(lambda ids, p: _encode(ids, p).sum(),
-                           (params,)), seqs),
-            ("scan-bf16", reg(lambda q, e, pm: chk(candidate_topk(
+            ("encode", lambda: reg(lambda ids, p: _encode(ids, p).sum(),
+                                   (params,)), seqs),
+            ("scan-bf16", lambda: reg(lambda q, e, pm: chk(candidate_topk(
                 e, q, valid, k=fetch, perm=pm, prefix=prefix)),
                 (emb16, perm)), qs),
-            ("scan-int8", reg(lambda q, c, s, pm: chk(candidate_topk_int8(
-                c, s, q, valid, k=fetch, perm=pm, prefix=prefix)),
+            ("scan-int8", lambda: reg(
+                lambda q, c, s, pm: chk(candidate_topk_int8(
+                    c, s, q, valid, k=fetch, perm=pm, prefix=prefix)),
                 (codes, scales, perm)), qs),
-            ("rerank", reg(lambda qc, e32: chk(_rerank(qc[0], qc[1], e32)),
-                           (emb,)), list(zip(qs, cands))),
-            ("full-bf16", reg(full16, (params, emb16, perm, emb)), seqs),
-            ("full-int8", reg(full8, (params, codes, scales, perm, emb)),
+            ("rerank", lambda: reg(
+                lambda qc, e32: chk(_rerank(qc[0], qc[1], e32)),
+                (emb,)), list(zip(qs, cands))),
+            ("full-bf16", lambda: reg(full16, (params, emb16, perm, emb)),
+             seqs),
+            ("full-int8", lambda: reg(full8,
+                                      (params, codes, scales, perm, emb)),
              seqs),
         ]
-        for name, fn, inputs in stages:
-            if only and name not in only:
-                continue
+        import os as _os
+
+        def time_stage(name, fn, inputs):
             t0 = time.time()
             _ = float(fn(inputs[0]))
             log(f"[{width}] {name}: compiled in {time.time() - t0:.0f}s")
@@ -217,6 +227,21 @@ def main() -> None:
                     f"({ms_b / width * 1000:.1f} us/q) "
                     f"[chk {checksum:.1f}]")
             rows_table.append((width, name, ms_b))
+
+        for name, build, inputs in stages:
+            if only and name not in only:
+                continue
+            orient_dep = prefix and (name.startswith("scan-")
+                                     or name.startswith("full-"))
+            for orient in (orients if orient_dep else orients[:1]):
+                if orient_dep:
+                    _os.environ["VQT_CAND_ORIENT"] = orient
+                try:
+                    tag = f"{name}@{orient}" if orient_dep \
+                        and len(orients) > 1 else name
+                    time_stage(tag, build(), inputs)
+                finally:
+                    _os.environ.pop("VQT_CAND_ORIENT", None)
 
     print("width stage ms/batch us/query")
     for width, name, ms_b in rows_table:

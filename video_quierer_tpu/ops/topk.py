@@ -843,10 +843,17 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
 #
 # Orientation knob: "col" scores blocks as ``emb[blk,D] @ qt[D,B]``
 # (selection reduces over sublanes), "row" keeps the query-major
-# ``[B, blk]`` form of the perm kernels. Col-major selection implements
-# the "packb" key scheme only; other VQT_CAND_SELECT values force "row".
-def _cand_orient() -> str:
-    mode = _os.environ.get("VQT_CAND_ORIENT", "col")
+# ``[B, blk]`` form of the perm kernels. Measured (v5e, 2M×512, B=256,
+# decomp_bench 2026-08-18): bf16 col 5.05 vs row 5.50 ms/batch — but
+# int8 col 6.55 vs row 4.70, because the int8 kernel's per-row scale
+# multiply needs the scales as a lane-padded ``[blk, 1]`` operand whose
+# lane-splat relayout costs more than the matmul orientation saves. So
+# the default is per-dtype: col for bf16/f32 (no per-row operand left),
+# row for int8. Col-major selection implements the "packb" key scheme
+# only; other VQT_CAND_SELECT values force "row".
+def _cand_orient(int8: bool = False) -> str:
+    default = "row" if int8 else "col"
+    mode = _os.environ.get("VQT_CAND_ORIENT", default)
     return mode if _cand_select() == "packb" else "row"
 
 
@@ -1398,7 +1405,7 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
             return _pallas_cand_scan_int8_prefix(
                 codes, scales, perm, queries, valid_count, fetch=k,
                 rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
-                native=_int8_native(), orient=_cand_orient(),
+                native=_int8_native(), orient=_cand_orient(int8=True),
                 interpret=pallas == "interpret")
         return _pallas_cand_scan_int8(
             codes, scales, perm, queries, valid_count, fetch=k,
