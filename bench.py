@@ -70,7 +70,7 @@ def main() -> None:
     gran = math.lcm(BLOCK_ROWS, CAND_BLOCK_ROWS)
     n_pad = -(-n_rows // gran) * gran
     k = 10
-    fetch = max(256, 4 * k)     # index approx-candidate over-fetch rule
+    fetch = max(128, 4 * k)     # index candidate over-fetch rule
     queries = 64
     coalesce = 64       # the coalescer's default width
     coalesce_batches = 8

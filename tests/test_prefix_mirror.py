@@ -182,3 +182,21 @@ def test_mesh_keeps_fixed_perm_layout(rng):
     mesh = corpus_mesh()
     idx = DeviceVideoIndex(device_dtype="bfloat16", mesh=mesh)
     assert idx._mirror_layout() == "perm"
+
+
+def test_tiny_live_count_never_returns_short_results(rng, fused_interpret,
+                                                     monkeypatch):
+    """A prefix mirror concentrates live rows in the FIRST buckets, so
+    on a small-count/large-capacity index the fused kernel's live winner
+    list (rounds·ceil(count/bucket)) can be smaller than k — the gate
+    (ops/topk.py:prefix_fused_ok) must route such dispatches to the
+    approx scan so results are never short of min(k, count)."""
+    from video_quierer_tpu.ops.topk import prefix_fused_ok
+    assert not prefix_fused_ok(100, 128)        # 2 winners < 100
+    assert prefix_fused_ok(100 * topk_mod.CAND_BUCKET, 128)
+    corpus = _rows(rng, 100)
+    idx = DeviceVideoIndex(device_dtype="bfloat16")
+    idx.add_batch(corpus, "a.mp4", [float(t) for t in range(100)])
+    got = idx.search(corpus[7], k=10)
+    assert len(got) == 10
+    assert got[0]["frame_id"] == 7

@@ -110,7 +110,7 @@ class IndexConfig:
     # overview; index/device_index.py). The residual contract boundary
     # is dtype RESOLUTION: rows tied within ~0.4% (bf16) / ~0.8% (int8)
     # of each other are candidate-ranked arbitrarily, so if MORE than
-    # the fetch depth (default 256) tie that closely, the returned set
+    # the fetch depth (default 128) tie that closely, the returned set
     # can differ from f32 mode inside that tie band. "float32" = exact
     # scan outright (byte-exact reference ordering); "int8" =
     # quarter-traffic, same contract as bf16.

@@ -808,7 +808,8 @@ class DeviceVideoIndex:
             vals, idxs = candidate_topk(
                 emb, jnp.asarray(q), self._count, k=k_dev,
                 perm=self._perm_arg(),
-                prefix=self._mirror_layout_cur == "prefix")
+                prefix=self._mirror_layout_cur == "prefix",
+                live=self._count)
         else:
             vals, idxs = cosine_topk(emb, jnp.asarray(q), self._count,
                                      k=k_dev)
@@ -890,15 +891,21 @@ class DeviceVideoIndex:
         dev_rr = rerank and self._device_rerank_active()
         if dev_rr:
             operands = operands + (self._sync_device_f32(),)
-        from video_quierer_tpu.ops.topk import _candidate_mode
+        from video_quierer_tpu.ops.topk import (_candidate_mode,
+                                                prefix_fused_ok)
         layout = self._mirror_layout_cur
+        # prefix mirrors route tiny-live-count corpora to the approx
+        # scan (ops/topk.py:prefix_fused_ok); the bit is part of the
+        # executable key so growing/shrinking across the bar re-keys
+        fused_ok = layout != "prefix" or prefix_fused_ok(self._count,
+                                                         k_dev)
         key = (id(encode_fn), k_dev, self.device_dtype,
                _candidate_mode() if rerank else None, layout,
-               k if dev_rr else None)
+               k if dev_rr else None, fused_ok)
         with self._sync_lock:
             fn = self._fused_jits.get(key)
             if fn is None:
-                scan = self._fused_scan_fn(layout)
+                scan = self._fused_scan_fn(layout, live=self._count)
 
                 def fused(params, ids_dev, *ops_valid, k=k_dev,
                           k_out=k, dev_rr=dev_rr):
@@ -923,7 +930,7 @@ class DeviceVideoIndex:
                                             np.asarray(idxs), k)
         return lambda: self._rows_from(np.asarray(vals), np.asarray(idxs))
 
-    def _fused_scan_fn(self, layout: str):
+    def _fused_scan_fn(self, layout: str, live: int = None):
         """Scan callable ``(operands, q, valid, k) -> (vals, idxs)`` for
         the fused executable, resolved once per (dtype, mesh, candidate
         impl, mirror layout) — the single place the fused path picks its
@@ -971,13 +978,14 @@ class DeviceVideoIndex:
             def fn(ops, q, valid, k):
                 data, perm = split(ops)
                 return candidate_topk_int8(data[0], data[1], q, valid,
-                                           k=k, perm=perm, prefix=prefix)
+                                           k=k, perm=perm, prefix=prefix,
+                                           live=live)
             return fn
         if bf16:
             def fn(ops, q, valid, k):
                 data, perm = split(ops)
                 return candidate_topk(data[0], q, valid, k=k, perm=perm,
-                                      prefix=prefix)
+                                      prefix=prefix, live=live)
             return fn
         return lambda ops, q, valid, k: cosine_topk(ops[0], q, valid, k=k)
 
@@ -1010,7 +1018,8 @@ class DeviceVideoIndex:
             _, idxs = candidate_topk_int8(
                 self._device_emb, self._device_scales, jnp.asarray(q),
                 self._count, k=fetch, perm=self._perm_arg(),
-                prefix=self._mirror_layout_cur == "prefix")
+                prefix=self._mirror_layout_cur == "prefix",
+                live=self._count)
         return self._rerank_f32(q, np.asarray(idxs), k)
 
     def _rerank_f32(self, q: np.ndarray, idxs: np.ndarray, k: int

@@ -505,20 +505,22 @@ def _approx_recall() -> float:
     return float(_os.environ.get("VQT_APPROX_RECALL", "0.99"))
 
 
-# Candidate depth for the approx stage. ApproxTopK's hardware partial
-# reduce takes per-BUCKET maxima over contiguous index ranges — on
-# corpora where similar rows are adjacent (video frames; clustered
-# data), true top-k items collide in one bucket and are lost at shallow
-# fetch. Measured on a 100×2000-row clustered corpus (v5e, engine
-# recall@10 vs the f32 mode): 0.980 at fetch=40 → 0.995 at fetch=256
-# with target 0.99 → 1.000 with target 0.999 (+~2 ms/q at 2M rows;
-# VQT_APPROX_RECALL=0.999 for recall-certain deployments, or
-# VQT_CANDIDATE_TOPK=pallas for exact candidates). The residual 0.995
-# losses are index-ADJACENT near-ties — for frame corpora, same-video
-# near-duplicates of results that are kept. Deep fetch is nearly free
-# (same matmul; the exact f32 re-rank of 256 rows is microseconds), and
-# the dtype quantization itself loses nothing even at fetch=40 —
-# verified vs a NumPy oracle.
+# Candidate depth (over-fetch) for the re-ranked quantized modes.
+# History: before the permuted mirror, bucketed selection over
+# contiguous index ranges lost index-ADJACENT near-ties at shallow
+# fetch (measured round 2 on a 100×2000-row clustered corpus: engine
+# recall@10 0.980 at fetch=40 → 0.995 at fetch=256), which is why the
+# default went deep. With the mirror permutation the adjacency failure
+# mode is structural history; what fetch depth still buys is headroom
+# against rows tied within the mirror dtype's RESOLUTION (~4e-3 bf16 /
+# ~8e-3 int8), whose candidate ranking is arbitrary inside the tie
+# band. The default is 128 (≥ 12× k at the reference k≤10): the
+# re-rank gather is the cost that scales with fetch — measured v5e
+# 2M×512 B=256 (decomp_bench 2026-08-18): 1.95 ms/batch at fetch 256 →
+# 1.18 at 128 → 1.10 at 96 — and clustered-corpus engine recall@10 is
+# 1.000 at fetch=128 on the same hardware (recall_bench, 2M rows, 64
+# queries). VQT_RERANK_FETCH raises it for corpora with >100-deep
+# exact ties; VQT_CANDIDATE_TOPK=pallas gives exact candidates.
 APPROX_FETCH_CAP = 1024
 
 
@@ -526,7 +528,7 @@ def _approx_fetch(k: int) -> int:
     # clamped to >= k so an operator-set VQT_RERANK_FETCH below the
     # requested k can never shrink the result set
     return max(k, int(_os.environ.get("VQT_RERANK_FETCH",
-                                      str(max(256, 4 * k)))))
+                                      str(max(128, 4 * k)))))
 
 
 # Rows per in-kernel selection bucket for the fused candidate scan, and
@@ -1329,6 +1331,24 @@ def _fused_usable(n_pad: int, fetch: int, b: int) -> bool:
     return (n_pad // CAND_BUCKET) * CAND_ROUNDS >= fetch
 
 
+def prefix_fused_ok(live: int, fetch: int) -> bool:
+    """Live-count gate for the fused kernel over a live-PREFIX mirror.
+
+    Under the prefix arrangement every live row sits in the first
+    ``ceil(live / bucket)`` buckets, so the kernel emits exactly
+    ``rounds · ceil(live / bucket)`` live candidates — a small corpus in
+    a large capacity (e.g. after mass deletion) could return FEWER
+    candidates than the caller's k. The fixed-perm mesh layout doesn't
+    share the failure mode (live rows spread over all buckets), so only
+    prefix callers consult this; below the bar the approx scan serves
+    (cheap at these sizes). Callers snapshot it per dispatch — crossing
+    the bar later re-keys the fused executable."""
+    if live <= 0:
+        return True
+    winners = CAND_ROUNDS * -(-live // CAND_BUCKET)
+    return winners >= min(fetch, live)
+
+
 # Widest query batch one fused-kernel launch takes. The row-major
 # [B, blk] score surface plus its packed-key twin must fit VMEM next to
 # the double-buffered matrix block: B=256 at CAND_BLOCK_ROWS=4096
@@ -1354,7 +1374,8 @@ def _chunked_stage(stage, queries: jax.Array
 
 
 def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
-                    *, k: int, perm=None, prefix: bool = False
+                    *, k: int, perm=None, prefix: bool = False,
+                    live: int = None
                     ) -> Tuple[jax.Array, jax.Array]:
     """Local bf16/f32 candidate scan — fused kernel when usable, approx
     otherwise (``VQT_CANDIDATE_TOPK=approx`` forces the latter). No
@@ -1367,11 +1388,12 @@ def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
     if queries.shape[0] > _cand_max_b():
         return _chunked_stage(
             lambda q: candidate_stage(emb, q, valid_count, k=k, perm=perm,
-                                      prefix=prefix),
+                                      prefix=prefix, live=live),
             queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
-            and _fused_usable(emb.shape[0], k, queries.shape[0]):
+            and _fused_usable(emb.shape[0], k, queries.shape[0]) \
+            and (not prefix or live is None or prefix_fused_ok(live, k)):
         if perm is None:
             perm = jnp.arange(emb.shape[0], dtype=jnp.int32)
         if prefix:
@@ -1388,17 +1410,20 @@ def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
 
 def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
                          queries: jax.Array, valid_count, *, k: int,
-                         perm=None, prefix: bool = False
+                         perm=None, prefix: bool = False,
+                         live: int = None
                          ) -> Tuple[jax.Array, jax.Array]:
     """Int8 twin of :func:`candidate_stage`."""
     if queries.shape[0] > _cand_max_b():
         return _chunked_stage(
             lambda q: candidate_stage_int8(codes, scales, q, valid_count,
-                                           k=k, perm=perm, prefix=prefix),
+                                           k=k, perm=perm, prefix=prefix,
+                                           live=live),
             queries)
     pallas = _pallas_mode()
     if _candidate_mode() != "approx" and pallas != "off" \
-            and _fused_usable(codes.shape[0], k, queries.shape[0]):
+            and _fused_usable(codes.shape[0], k, queries.shape[0]) \
+            and (not prefix or live is None or prefix_fused_ok(live, k)):
         if perm is None:
             perm = jnp.arange(codes.shape[0], dtype=jnp.int32)
         if prefix:
@@ -1434,8 +1459,8 @@ def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
 
 
 def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
-                   k: int, perm=None, prefix: bool = False
-                   ) -> Tuple[jax.Array, jax.Array]:
+                   k: int, perm=None, prefix: bool = False,
+                   live: int = None) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the bf16 candidate stage: :func:`cosine_topk` interface,
     but scores/order only feed the caller's exact f32 re-rank, and ``k``
     may exceed MAX_K (deep fetch, up to APPROX_FETCH_CAP). ``perm`` is
@@ -1447,20 +1472,21 @@ def candidate_topk(emb: jax.Array, queries: jax.Array, valid_count, *,
     return _candidate_dispatch(
         lambda kk: cosine_topk(emb, queries, valid_count, k=kk),
         lambda q, v, p: candidate_stage(emb, q, v, k=k, perm=p,
-                                        prefix=prefix),
+                                        prefix=prefix, live=live),
         queries, valid_count, k, perm)
 
 
 def candidate_topk_int8(emb_i8: jax.Array, scales: jax.Array,
                         queries: jax.Array, valid_count, *, k: int,
-                        perm=None, prefix: bool = False
-                        ) -> Tuple[jax.Array, jax.Array]:
+                        perm=None, prefix: bool = False,
+                        live: int = None) -> Tuple[jax.Array, jax.Array]:
     """Top-k for the int8 candidate stage (see :func:`candidate_topk`)."""
     return _candidate_dispatch(
         lambda kk: cosine_topk_int8(emb_i8, scales, queries, valid_count,
                                     k=kk),
         lambda q, v, p: candidate_stage_int8(emb_i8, scales, q, v, k=k,
-                                             perm=p, prefix=prefix),
+                                             perm=p, prefix=prefix,
+                                             live=live),
         queries, valid_count, k, perm)
 
 
