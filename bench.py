@@ -8,7 +8,8 @@ videos x 200 frames at 'high' sampling) resident in HBM — pipelined over
 many requests, the way a loaded server runs.
 
 Serving mode measured = the engine's quality-default: bf16 device mirror
-stored under the index's row PERMUTATION, fused Pallas candidate scan
+in the index's live-PREFIX arrangement (shuffled live rows, iota
+liveness), fused Pallas candidate scan
 (in-VMEM per-bucket selection — no [B, N] score matrix;
 ops/topk.py:candidate_topk) plus an exact f32 re-rank of the deep-fetch
 candidates, so returned scores/ranks are f32-true (DeviceVideoIndex
@@ -245,7 +246,7 @@ def main() -> None:
         "metric": "e2e_text_search_throughput_10kvideo_corpus",
         "value": round(best, 1),
         "unit": "searches/sec sustained (CLIP text encode + 2M-frame fused "
-                "candidate scan over the permuted mirror + exact f32 "
+                "candidate scan over the live-prefix mirror + exact f32 "
                 "re-rank per dispatch - f32-scored results; 1 chip, "
                 f"completion-forced; best mode: {mode}; per-query "
                 f"bf16 {bf16_ms:.2f} / int8 {i8_ms:.2f} ms pipelined, "
