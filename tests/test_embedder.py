@@ -82,8 +82,11 @@ def test_trim_bucket_rules():
 
     ids = np.zeros((2, 77), np.int64)
     ids[:, 0] = 5
-    ids[0, 7] = 999  # EOT at col 7 → bucket 16
+    ids[0, 7] = 999  # EOT at col 7 → bucket 8 (short-query bucket)
     ids[1, 3] = 999
+    assert trim_text_ids(ids).shape == (2, 8)
+    # argmax takes the FIRST max, so the later EOT needs a higher id
+    ids[0, 12] = 1000  # EOT at col 12 → bucket 16
     assert trim_text_ids(ids).shape == (2, 16)
     ids[1, 30] = 1000  # EOT at col 30 → bucket 32
     assert trim_text_ids(ids).shape == (2, 32)
