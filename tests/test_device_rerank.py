@@ -149,3 +149,29 @@ def test_search_videos_device_path_matches_host(dtype, monkeypatch, rng):
         # orders — 1e-5 is the repo-wide f32 parity tolerance
         np.testing.assert_allclose([r["score"] for r in got],
                                    [r["score"] for r in want], rtol=1e-5)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_cache_reload_resets_f32_store(dtype, monkeypatch, rng):
+    """Reloading a cache with the SAME row count must not leave the
+    device f32 re-rank store serving the OLD rows — the incremental-sync
+    checks alone can't tell the difference (row count and capacity are
+    unchanged), and the fused device re-rank is the path that reads the
+    store (plain search re-ranks on host). Without the reset this test
+    fails with stale scores."""
+    monkeypatch.setenv("VQT_DEVICE_RERANK", "on")
+    params, encode_fn = _toy_encoder()
+    ids = rng.integers(0, 100, (8, 8)).astype(np.int32)
+    a = _filled_index(np.random.default_rng(7), device_dtype=dtype,
+                      device_rerank="on")
+    b = _filled_index(np.random.default_rng(99), device_dtype=dtype,
+                      device_rerank="on")
+    assert a._device_rerank_active()
+    _ = a.search_batch_fused(encode_fn, params, ids, k=4)  # builds store
+    want = b.search_batch_fused(encode_fn, params, ids, k=4)
+    a.load_cache_dict(b.to_cache_dict())
+    got = a.search_batch_fused(encode_fn, params, ids, k=4)
+    for w, g in zip(want, got):
+        assert [r["frame_id"] for r in g] == [r["frame_id"] for r in w]
+        np.testing.assert_allclose([r["score"] for r in g],
+                                   [r["score"] for r in w], rtol=1e-6)

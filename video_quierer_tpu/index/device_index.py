@@ -1230,6 +1230,14 @@ class DeviceVideoIndex:
         self._device_scales = None
         self._device_rows = 0
         self._device_cap = 0
+        # the f32 re-rank store and the permutation must reset too: a
+        # reloaded cache with the SAME row count would otherwise pass
+        # the incremental-sync checks and serve stale rows
+        self._device_f32 = None
+        self._f32_rows = 0
+        self._f32_cap = 0
+        self._perm = None
+        self._perm_dev = None
         self._rebuild_video_stats()
 
     def _rebuild_video_stats(self) -> None:
