@@ -32,6 +32,11 @@ from video_quierer_tpu.models.clip.tokenizer import (
     TokenizerBase,
     load_tokenizer,
 )
+from video_quierer_tpu.ops.fused_layer import (
+    fused_seq_eligible,
+    fused_text_encode,
+    fused_text_tower_eligible,
+)
 from video_quierer_tpu.ops.preprocess import normalize_images
 
 logger = logging.getLogger(__name__)
@@ -173,6 +178,13 @@ class CLIPEmbedder:
             self._txt_sharding = None
             self._data_axis_size = 1
 
+        # fused-layer text tower (ops/fused_layer.py): one pallas_call
+        # per encoder block instead of ~10 XLA kernels — the seq-
+        # independent per-op overhead floor was ~60% of the text encode
+        # at serving seq lengths. Static eligibility here; the 77-seq
+        # bucket falls back per call (fused_seq_eligible).
+        self._fused_text = fused_text_tower_eligible(
+            self.cfg.text, dtype, mesh)
         self._encode_image_jit = jax.jit(self._encode_image_fn)
         self._encode_text_jit = jax.jit(self._encode_text_fn)
         # bound ONCE: callers key fused executables on this object's
@@ -195,6 +207,9 @@ class CLIPEmbedder:
                                 method=CLIP.encode_image)
 
     def _encode_text_fn(self, params, input_ids):
+        if self._fused_text and fused_seq_eligible(input_ids.shape[1]):
+            return fused_text_encode(params, input_ids, cfg=self.cfg,
+                                     dtype=self.model.dtype)
         return self.model.apply({"params": params}, input_ids,
                                 method=CLIP.encode_text)
 
