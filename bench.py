@@ -128,7 +128,19 @@ def main() -> None:
         vals, pos = jax.lax.top_k(exact, k)
         return vals, jnp.take_along_axis(cand, pos, axis=-1)
 
+    # engine-true text encode: CLIPEmbedder._encode_text_fn routes
+    # serving encodes through the fused-layer tower (one pallas_call per
+    # encoder block, ops/fused_layer.py) when the layer fits the VMEM
+    # weight budget and the seq bucket tiles sublanes; the bench applies
+    # the same routing (VQT_FUSED_LAYER=0 reverts to the flax tower)
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_seq_eligible, fused_text_encode, fused_text_tower_eligible)
+    _fused_text = fused_text_tower_eligible(cfg.text, jnp.bfloat16)
+
     def _encode(params, ids):
+        if _fused_text and fused_seq_eligible(ids.shape[1]):
+            return fused_text_encode(params, ids, cfg=cfg,
+                                     dtype=jnp.bfloat16)
         feats = model.apply({"params": params}, ids,
                             method=CLIP.encode_text)
         return feats / (jnp.linalg.norm(feats, axis=-1,

@@ -187,9 +187,24 @@ def main() -> None:
 
         # builders, not built fns: orientation is read from the env at
         # TRACE time, so each measured orient needs a fresh jit
+        from video_quierer_tpu.ops.fused_layer import (
+            fused_seq_eligible, fused_text_encode,
+            fused_text_tower_eligible)
+
+        def _encode_fused(ids, p):
+            return fused_text_encode(p, ids, cfg=cfg,
+                                     dtype=jnp.bfloat16).sum()
+
+        fused_ok = (fused_text_tower_eligible(cfg.text, jnp.bfloat16)
+                    and fused_seq_eligible(seqs[0].shape[-1]))
         stages = [
             ("encode", lambda: reg(lambda ids, p: _encode(ids, p).sum(),
                                    (params,)), seqs),
+            # the serving path (CLIPEmbedder._encode_text_fn) when the
+            # fused-layer tower is eligible (ops/fused_layer.py)
+            *([("encode-fused",
+                lambda: reg(_encode_fused, (params,)), seqs)]
+              if fused_ok else []),
             ("scan-bf16", lambda: reg(lambda q, e, pm: chk(candidate_topk(
                 e, q, valid, k=fetch, perm=pm, prefix=prefix)),
                 (emb16, perm)), qs),

@@ -20,6 +20,9 @@ whatever backend jax resolves, asserting cross-mode agreement:
   exact f32 scan
 - the fused single-block attention kernel (ops/attention.py) at every
   eligible tower shape vs the einsum oracle
+- the fused transformer-LAYER text tower (ops/fused_layer.py) at the
+  serving config (real B/32 tower, bf16, seq buckets 8/16/32) vs the
+  flax tower oracle
 
 Run it on the TPU after touching any Pallas kernel, BlockSpec, or
 device-path dispatch logic:
@@ -257,6 +260,39 @@ def main() -> None:
         # interpret-mode tests prove exact math identity
         np.testing.assert_allclose(got, want, rtol=1e-2, atol=5e-4)
         print(f"[smoke] fused attention {tag} == einsum oracle")
+
+    # fused transformer-LAYER text tower (ops/fused_layer.py) on real
+    # Mosaic: the serving config (real B/32 tower, bf16) at every
+    # eligible seq bucket vs the flax tower oracle
+    from video_quierer_tpu.models.clip.config import get_config
+    from video_quierer_tpu.models.clip.model import CLIP, init_params
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_seq_eligible, fused_text_encode, fused_text_tower_eligible)
+
+    cfg = get_config("openai/clip-vit-base-patch32")
+    assert fused_text_tower_eligible(cfg.text, jnp.bfloat16)
+    model = CLIP(cfg, dtype=jnp.bfloat16)
+    params = init_params(model, seed=0)
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+    for s in (8, 16, 32):
+        assert fused_seq_eligible(s)
+        ids = rng.integers(1, cfg.text.vocab_size - 2, size=(64, s))
+        eot = rng.integers(s // 2, s, size=64)
+        for i in range(64):
+            ids[i, eot[i]] = cfg.text.vocab_size - 1
+            ids[i, eot[i] + 1:] = 0
+        ids = jnp.asarray(ids.astype(np.int32))
+        ref = np.asarray(model.apply({"params": params}, ids,
+                                     method=CLIP.encode_text))
+        got = np.asarray(fused_text_encode(params, ids, cfg=cfg,
+                                           dtype=jnp.bfloat16))
+        assert not np.isnan(got).any()
+        cos = np.sum(got * ref, axis=-1)
+        assert cos.min() > 0.999, (s, cos.min())
+        print(f"[smoke] fused-layer text tower s={s} == flax tower "
+              f"(min cos {cos.min():.6f})")
 
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 

@@ -188,7 +188,11 @@ def _layer_kernel(x_ref, ln_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     h1 = jax.lax.dot_general(
         z, wfc1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + bfc1_ref[:]
-    h1 = h1 * jax.nn.sigmoid(1.702 * h1)
+    # quick-GELU x·σ(1.702x) written as an explicit exp: Mosaic's
+    # lax.logistic lowering broadcasts an f32 constant into a bf16
+    # vector and fails kernel verification on hardware (caught by
+    # tpu_smoke; interpreter mode accepts it)
+    h1 = h1 * (1.0 / (1.0 + jnp.exp(-1.702 * h1)))
     h2 = jax.lax.dot_general(
         h1, wfc2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + bfc2_ref[:]
