@@ -23,11 +23,16 @@ Design
   tokens — large enough that the five weight matmuls hit the MXU with
   full tiles, small enough that activations + weights fit VMEM. Weight
   BlockSpecs are grid-invariant, so Mosaic fetches them once per call.
-- token matmuls run on the merged ``[bt·S, D]`` token matrix (a free
-  leading-dim reshape); attention loops items via ``fori_loop`` over a
-  ``[bt, S, 3D]`` QKV scratch, with per-head lane slices and the same
-  f32-accumulate / bf16-fast-softmax contract as ops/attention.py
-  (unstabilized clamped-exp softmax in bf16; stabilized f32 otherwise).
+- ALL matmuls — projections and attention — run on the merged
+  ``[bt·S, D]`` token matrix (a free leading-dim reshape): attention is
+  one ``[t, hd]·[hd, t]`` logits matmul per head under an item-block
+  causal mask (S is a power of two, so item-of-token is a shift
+  compare), with the same f32-accumulate / bf16-fast-softmax contract
+  as ops/attention.py (unstabilized clamped-exp softmax in bf16;
+  stabilized f32 otherwise). Cross-item logits are masked redundancy —
+  cheap at serving seq buckets, and MXU-shaped matmuls beat the
+  loop-shaped alternative (a per-item ``fori_loop`` measured slower
+  than the unfused tower).
 - LayerNorm statistics are f32 (matching flax's ``_compute_stats``
   upcast); scale/bias apply in f32 then cast to the residual dtype.
 - causal masking only — like the unfused tower, key padding columns are
@@ -96,9 +101,11 @@ def fused_text_tower_eligible(cfg_text: Any, dtype, mesh=None) -> bool:
 
 
 def fused_seq_eligible(s: int) -> bool:
-    """Per-call shape gate: S must tile sublanes (embedder seq buckets
-    8/16/32 qualify; the full-77 bucket falls back to the flax tower)."""
-    return s % 8 == 0
+    """Per-call shape gate: S must tile sublanes AND be a power of two
+    so the kernel's item-block mask is a shift compare (embedder seq
+    buckets 8/16/32 qualify; the full-77 bucket falls back to the flax
+    tower)."""
+    return s % 8 == 0 and (s & (s - 1)) == 0
 
 
 def _batch_tile(b: int, s: int) -> int:
@@ -123,7 +130,7 @@ def _ln_f32(x2: jax.Array, scale: jax.Array, bias: jax.Array,
 
 def _layer_kernel(x_ref, ln_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
                   wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref,
-                  qkv_sc, attn_sc, *, heads: int, eps: float):
+                  *, heads: int, eps: float):
     """One grid step: a full encoder block over a ``[bt, S, D]`` tile."""
     bt, s, d = x_ref.shape
     t = bt * s
@@ -137,47 +144,49 @@ def _layer_kernel(x_ref, ln_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     qkv = jax.lax.dot_general(
         y, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + bqkv_ref[:]
-    qkv_sc[...] = qkv.reshape(bt, s, 3 * d)
 
-    # causal mask + head scale, shared across items/heads
-    row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    causal = row >= col
+    # Attention runs per HEAD over the whole merged [t, hd] token
+    # matrix — one [t, hd]·[hd, t] logits matmul per head with an
+    # item-block causal mask, instead of a fori_loop over items issuing
+    # bt·heads·3 tiny [S, hd]-shaped matmuls (a first version did that:
+    # 768 serial MXU ops per grid step measured SLOWER than the unfused
+    # tower, 4.50 vs 3.97 ms per 256-batch at s16). Cross-item score
+    # entries are redundant work the mask discards, but at serving seq
+    # buckets (8-32) the whole attention stage is ~17% of the layer's
+    # FLOPs even with the s/bt-fold redundancy — MXU-shaped beats
+    # loop-shaped. S is a power of two (fused_seq_eligible), so the
+    # item-of-token test is a shift compare.
+    shift = s.bit_length() - 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    live = ((row >> shift) == (col >> shift)) & (row >= col)
     scale = hd ** -0.5
-
-    def item(i, carry):
-        qkv_i = qkv_sc[i]                      # [S, 3D]
-        outs = []
-        for h in range(heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            logits = jax.lax.dot_general(
-                qkv_i[:, sl], qkv_i[:, d + h * hd: d + (h + 1) * hd],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = jnp.where(causal, logits, NEG_INF)
-            if fast:
-                # unstabilized clamped-exp bf16 softmax — the
-                # ops/attention.py serving contract
-                e = jnp.exp(jnp.minimum(logits, 60.0)
-                            .astype(jnp.bfloat16))
-                den = jnp.sum(e, axis=-1, keepdims=True)
-                w = e * (1.0 / den)
-            else:
-                m = jnp.max(logits, axis=-1, keepdims=True)
-                e = jnp.exp(logits - m)
-                den = jnp.sum(e, axis=-1, keepdims=True)
-                w = (e / den).astype(dtype)
-            outs.append(jax.lax.dot_general(
-                w, qkv_i[:, 2 * d + h * hd: 2 * d + (h + 1) * hd],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        attn_sc[i] = jnp.concatenate(outs, axis=-1)
-        return carry
-
-    jax.lax.fori_loop(0, bt, item, 0)
+    outs = []
+    for h in range(heads):
+        q_h = qkv[:, h * hd:(h + 1) * hd]
+        k_h = qkv[:, d + h * hd: d + (h + 1) * hd]
+        v_h = qkv[:, 2 * d + h * hd: 2 * d + (h + 1) * hd]
+        logits = jax.lax.dot_general(
+            q_h, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(live, logits, NEG_INF)
+        if fast:
+            # unstabilized clamped-exp bf16 softmax — the
+            # ops/attention.py serving contract (masked lanes -inf → 0)
+            e = jnp.exp(jnp.minimum(logits, 60.0).astype(jnp.bfloat16))
+            den = jnp.sum(e, axis=-1, keepdims=True)
+            w = e * (1.0 / den)
+        else:
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp(logits - m)
+            den = jnp.sum(e, axis=-1, keepdims=True)
+            w = (e / den).astype(dtype)
+        outs.append(jax.lax.dot_general(
+            w, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    attn = jnp.concatenate(outs, axis=-1)
 
     # out-projection + residual
-    attn = attn_sc[...].reshape(t, d)
     proj = jax.lax.dot_general(
         attn, wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) + bout_ref[:]
@@ -214,7 +223,7 @@ def _fused_layer_call(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2,
                             memory_space=pltpu.VMEM)
 
     t = bt * s
-    n_layers_flops = 2 * t * (4 * d * d + 2 * f * d) + 2 * heads * s * s * d
+    n_layers_flops = 2 * t * (4 * d * d + 2 * f * d) + 4 * t * t * d
     return pl.pallas_call(
         functools.partial(_layer_kernel, heads=heads, eps=eps),
         out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
@@ -228,16 +237,12 @@ def _fused_layer_call(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2,
             w_spec((f, d)), w_spec((1, d)),
         ],
         out_specs=x_spec,
-        scratch_shapes=[
-            pltpu.VMEM((bt, s, 3 * d), x.dtype),
-            pltpu.VMEM((bt, s, d), x.dtype),
-        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(b // bt) * n_layers_flops,
             bytes_accessed=2 * b * s * d * x.dtype.itemsize
             + (4 * d * d + 2 * f * d) * x.dtype.itemsize,
-            transcendentals=(b // bt) * t * (f + heads * s),
+            transcendentals=(b // bt) * t * (f + heads * t),
         ),
     )(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2, bfc2)
 
