@@ -134,11 +134,13 @@ def main() -> None:
     # weight budget and the seq bucket tiles sublanes; the bench applies
     # the same routing (VQT_FUSED_LAYER=0 reverts to the flax tower)
     from video_quierer_tpu.ops.fused_layer import (
-        fused_seq_eligible, fused_text_encode, fused_text_tower_eligible)
+        fused_batch_eligible, fused_seq_eligible, fused_text_encode,
+        fused_text_tower_eligible)
     _fused_text = fused_text_tower_eligible(cfg.text, jnp.bfloat16)
 
     def _encode(params, ids):
-        if _fused_text and fused_seq_eligible(ids.shape[1]):
+        if _fused_text and fused_seq_eligible(ids.shape[1]) \
+                and fused_batch_eligible(*ids.shape):
             return fused_text_encode(params, ids, cfg=cfg,
                                      dtype=jnp.bfloat16)
         feats = model.apply({"params": params}, ids,

@@ -41,9 +41,23 @@ def main() -> None:
     model = CLIP(cfg, dtype=dtype)
     params = init_params(model, seed=0)
 
+    # engine-true routing: CLIPEmbedder serves image encodes through the
+    # fused-layer vision tower (ops/fused_layer.py; split attn/MLP
+    # kernels for the 768-wide towers) when eligible — the bench applies
+    # the same rule (VQT_FUSED_LAYER=0 reverts to the flax tower)
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_batch_eligible, fused_vision_encode,
+        fused_vision_tower_eligible)
+    fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
+                and fused_batch_eligible(args.batch, cfg.vision.seq_len))
+    print(f"fused vision tower: {fused_ok}", file=sys.stderr)
+
     @jax.jit
     def forward(params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=dtype)
+        if fused_ok:
+            return fused_vision_encode(params, pixels, cfg=cfg,
+                                       dtype=dtype)
         return model.apply({"params": params}, pixels,
                            method=CLIP.encode_image)
 
@@ -71,13 +85,19 @@ def main() -> None:
     _ = float(sum(forward(params, steps[i]).sum()
                   for i in range(args.steps)))
 
-    t0 = time.time()
-    outs = [forward(params, steps[i]) for i in range(args.steps)]
-    # force completion of EVERY step with a value fetch —
-    # block_until_ready is not a reliable sync on the tunnel backend
-    checksum = float(sum(o.sum() for o in outs))
-    assert checksum == checksum  # not NaN
-    dt = time.time() - t0
+    # TWO timed loops, report the second: the first timed loop over a
+    # fresh executable reads 1.5-6x steady state even after a settle
+    # pass (CLAUDE.md)
+    for rep in (1, 2):
+        t0 = time.time()
+        outs = [forward(params, steps[i]) for i in range(args.steps)]
+        # force completion of EVERY step with a value fetch —
+        # block_until_ready is not a reliable sync on the tunnel backend
+        checksum = float(sum(o.sum() for o in outs))
+        assert checksum == checksum  # not NaN
+        dt = time.time() - t0
+        print(f"rep{rep}: {dt / args.steps * 1000:.1f} ms/batch",
+              file=sys.stderr)
     fps = args.batch * args.steps / dt
     gflop = {"b32": 4.36, "b16": 17.6, "l14": 80.7}[args.model]
     flops = 2 * gflop * 1e9 * args.batch * args.steps  # fwd GFLOP/image

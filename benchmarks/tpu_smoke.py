@@ -294,6 +294,25 @@ def main() -> None:
         print(f"[smoke] fused-layer text tower s={s} == flax tower "
               f"(min cos {cos.min():.6f})")
 
+    # fused-layer VISION tower (768-wide → split mode: attn + MLP
+    # halves as two pallas_calls per block) vs the flax tower
+    from video_quierer_tpu.ops.fused_layer import (
+        _layer_mode, fused_vision_encode, fused_vision_tower_eligible)
+    assert fused_vision_tower_eligible(cfg.vision, jnp.bfloat16)
+    assert _layer_mode(cfg.vision.hidden_size, cfg.vision.mlp_ratio,
+                       jnp.bfloat16) == "split"
+    pix = jnp.asarray(rng.standard_normal((32, 224, 224, 3))
+                      .astype(np.float32))
+    ref = np.asarray(model.apply({"params": params}, pix,
+                                 method=CLIP.encode_image))
+    got = np.asarray(fused_vision_encode(params, pix, cfg=cfg,
+                                         dtype=jnp.bfloat16))
+    assert not np.isnan(got).any()
+    cos = np.sum(got * ref, axis=-1)
+    assert cos.min() > 0.999, cos.min()
+    print(f"[smoke] fused-layer vision tower (split mode) == flax tower "
+          f"(min cos {cos.min():.6f})")
+
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 
 

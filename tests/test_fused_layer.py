@@ -96,6 +96,10 @@ def test_uneven_batch_tile(rng, monkeypatch):
 
 
 def test_eligibility_gates(monkeypatch):
+    from video_quierer_tpu.models.clip.config import (get_config,
+                                                      CLIPVisionConfig)
+    from video_quierer_tpu.ops.fused_layer import (
+        _layer_mode, fused_batch_eligible, fused_vision_tower_eligible)
     cfg = _small_cfg()
     # seq buckets: 77 (non-multiple of 8) falls back
     assert fused_seq_eligible(8) and fused_seq_eligible(32)
@@ -109,10 +113,101 @@ def test_eligibility_gates(monkeypatch):
     from jax.sharding import Mesh
     assert not fused_text_tower_eligible(
         cfg.text, jnp.bfloat16, Mesh(devs, ("data",)))
-    # the real b32 text tower in f32 exceeds the weight budget; bf16 fits
+    # the real b32 text tower: full-layer fusion in bf16; f32 doubles
+    # the weight set past the full budget but the halves fit → split
     real = CLIPTextConfig()
     assert fused_text_tower_eligible(real, jnp.bfloat16)
-    assert not fused_text_tower_eligible(real, jnp.float32)
+    assert _layer_mode(real.hidden_size, real.mlp_ratio,
+                       jnp.bfloat16) == "full"
+    assert fused_text_tower_eligible(real, jnp.float32)
+    assert _layer_mode(real.hidden_size, real.mlp_ratio,
+                       jnp.float32) == "split"
+    # the 768-wide B/32 vision tower: split mode in bf16
+    b32v = get_config("openai/clip-vit-base-patch32").vision
+    assert fused_vision_tower_eligible(b32v, jnp.bfloat16)
+    assert _layer_mode(b32v.hidden_size, b32v.mlp_ratio,
+                       jnp.bfloat16) == "split"
+    # L/14 vision (1024-wide): MLP half exceeds even the half budget
+    l14v = get_config("openai/clip-vit-large-patch14").vision
+    assert not fused_vision_tower_eligible(l14v, jnp.bfloat16)
+    # MoE towers keep the flax encoder
+    moev = CLIPVisionConfig(hidden_size=768, moe_experts=4)
+    assert not fused_vision_tower_eligible(moev, jnp.bfloat16)
+    # per-call gates: image buckets tile at s=50 (bt=8 → t=400); the
+    # B/16 seq of 197 has no sublane-multiple tile; tiny batches stay
+    # on the flax tower (MIN_TOKENS)
+    assert fused_batch_eligible(256, 50)
+    assert not fused_batch_eligible(256, 197)
+    assert not fused_batch_eligible(1, 16)
+
+
+def _small_vision_cfg():
+    from video_quierer_tpu.models.clip.config import CLIPVisionConfig
+    # 32px/8px patches → seq 17 (16 patches + CLS): exercises the
+    # non-power-of-two, non-sublane-multiple seq path (tile = 8·17)
+    return CLIPConfig(
+        name="test-small-v",
+        projection_dim=64,
+        vision=CLIPVisionConfig(image_size=32, patch_size=8,
+                                hidden_size=128, num_layers=2,
+                                num_heads=2),
+        text=CLIPTextConfig(vocab_size=512, context_length=32,
+                            hidden_size=128, num_layers=2, num_heads=2),
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_vision_matches_flax_tower(rng, dtype):
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_vision_encode, fused_vision_tower_eligible)
+    cfg = _small_vision_cfg()
+    assert fused_vision_tower_eligible(cfg.vision, dtype)
+    model = CLIP(cfg, dtype=dtype)
+    params = init_params(model, seed=2)
+    if dtype == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+    pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
+                         .astype(np.float32))
+    ref = np.asarray(model.apply({"params": params}, pixels,
+                                 method=CLIP.encode_image))
+    got = np.asarray(fused_vision_encode(params, pixels, cfg=cfg,
+                                         dtype=dtype))
+    assert got.shape == ref.shape
+    assert not np.isnan(got).any()
+    if dtype == jnp.float32:
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    else:
+        assert np.sum(got * ref, axis=-1).min() > 0.999
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
+                               rtol=1e-5)
+
+
+def test_split_mode_matches_full(rng, monkeypatch):
+    """Force split mode (full budget below the layer's weight bytes) —
+    the two-pallas_call path must match the flax tower exactly in f32."""
+    monkeypatch.setenv("VQT_FUSED_LAYER_BUDGET", "400000")
+    import importlib
+    import video_quierer_tpu.ops.fused_layer as fl
+    importlib.reload(fl)
+    try:
+        cfg = _small_vision_cfg()
+        assert fl._layer_mode(cfg.vision.hidden_size,
+                              cfg.vision.mlp_ratio,
+                              jnp.float32) == "split"
+        model = CLIP(cfg, dtype=jnp.float32)
+        params = init_params(model, seed=3)
+        pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
+                             .astype(np.float32))
+        ref = np.asarray(model.apply({"params": params}, pixels,
+                                     method=CLIP.encode_image))
+        got = np.asarray(fl.fused_vision_encode(params, pixels, cfg=cfg,
+                                                dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    finally:
+        monkeypatch.delenv("VQT_FUSED_LAYER_BUDGET")
+        importlib.reload(fl)
 
 
 def test_embedder_uses_fused_path(rng, monkeypatch):
@@ -120,13 +215,15 @@ def test_embedder_uses_fused_path(rng, monkeypatch):
     and the flax tower agree (the embedder is what serving calls)."""
     emb = CLIPEmbedder(model_name="openai/clip-vit-base-patch32",
                        dtype=jnp.bfloat16)
-    assert emb._fused_text
-    texts = ["a cat on a skateboard", "sunset over the ocean"]
+    assert emb._fused_text and emb._fused_vision
+    # 32 short texts → bucket 32 × seq 8 = 256 tokens: clears the
+    # MIN_TOKENS gate so the fused tower actually engages
+    texts = [f"a cat on skateboard number {i}" for i in range(32)]
     fused = emb.embed_texts(texts)
     monkeypatch.setenv("VQT_FUSED_LAYER", "0")
     emb2 = CLIPEmbedder(model_name="openai/clip-vit-base-patch32",
                         dtype=jnp.bfloat16)
-    assert not emb2._fused_text
+    assert not (emb2._fused_text or emb2._fused_vision)
     ref = emb2.embed_texts(texts)
     cos = np.sum(fused * ref, axis=-1)
     assert cos.min() > 0.999

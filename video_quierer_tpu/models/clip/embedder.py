@@ -33,9 +33,12 @@ from video_quierer_tpu.models.clip.tokenizer import (
     load_tokenizer,
 )
 from video_quierer_tpu.ops.fused_layer import (
+    fused_batch_eligible,
     fused_seq_eligible,
     fused_text_encode,
     fused_text_tower_eligible,
+    fused_vision_encode,
+    fused_vision_tower_eligible,
 )
 from video_quierer_tpu.ops.preprocess import normalize_images
 
@@ -178,13 +181,17 @@ class CLIPEmbedder:
             self._txt_sharding = None
             self._data_axis_size = 1
 
-        # fused-layer text tower (ops/fused_layer.py): one pallas_call
-        # per encoder block instead of ~10 XLA kernels — the seq-
-        # independent per-op overhead floor was ~60% of the text encode
-        # at serving seq lengths. Static eligibility here; the 77-seq
-        # bucket falls back per call (fused_seq_eligible).
+        # fused-layer towers (ops/fused_layer.py): one pallas_call per
+        # encoder block instead of ~10 XLA kernels — the seq-independent
+        # per-op overhead floor was ~60% of the text encode at serving
+        # seq lengths. Static eligibility here; per-call shape gates
+        # (fused_seq_eligible / fused_batch_eligible) fall back to the
+        # flax towers. The pipelined (pp) image tower keeps its own path.
         self._fused_text = fused_text_tower_eligible(
             self.cfg.text, dtype, mesh)
+        self._fused_vision = (self._pipe_mesh is None
+                              and fused_vision_tower_eligible(
+                                  self.cfg.vision, dtype, mesh))
         self._encode_image_jit = jax.jit(self._encode_image_fn)
         self._encode_text_jit = jax.jit(self._encode_text_fn)
         # bound ONCE: callers key fused executables on this object's
@@ -203,11 +210,16 @@ class CLIPEmbedder:
             return pipelined_encode_image(
                 self.model, params, pixels, mesh=self._pipe_mesh,
                 n_microbatches=self._pipe_microbatches)
+        if self._fused_vision and fused_batch_eligible(
+                pixels.shape[0], self.cfg.vision.seq_len):
+            return fused_vision_encode(params, pixels, cfg=self.cfg,
+                                       dtype=self.model.dtype)
         return self.model.apply({"params": params}, pixels,
                                 method=CLIP.encode_image)
 
     def _encode_text_fn(self, params, input_ids):
-        if self._fused_text and fused_seq_eligible(input_ids.shape[1]):
+        if self._fused_text and fused_seq_eligible(input_ids.shape[1]) \
+                and fused_batch_eligible(*input_ids.shape):
             return fused_text_encode(params, input_ids, cfg=self.cfg,
                                      dtype=self.model.dtype)
         return self.model.apply({"params": params}, input_ids,

@@ -1,44 +1,49 @@
-"""Whole-transformer-layer Pallas kernel for the CLIP text tower.
+"""Whole-transformer-layer Pallas kernels for the CLIP towers.
 
-TPU-native replacement for the per-op XLA lowering of the text tower's
+TPU-native replacement for the per-op XLA lowering of the towers'
 encoder blocks (models/clip/model.py:EncoderBlock — the JAX analog of the
 reference's HF ``CLIPEncoderLayer``, used via
-/root/reference/video_search_overhaul.py:278-295). Motivation (measured,
-v5e, B=256 stacked-jit 2026-08-19): the text encode has a ~1.7 ms
-seq-INDEPENDENT floor per 256-batch — s8 2.80 / s16 3.94 / s32 5.98 ms —
-while its pure matmul time at s16 is ~0.8 ms. At these shapes
-([2048, 512] tokens against [512, 512..2048] weights) every matmul
-retires in single-digit microseconds, so the floor is ~10 XLA kernel
-launches per layer × 12 layers of fixed per-op overhead, not FLOPs or
-bandwidth. The fix is structural: run the ENTIRE encoder block —
-LN1 → fused-QKV matmul → per-head causal attention → out-projection →
-residual → LN2 → MLP (quick-GELU) → residual — as ONE ``pallas_call``
-per layer, with the layer's full weight set resident in VMEM (6.3 MB in
-bf16 for the 512-wide CLIP text tower) and activations never touching
-HBM between ops.
+/root/reference/video_search_overhaul.py:120-141, 278-295). Motivation
+(measured, v5e, B=256 stacked-jit 2026-08-19): the text encode has a
+~1.7 ms seq-INDEPENDENT floor per 256-batch — s8 2.80 / s16 3.94 /
+s32 5.98 ms — while its pure matmul time at s16 is ~0.8 ms. At these
+shapes every matmul retires in single-digit microseconds, so the floor
+is ~10 XLA kernel launches per layer × 12 layers of fixed per-op
+overhead, not FLOPs or bandwidth. The fix is structural: run the ENTIRE
+encoder block — LN1 → fused-QKV matmul → per-head attention →
+out-projection → residual → LN2 → MLP (quick-GELU) → residual — as ONE
+``pallas_call`` per layer, with the layer's full weight set resident in
+VMEM (6.3 MB in bf16 for the 512-wide CLIP towers) and activations
+never touching HBM between ops. Measured win (decomp_bench, second-loop
+steady state, v5e): text encode 3.99 → 3.19 ms per 256-batch at s16,
+6.95 → 5.52 per 512-batch.
 
 Design
 ------
-- grid ``(B / bt,)`` over batch tiles; ``bt`` sized so ``bt·S ≈ 512``
-  tokens — large enough that the five weight matmuls hit the MXU with
+- the layer operates on a FLAT ``[T, D]`` token matrix (``T = B·S``,
+  item-major); the grid tiles it as ``(T/t,)`` with ``t ≈ 512`` tokens
+  per step — large enough that the five weight matmuls hit the MXU with
   full tiles, small enough that activations + weights fit VMEM. Weight
   BlockSpecs are grid-invariant, so Mosaic fetches them once per call.
-- ALL matmuls — projections and attention — run on the merged
-  ``[bt·S, D]`` token matrix (a free leading-dim reshape): attention is
-  one ``[t, hd]·[hd, t]`` logits matmul per head under an item-block
-  causal mask (S is a power of two, so item-of-token is a shift
-  compare), with the same f32-accumulate / bf16-fast-softmax contract
-  as ops/attention.py (unstabilized clamped-exp softmax in bf16;
-  stabilized f32 otherwise). Cross-item logits are masked redundancy —
-  cheap at serving seq buckets, and MXU-shaped matmuls beat the
-  loop-shaped alternative (a per-item ``fori_loop`` measured slower
-  than the unfused tower).
+- ALL matmuls — projections and attention — run on the whole ``[t, D]``
+  tile: attention is one ``[t, hd]·[hd, t]`` logits matmul per head
+  under an item-block (+ causal, for text) mask, with the same
+  f32-accumulate / bf16-fast-softmax contract as ops/attention.py
+  (unstabilized clamped-exp softmax in bf16; stabilized f32 otherwise).
+  Cross-item logits are masked redundancy — cheap at CLIP sequence
+  lengths, and MXU-shaped matmuls beat the loop-shaped alternative (a
+  per-item ``fori_loop`` issuing bt·heads·3 tiny matmuls per step
+  measured SLOWER than the unfused tower: 4.50 vs 3.97 ms/256-batch).
+- the item-of-token test rides two tiny int32 operands (``[t, 1]`` /
+  ``[1, t]`` local item ids, identical for every tile since ``t`` is a
+  multiple of ``S``) — no integer division in-kernel, and no
+  power-of-two restriction on S (the vision tower's S=50 qualifies).
 - LayerNorm statistics are f32 (matching flax's ``_compute_stats``
   upcast); scale/bias apply in f32 then cast to the residual dtype.
-- causal masking only — like the unfused tower, key padding columns are
-  NOT masked: under a causal mask no position after a row's EOT can
-  reach that row, and only EOT rows are pooled (embedder.trim_text_ids
-  relies on the same invariant).
+- text: causal masking only — like the unfused tower, key padding
+  columns are NOT masked: under a causal mask no position after a row's
+  EOT can reach that row, and only EOT rows are pooled
+  (embedder.trim_text_ids relies on the same invariant).
 
 Serving-only by design: the trainer differentiates the flax tower
 (models/clip/model.py), which keeps its own fused-attention custom VJP.
@@ -49,7 +54,9 @@ from __future__ import annotations
 
 import functools
 import os as _os
-from typing import Any
+from typing import Any, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -60,13 +67,28 @@ from video_quierer_tpu.utils.env import use_pallas
 
 NEG_INF = float("-inf")
 
-# Per-layer weight budget (bytes) for VMEM residency. The bf16 512-wide
-# CLIP text layer needs 6.3 MB; f32 (12.6 MB) and the 768-wide SigLIP
-# text layer (14 MB bf16) exceed it and take the unfused tower.
+# Full-layer weight budget (bytes) for VMEM residency. The bf16
+# 512-wide CLIP layer needs 6.3 MB; wider towers (768-wide: 14.2 MB
+# bf16) fall through to SPLIT mode or, beyond HALF_BUDGET, the unfused
+# flax tower.
 WEIGHT_BUDGET = int(_os.environ.get("VQT_FUSED_LAYER_BUDGET",
                                     str(9 * 2 ** 20)))
-# Target tokens per grid step (bt = TOKEN_TARGET // S, clamped to a
-# divisor of B): balances MXU tile size against VMEM activation scratch.
+# Split-mode budget: when the FULL layer's weights exceed WEIGHT_BUDGET
+# but each half (attention: 4d² / MLP: 2·r·d²) fits this, the layer runs
+# as TWO pallas_calls (attn-half, mlp-half) — still 2 kernels per layer
+# instead of ~10 XLA ops. The 768-wide B/32 vision tower takes this path
+# in bf16 (4.7 / 9.4 MB halves).
+HALF_BUDGET = int(_os.environ.get("VQT_FUSED_HALF_BUDGET",
+                                  str(12 * 2 ** 20)))
+# Minimum tokens (B·S) for the fused towers: at tiny batches the
+# per-pallas_call overhead loses to XLA's single fused executable
+# (measured bench.py singles: bf16 3.54 → 4.44 ms/q fused at B=1).
+MIN_TOKENS = int(_os.environ.get("VQT_FUSED_LAYER_MIN_TOKENS", "256"))
+# Target tokens per grid step (tile = largest bt·S <= target with bt a
+# divisor of B and bt·S a sublane multiple): balances MXU tile size and
+# VMEM scratch against the t²-scaled cross-item attention redundancy —
+# measured sweep at s16 B=512 (decomp_bench): 256 → 5.19-5.78 ms,
+# 512 → 5.52, 1024 → 7.90.
 TOKEN_TARGET = int(_os.environ.get("VQT_FUSED_LAYER_TOKENS", "512"))
 
 
@@ -76,14 +98,32 @@ def _pallas_mode() -> str:
     return "compiled" if use_pallas() else "off"
 
 
-def _layer_weight_bytes(d: int, mlp_ratio: int, itemsize: int) -> int:
-    # qkv [D,3D] + out [D,D] + fc1 [D,rD] + fc2 [rD,D] (+ biases, LN)
-    return (4 * d * d + 2 * mlp_ratio * d * d + (5 + 2 * mlp_ratio) * d
-            + 4 * d * 4) * itemsize
+def _attn_weight_bytes(d: int, itemsize: int) -> int:
+    # qkv [D,3D] + out [D,D] + biases + LN rows
+    return (4 * d * d + 4 * d + 4 * d * 4) * itemsize
 
 
-def fused_text_tower_eligible(cfg_text: Any, dtype, mesh=None) -> bool:
-    """Static (init-time) eligibility of the whole fused text tower."""
+def _mlp_weight_bytes(d: int, mlp_ratio: int, itemsize: int) -> int:
+    # fc1 [D,rD] + fc2 [rD,D] + biases
+    return (2 * mlp_ratio * d * d + (1 + mlp_ratio) * d) * itemsize
+
+
+def _layer_mode(d: int, mlp_ratio: int, dtype) -> str:
+    """"full" = whole block in one pallas_call; "split" = attn + MLP
+    halves; "" = weights don't fit VMEM residency either way."""
+    itemsize = jnp.dtype(dtype).itemsize
+    full = _attn_weight_bytes(d, itemsize) \
+        + _mlp_weight_bytes(d, mlp_ratio, itemsize)
+    if full <= WEIGHT_BUDGET:
+        return "full"
+    if max(_attn_weight_bytes(d, itemsize),
+           _mlp_weight_bytes(d, mlp_ratio, itemsize)) <= HALF_BUDGET:
+        return "split"
+    return ""
+
+
+def _width_eligible(d: int, heads: int, mlp_ratio: int, dtype,
+                    mesh) -> bool:
     if _pallas_mode() == "off":
         return False
     if _os.environ.get("VQT_FUSED_LAYER") == "0":  # A/B + escape hatch
@@ -92,29 +132,49 @@ def fused_text_tower_eligible(cfg_text: Any, dtype, mesh=None) -> bool:
         # a pallas_call inside a jit over sharded operands needs
         # shard_map; mesh serving keeps the XLA tower
         return False
-    d, h = cfg_text.hidden_size, cfg_text.num_heads
-    if d % 128 or d % h:
+    if d % 128 or d % heads:
         return False
-    itemsize = jnp.dtype(dtype).itemsize
-    return _layer_weight_bytes(d, cfg_text.mlp_ratio, itemsize) \
-        <= WEIGHT_BUDGET
+    return _layer_mode(d, mlp_ratio, dtype) != ""
+
+
+def fused_text_tower_eligible(cfg_text: Any, dtype, mesh=None) -> bool:
+    """Static (init-time) eligibility of the whole fused text tower."""
+    return _width_eligible(cfg_text.hidden_size, cfg_text.num_heads,
+                           cfg_text.mlp_ratio, dtype, mesh)
+
+
+def fused_vision_tower_eligible(cfg_vision: Any, dtype,
+                                mesh=None) -> bool:
+    """Static eligibility of the fused vision tower (B/32 bf16 fits the
+    weight budget; B/16 and L/14 are 768/1024-wide → unfused). MoE
+    towers keep the flax encoder (their expert FFN is not a dense
+    [D, rD] pair)."""
+    if getattr(cfg_vision, "moe_experts", 0):
+        return False
+    return _width_eligible(cfg_vision.hidden_size, cfg_vision.num_heads,
+                           cfg_vision.mlp_ratio, dtype, mesh)
 
 
 def fused_seq_eligible(s: int) -> bool:
-    """Per-call shape gate: S must tile sublanes AND be a power of two
-    so the kernel's item-block mask is a shift compare (embedder seq
-    buckets 8/16/32 qualify; the full-77 bucket falls back to the flax
-    tower)."""
-    return s % 8 == 0 and (s & (s - 1)) == 0
+    """Per-call shape gate for TEXT seq buckets: S must tile sublanes so
+    every batch tile is a sublane multiple (buckets 8/16/32 qualify; the
+    full-77 bucket falls back to the flax tower)."""
+    return s % 8 == 0
 
 
-def _batch_tile(b: int, s: int) -> int:
-    target = max(1, TOKEN_TARGET // s)
-    bt = 1
+def _tile_tokens(b: int, s: int, itemsize: int = 2) -> int:
+    """Tokens per grid step: the largest ``bt·s`` with ``bt`` a divisor
+    of ``b``, ``bt·s`` under the token target (cross-item attention
+    redundancy grows with the tile; f32 tiles halve so split-mode
+    activations stay inside VMEM next to the weights) and ``bt·s`` a
+    sublane multiple. 0 = no valid tile (caller falls back to the
+    unfused tower)."""
+    target = max(1, TOKEN_TARGET * 2 // itemsize // s)
+    best = 0
     for cand in range(1, min(b, target) + 1):
-        if b % cand == 0:
-            bt = cand
-    return bt
+        if b % cand == 0 and (cand * s) % 8 == 0:
+            best = cand
+    return best * s
 
 
 def _ln_f32(x2: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -128,38 +188,37 @@ def _ln_f32(x2: jax.Array, scale: jax.Array, bias: jax.Array,
     return (y * scale + bias).astype(out_dtype)
 
 
-def _layer_kernel(x_ref, ln_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
-                  wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref, o_ref,
-                  *, heads: int, eps: float):
-    """One grid step: a full encoder block over a ``[bt, S, D]`` tile."""
-    bt, s, d = x_ref.shape
-    t = bt * s
+def _dot(a, w_ref, b_ref, dtype):
+    """``a @ w + bias`` with f32 MXU accumulation, cast to ``dtype``."""
+    out = jax.lax.dot_general(
+        a, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    return out if b_ref is None else out + b_ref[:]
+
+
+def _attn_math(x2, idr_ref, idc_ref, ln_ref, wqkv_ref, bqkv_ref,
+               wout_ref, bout_ref, *, heads: int, eps: float,
+               causal: bool):
+    """LN1 → QKV → per-head whole-tile attention → out-proj → residual.
+
+    Attention runs per HEAD over the whole [t, hd] tile — one
+    [t, hd]·[hd, t] logits matmul per head under the item-block mask
+    (tokens of different batch items never attend; the local item ids
+    ride as [t, 1]/[1, t] operands). Cross-item score entries are
+    redundant work the mask discards — cheap at CLIP seq lengths, and
+    MXU-shaped beats loop-shaped (see module docstring).
+    """
+    t, d = x2.shape
     hd = d // heads
-    dtype = x_ref.dtype
+    dtype = x2.dtype
     fast = dtype == jnp.bfloat16
-    x2 = x_ref[:].reshape(t, d)
-
-    # LN1 → fused QKV projection
     y = _ln_f32(x2, ln_ref[0:1], ln_ref[1:2], eps, dtype)
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype) + bqkv_ref[:]
-
-    # Attention runs per HEAD over the whole merged [t, hd] token
-    # matrix — one [t, hd]·[hd, t] logits matmul per head with an
-    # item-block causal mask, instead of a fori_loop over items issuing
-    # bt·heads·3 tiny [S, hd]-shaped matmuls (a first version did that:
-    # 768 serial MXU ops per grid step measured SLOWER than the unfused
-    # tower, 4.50 vs 3.97 ms per 256-batch at s16). Cross-item score
-    # entries are redundant work the mask discards, but at serving seq
-    # buckets (8-32) the whole attention stage is ~17% of the layer's
-    # FLOPs even with the s/bt-fold redundancy — MXU-shaped beats
-    # loop-shaped. S is a power of two (fused_seq_eligible), so the
-    # item-of-token test is a shift compare.
-    shift = s.bit_length() - 1
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
-    live = ((row >> shift) == (col >> shift)) & (row >= col)
+    qkv = _dot(y, wqkv_ref, bqkv_ref, dtype)
+    live = idr_ref[:] == idc_ref[:]                       # [t, t]
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+        live &= row >= col
     scale = hd ** -0.5
     outs = []
     for h in range(heads):
@@ -185,50 +244,78 @@ def _layer_kernel(x_ref, ln_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
             w, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(dtype))
     attn = jnp.concatenate(outs, axis=-1)
+    return x2 + _dot(attn, wout_ref, bout_ref, dtype)
 
-    # out-projection + residual
-    proj = jax.lax.dot_general(
-        attn, wout_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype) + bout_ref[:]
-    x3 = x2 + proj
 
-    # LN2 → MLP (quick-GELU) → residual
-    z = _ln_f32(x3, ln_ref[2:3], ln_ref[3:4], eps, dtype)
-    h1 = jax.lax.dot_general(
-        z, wfc1_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype) + bfc1_ref[:]
+def _mlp_math(x3, ln_ref, ln_off: int, wfc1_ref, bfc1_ref, wfc2_ref,
+              bfc2_ref, *, eps: float):
+    """LN2 → MLP (quick-GELU) → residual."""
+    dtype = x3.dtype
+    z = _ln_f32(x3, ln_ref[ln_off:ln_off + 1],
+                ln_ref[ln_off + 1:ln_off + 2], eps, dtype)
+    h1 = _dot(z, wfc1_ref, bfc1_ref, dtype)
     # quick-GELU x·σ(1.702x) written as an explicit exp: Mosaic's
     # lax.logistic lowering broadcasts an f32 constant into a bf16
     # vector and fails kernel verification on hardware (caught by
     # tpu_smoke; interpreter mode accepts it)
     h1 = h1 * (1.0 / (1.0 + jnp.exp(-1.702 * h1)))
-    h2 = jax.lax.dot_general(
-        h1, wfc2_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype) + bfc2_ref[:]
-    o_ref[...] = (x3 + h2).reshape(bt, s, d)
+    return x3 + _dot(h1, wfc2_ref, bfc2_ref, dtype)
+
+
+def _layer_kernel(idr_ref, idc_ref, x_ref, ln_ref, wqkv_ref, bqkv_ref,
+                  wout_ref, bout_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                  bfc2_ref, o_ref, *, heads: int, eps: float,
+                  causal: bool):
+    """One grid step: a full encoder block over a flat ``[t, D]`` tile."""
+    x3 = _attn_math(x_ref[:], idr_ref, idc_ref, ln_ref, wqkv_ref,
+                    bqkv_ref, wout_ref, bout_ref, heads=heads, eps=eps,
+                    causal=causal)
+    o_ref[...] = _mlp_math(x3, ln_ref, 2, wfc1_ref, bfc1_ref, wfc2_ref,
+                           bfc2_ref, eps=eps)
+
+
+def _attn_half_kernel(idr_ref, idc_ref, x_ref, ln_ref, wqkv_ref,
+                      bqkv_ref, wout_ref, bout_ref, o_ref, *,
+                      heads: int, eps: float, causal: bool):
+    """Split mode, first half: LN1 → QKV → attention → out-proj →
+    residual (wide towers whose full layer exceeds the VMEM weight
+    budget — e.g. the 768-wide B/32 vision tower at 14.2 MB bf16)."""
+    o_ref[...] = _attn_math(x_ref[:], idr_ref, idc_ref, ln_ref,
+                            wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                            heads=heads, eps=eps, causal=causal)
+
+
+def _mlp_half_kernel(x_ref, ln_ref, wfc1_ref, bfc1_ref, wfc2_ref,
+                     bfc2_ref, o_ref, *, eps: float):
+    """Split mode, second half: LN2 → MLP → residual."""
+    o_ref[...] = _mlp_math(x_ref[:], ln_ref, 2, wfc1_ref, bfc1_ref,
+                           wfc2_ref, bfc2_ref, eps=eps)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "eps", "interpret"))
-def _fused_layer_call(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2,
-                      bfc2, *, heads: int, eps: float, interpret: bool):
-    b, s, d = x.shape
+                   static_argnames=("heads", "eps", "causal",
+                                    "interpret"))
+def _fused_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
+                      bfc1, wfc2, bfc2, *, heads: int, eps: float,
+                      causal: bool, interpret: bool):
+    big_t, d = x2.shape
     f = wfc1.shape[1]
-    bt = _batch_tile(b, s)
-    x_spec = pl.BlockSpec((bt, s, d), lambda i: (i, 0, 0),
+    t = idr.shape[0]
+    x_spec = pl.BlockSpec((t, d), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    t = bt * s
-    n_layers_flops = 2 * t * (4 * d * d + 2 * f * d) + 4 * t * t * d
+    n_layer_flops = 2 * t * (4 * d * d + 2 * f * d) + 4 * t * t * d
     return pl.pallas_call(
-        functools.partial(_layer_kernel, heads=heads, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), x.dtype),
-        grid=(b // bt,),
+        functools.partial(_layer_kernel, heads=heads, eps=eps,
+                          causal=causal),
+        out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
+        grid=(big_t // t,),
         in_specs=[
+            w_spec((t, 1)), w_spec((1, t)),
             x_spec,
             w_spec((4, d)),
             w_spec((d, 3 * d)), w_spec((1, 3 * d)),
@@ -239,12 +326,74 @@ def _fused_layer_call(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2,
         out_specs=x_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=(b // bt) * n_layers_flops,
-            bytes_accessed=2 * b * s * d * x.dtype.itemsize
-            + (4 * d * d + 2 * f * d) * x.dtype.itemsize,
-            transcendentals=(b // bt) * t * (f + heads * t),
+            flops=(big_t // t) * n_layer_flops,
+            bytes_accessed=2 * big_t * d * x2.dtype.itemsize
+            + (4 * d * d + 2 * f * d) * x2.dtype.itemsize,
+            transcendentals=(big_t // t) * t * (f + heads * t),
         ),
-    )(x, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2, bfc2)
+    )(idr, idc, x2, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2, bfc2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "eps", "causal",
+                                    "interpret"))
+def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
+                      bfc1, wfc2, bfc2, *, heads: int, eps: float,
+                      causal: bool, interpret: bool):
+    """Split mode: the encoder block as TWO pallas_calls (attention
+    half, MLP half) for towers whose full weight set exceeds the VMEM
+    budget. The residual stream makes one HBM round-trip between the
+    halves — still ~5x fewer kernel launches than the unfused tower."""
+    big_t, d = x2.shape
+    f = wfc1.shape[1]
+    t = idr.shape[0]
+    x_spec = pl.BlockSpec((t, d), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    x3 = pl.pallas_call(
+        functools.partial(_attn_half_kernel, heads=heads, eps=eps,
+                          causal=causal),
+        out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
+        grid=(big_t // t,),
+        in_specs=[
+            w_spec((t, 1)), w_spec((1, t)),
+            x_spec,
+            w_spec((4, d)),
+            w_spec((d, 3 * d)), w_spec((1, 3 * d)),
+            w_spec((d, d)), w_spec((1, d)),
+        ],
+        out_specs=x_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(big_t // t) * (8 * t * d * d + 4 * t * t * d),
+            bytes_accessed=2 * big_t * d * x2.dtype.itemsize
+            + 4 * d * d * x2.dtype.itemsize,
+            transcendentals=big_t * heads * t,
+        ),
+    )(idr, idc, x2, ln, wqkv, bqkv, wout, bout)
+    return pl.pallas_call(
+        functools.partial(_mlp_half_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
+        grid=(big_t // t,),
+        in_specs=[
+            x_spec,
+            w_spec((4, d)),
+            w_spec((d, f)), w_spec((1, f)),
+            w_spec((f, d)), w_spec((1, d)),
+        ],
+        out_specs=x_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(big_t // t) * 4 * t * f * d,
+            bytes_accessed=2 * big_t * d * x2.dtype.itemsize
+            + 2 * f * d * x2.dtype.itemsize,
+            transcendentals=big_t * f,
+        ),
+    )(x3, ln, wfc1, bfc1, wfc2, bfc2)
 
 
 def _layer_operands(p: dict, dtype):
@@ -271,6 +420,29 @@ def _layer_operands(p: dict, dtype):
             mlp["fc2"]["bias"].reshape(1, -1).astype(dtype))
 
 
+def _item_ids(t: int, s: int) -> Tuple[jax.Array, jax.Array]:
+    """Local item-id operands for one tile: token j belongs to item
+    j // s — identical for every tile because t is a multiple of s."""
+    ids = np.arange(t, dtype=np.int32) // s
+    return jnp.asarray(ids[:, None]), jnp.asarray(ids[None, :])
+
+
+def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
+                eps: float, s: int, t: int, dtype, causal: bool,
+                mlp_ratio: int):
+    interpret = _pallas_mode() == "interpret"
+    call = (_fused_layer_call
+            if _layer_mode(x2.shape[1], mlp_ratio, dtype) == "full"
+            else _split_layer_call)
+    idr, idc = _item_ids(t, s)
+    for i in range(num_layers):
+        ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
+                              dtype)
+        x2 = call(x2, idr, idc, *ops, heads=heads, eps=eps,
+                  causal=causal, interpret=interpret)
+    return x2
+
+
 def fused_text_encode(params, input_ids: jax.Array, *, cfg,
                       dtype) -> jax.Array:
     """Full CLIP text encode through fused-layer kernels.
@@ -278,28 +450,26 @@ def fused_text_encode(params, input_ids: jax.Array, *, cfg,
     Drop-in for ``CLIP.encode_text`` (models/clip/model.py:275-278):
     token+position embed → 12 fused encoder blocks → final LN → EOT
     pooling → projection → f32 L2 normalize. ``params`` is the full
-    CLIP param tree; ``cfg`` the CLIPTextConfig; output ``[B, proj]``
+    CLIP param tree; ``cfg`` the CLIPConfig; output ``[B, proj]``
     f32 unit rows.
     """
-    interpret = _pallas_mode() == "interpret"
     c = cfg.text
-    t = params["text"]
-    s = input_ids.shape[1]
-    emb = t["token_embedding"]["embedding"].astype(dtype)
+    tp = params["text"]
+    b, s = input_ids.shape
+    t = _tile_tokens(b, s, jnp.dtype(dtype).itemsize)
+    emb = tp["token_embedding"]["embedding"].astype(dtype)
     x = emb[input_ids]
-    pos = t["position_embedding"].astype(dtype)
-    x = x + pos[None, :s]
-    for i in range(c.num_layers):
-        ops = _layer_operands(t["encoder"][f"layers_{i}"], dtype)
-        x = _fused_layer_call(x, *ops, heads=c.num_heads,
-                              eps=c.layer_norm_eps, interpret=interpret)
+    pos = tp["position_embedding"].astype(dtype)
+    x2 = (x + pos[None, :s]).reshape(b * s, -1)
+    x2 = _run_layers(x2, tp, num_layers=c.num_layers,
+                     heads=c.num_heads, eps=c.layer_norm_eps, s=s, t=t,
+                     dtype=dtype, causal=True, mlp_ratio=c.mlp_ratio)
     # pool BEFORE the final LN: LayerNorm is per-token, so
     # LN(x)[eot] == LN(x[eot]) — S× less epilogue work than the flax
     # tower's order (model.py:233-236), bit-for-bit the same rows
-    fl = t["final_layer_norm"]
-    b = x.shape[0]
+    fl = tp["final_layer_norm"]
     eot = jnp.argmax(input_ids, axis=-1)
-    pooled = x[jnp.arange(b), eot]
+    pooled = x2[jnp.arange(b) * s + eot]
     pooled = _ln_f32(pooled, fl["scale"].astype(jnp.float32)[None],
                      fl["bias"].astype(jnp.float32)[None],
                      c.layer_norm_eps, dtype)
@@ -307,5 +477,64 @@ def fused_text_encode(params, input_ids: jax.Array, *, cfg,
     feats = jax.lax.dot_general(
         pooled, proj, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype)
+    # round to the tower dtype BEFORE the f32 normalize — the flax
+    # tower's projection emits dtype activations (_normalize_f32)
     feats = feats.astype(jnp.float32)
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+
+def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
+                        dtype) -> jax.Array:
+    """Full CLIP image encode through fused-layer kernels.
+
+    Drop-in for ``CLIP.encode_image`` (models/clip/model.py:270-273):
+    conv patchify → class token + positions → pre-LN → 12 fused
+    non-causal encoder blocks → CLS pooling → post-LN → projection →
+    f32 L2 normalize. ``pixel_values`` NHWC normalized; output
+    ``[B, proj]`` f32 unit rows. Patchify/embed/pool stay XLA ops —
+    they are one-shot, not per-layer."""
+    c = cfg.vision
+    vp = params["vision"]
+    b = pixel_values.shape[0]
+    d = c.hidden_size
+    s = c.seq_len
+    t = _tile_tokens(b, s, jnp.dtype(dtype).itemsize)
+    patches = jax.lax.conv_general_dilated(
+        pixel_values.astype(dtype),
+        vp["patch_embedding"]["kernel"].astype(dtype),
+        window_strides=(c.patch_size, c.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    patches = patches.reshape(b, c.num_patches, d)
+    cls = vp["class_embedding"].astype(dtype)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls, (b, 1, d)), patches], axis=1)
+    x = x + vp["position_embedding"].astype(dtype)[None]
+    x2 = x.reshape(b * s, d)
+    pre = vp["pre_layernorm"]
+    x2 = _ln_f32(x2, pre["scale"].astype(jnp.float32)[None],
+                 pre["bias"].astype(jnp.float32)[None],
+                 c.layer_norm_eps, dtype)
+    x2 = _run_layers(x2, vp, num_layers=c.num_layers,
+                     heads=c.num_heads, eps=c.layer_norm_eps, s=s, t=t,
+                     dtype=dtype, causal=False, mlp_ratio=c.mlp_ratio)
+    pooled = x2[jnp.arange(b) * s]                       # CLS tokens
+    post = vp["post_layernorm"]
+    pooled = _ln_f32(pooled, post["scale"].astype(jnp.float32)[None],
+                     post["bias"].astype(jnp.float32)[None],
+                     c.layer_norm_eps, dtype)
+    proj = params["visual_projection"]["kernel"].astype(dtype)
+    feats = jax.lax.dot_general(
+        pooled, proj, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    # round to the tower dtype BEFORE the f32 normalize — the flax
+    # tower's projection emits dtype activations (_normalize_f32)
+    feats = feats.astype(jnp.float32)
+    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+
+def fused_batch_eligible(b: int, s: int) -> bool:
+    """Per-call gate shared by both towers: a valid token tile exists
+    AND the batch is wide enough that per-pallas_call overhead wins
+    over XLA's fused executable (MIN_TOKENS; single-query latency
+    dispatches stay on the flax tower)."""
+    return b * s >= MIN_TOKENS and _tile_tokens(b, s) > 0
