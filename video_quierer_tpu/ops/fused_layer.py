@@ -248,30 +248,42 @@ def _attn_math(x2, idr_ref, idc_ref, ln_ref, wqkv_ref, bqkv_ref,
 
 
 def _mlp_math(x3, ln_ref, ln_off: int, wfc1_ref, bfc1_ref, wfc2_ref,
-              bfc2_ref, *, eps: float):
-    """LN2 → MLP (quick-GELU) → residual."""
+              bfc2_ref, *, eps: float, act: str):
+    """LN2 → MLP (quick-GELU or tanh-GELU) → residual.
+
+    Both activations are written as explicit exps: Mosaic's
+    lax.logistic/tanh lowerings broadcast an f32 constant into a bf16
+    vector and fail kernel verification on hardware (caught by
+    tpu_smoke; interpreter mode accepts them).
+    - quick_gelu (CLIP):  x·σ(1.702x) = x / (1 + e^(-1.702x))
+    - gelu_tanh (SigLIP): 0.5x(1+tanh(u)) = x·σ(2u) = x / (1 + e^(-2u))
+      with u = √(2/π)·(x + 0.044715·x³) — algebraically identical to
+      jax.nn.gelu(approximate=True).
+    """
     dtype = x3.dtype
     z = _ln_f32(x3, ln_ref[ln_off:ln_off + 1],
                 ln_ref[ln_off + 1:ln_off + 2], eps, dtype)
     h1 = _dot(z, wfc1_ref, bfc1_ref, dtype)
-    # quick-GELU x·σ(1.702x) written as an explicit exp: Mosaic's
-    # lax.logistic lowering broadcasts an f32 constant into a bf16
-    # vector and fails kernel verification on hardware (caught by
-    # tpu_smoke; interpreter mode accepts it)
-    h1 = h1 * (1.0 / (1.0 + jnp.exp(-1.702 * h1)))
+    if act == "quick_gelu":
+        h1 = h1 * (1.0 / (1.0 + jnp.exp(-1.702 * h1)))
+    elif act == "gelu_tanh":
+        u = 0.7978845608028654 * (h1 + 0.044715 * (h1 * h1 * h1))
+        h1 = h1 * (1.0 / (1.0 + jnp.exp(-2.0 * u)))
+    else:  # pragma: no cover - guarded by the eligibility gates
+        raise ValueError(f"unsupported fused-layer activation {act!r}")
     return x3 + _dot(h1, wfc2_ref, bfc2_ref, dtype)
 
 
 def _layer_kernel(idr_ref, idc_ref, x_ref, ln_ref, wqkv_ref, bqkv_ref,
                   wout_ref, bout_ref, wfc1_ref, bfc1_ref, wfc2_ref,
                   bfc2_ref, o_ref, *, heads: int, eps: float,
-                  causal: bool):
+                  causal: bool, act: str):
     """One grid step: a full encoder block over a flat ``[t, D]`` tile."""
     x3 = _attn_math(x_ref[:], idr_ref, idc_ref, ln_ref, wqkv_ref,
                     bqkv_ref, wout_ref, bout_ref, heads=heads, eps=eps,
                     causal=causal)
     o_ref[...] = _mlp_math(x3, ln_ref, 2, wfc1_ref, bfc1_ref, wfc2_ref,
-                           bfc2_ref, eps=eps)
+                           bfc2_ref, eps=eps, act=act)
 
 
 def _attn_half_kernel(idr_ref, idc_ref, x_ref, ln_ref, wqkv_ref,
@@ -286,18 +298,18 @@ def _attn_half_kernel(idr_ref, idc_ref, x_ref, ln_ref, wqkv_ref,
 
 
 def _mlp_half_kernel(x_ref, ln_ref, wfc1_ref, bfc1_ref, wfc2_ref,
-                     bfc2_ref, o_ref, *, eps: float):
+                     bfc2_ref, o_ref, *, eps: float, act: str):
     """Split mode, second half: LN2 → MLP → residual."""
     o_ref[...] = _mlp_math(x_ref[:], ln_ref, 2, wfc1_ref, bfc1_ref,
-                           wfc2_ref, bfc2_ref, eps=eps)
+                           wfc2_ref, bfc2_ref, eps=eps, act=act)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "eps", "causal",
+                   static_argnames=("heads", "eps", "causal", "act",
                                     "interpret"))
 def _fused_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
                       bfc1, wfc2, bfc2, *, heads: int, eps: float,
-                      causal: bool, interpret: bool):
+                      causal: bool, act: str, interpret: bool):
     big_t, d = x2.shape
     f = wfc1.shape[1]
     t = idr.shape[0]
@@ -311,7 +323,7 @@ def _fused_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
     n_layer_flops = 2 * t * (4 * d * d + 2 * f * d) + 4 * t * t * d
     return pl.pallas_call(
         functools.partial(_layer_kernel, heads=heads, eps=eps,
-                          causal=causal),
+                          causal=causal, act=act),
         out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
         grid=(big_t // t,),
         in_specs=[
@@ -335,11 +347,11 @@ def _fused_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("heads", "eps", "causal",
+                   static_argnames=("heads", "eps", "causal", "act",
                                     "interpret"))
 def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
                       bfc1, wfc2, bfc2, *, heads: int, eps: float,
-                      causal: bool, interpret: bool):
+                      causal: bool, act: str, interpret: bool):
     """Split mode: the encoder block as TWO pallas_calls (attention
     half, MLP half) for towers whose full weight set exceeds the VMEM
     budget. The residual stream makes one HBM round-trip between the
@@ -376,7 +388,7 @@ def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
         ),
     )(idr, idc, x2, ln, wqkv, bqkv, wout, bout)
     return pl.pallas_call(
-        functools.partial(_mlp_half_kernel, eps=eps),
+        functools.partial(_mlp_half_kernel, eps=eps, act=act),
         out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
         grid=(big_t // t,),
         in_specs=[
@@ -429,7 +441,7 @@ def _item_ids(t: int, s: int) -> Tuple[jax.Array, jax.Array]:
 
 def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
                 eps: float, s: int, t: int, dtype, causal: bool,
-                mlp_ratio: int):
+                mlp_ratio: int, act: str = "quick_gelu"):
     interpret = _pallas_mode() == "interpret"
     call = (_fused_layer_call
             if _layer_mode(x2.shape[1], mlp_ratio, dtype) == "full"
@@ -439,7 +451,7 @@ def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
         ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
                               dtype)
         x2 = call(x2, idr, idc, *ops, heads=heads, eps=eps,
-                  causal=causal, interpret=interpret)
+                  causal=causal, act=act, interpret=interpret)
     return x2
 
 
