@@ -313,6 +313,40 @@ def main() -> None:
     print(f"[smoke] fused-layer vision tower (split mode) == flax tower "
           f"(min cos {cos.min():.6f})")
 
+    # fused SigLIP towers (second family: 768-wide split kernels,
+    # gelu_tanh explicit-exp activation, non-causal text) vs flax
+    from video_quierer_tpu.models.siglip.fused import (
+        fused_siglip_text_encode, fused_siglip_vision_encode)
+    from video_quierer_tpu.models.siglip.model import (
+        SigLIP, siglip_base_patch16, siglip_init_params)
+    scfg = siglip_base_patch16()
+    smodel = SigLIP(scfg, dtype=jnp.bfloat16)
+    sparams = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a,
+        siglip_init_params(smodel, seed=0))
+    sids = jnp.asarray(rng.integers(
+        1, scfg.text.vocab_size - 1,
+        size=(8, scfg.text.context_length)).astype(np.int32))
+    ref = np.asarray(smodel.apply({"params": sparams}, sids,
+                                  method=SigLIP.encode_text))
+    got = np.asarray(fused_siglip_text_encode(sparams, sids, cfg=scfg,
+                                              dtype=jnp.bfloat16))
+    cos = np.sum(got * ref, axis=-1)
+    assert not np.isnan(got).any() and cos.min() > 0.999, cos.min()
+    print(f"[smoke] fused SigLIP text tower == flax "
+          f"(min cos {cos.min():.6f})")
+    spix = jnp.asarray(rng.standard_normal((8, 224, 224, 3))
+                       .astype(np.float32))
+    ref = np.asarray(smodel.apply({"params": sparams}, spix,
+                                  method=SigLIP.encode_image))
+    got = np.asarray(fused_siglip_vision_encode(sparams, spix, cfg=scfg,
+                                                dtype=jnp.bfloat16))
+    cos = np.sum(got * ref, axis=-1)
+    assert not np.isnan(got).any() and cos.min() > 0.999, cos.min()
+    print(f"[smoke] fused SigLIP vision tower == flax "
+          f"(min cos {cos.min():.6f})")
+
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")
 
 

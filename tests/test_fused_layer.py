@@ -210,6 +210,76 @@ def test_split_mode_matches_full(rng, monkeypatch):
         importlib.reload(fl)
 
 
+def _small_siglip_cfg():
+    from video_quierer_tpu.models.siglip.model import (
+        SigLIPConfig, SigLIPTextConfig, SigLIPVisionConfig)
+    return SigLIPConfig(
+        name="test-small-siglip",
+        vision=SigLIPVisionConfig(image_size=32, patch_size=8,
+                                  hidden_size=128, num_layers=2,
+                                  num_heads=2),
+        text=SigLIPTextConfig(vocab_size=256, context_length=16,
+                              hidden_size=128, num_layers=2,
+                              num_heads=2),
+    )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_siglip_matches_flax(rng, dtype):
+    """Both SigLIP towers (non-causal, gelu_tanh, last-token / MAP-head
+    pooling) through the fused-layer kernels vs the flax oracle."""
+    from video_quierer_tpu.models.siglip.fused import (
+        fused_siglip_text_encode, fused_siglip_vision_encode)
+    from video_quierer_tpu.models.siglip.model import (
+        SigLIP, siglip_init_params)
+    cfg = _small_siglip_cfg()
+    model = SigLIP(cfg, dtype=dtype)
+    params = siglip_init_params(model, seed=4)
+    if dtype == jnp.bfloat16:
+        params = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+    ids = jnp.asarray(
+        rng.integers(1, cfg.text.vocab_size - 1,
+                     size=(8, cfg.text.context_length)).astype(np.int32))
+    ref_t = np.asarray(model.apply({"params": params}, ids,
+                                   method=SigLIP.encode_text))
+    got_t = np.asarray(fused_siglip_text_encode(params, ids, cfg=cfg,
+                                                dtype=dtype))
+    pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
+                         .astype(np.float32))
+    ref_v = np.asarray(model.apply({"params": params}, pixels,
+                                   method=SigLIP.encode_image))
+    got_v = np.asarray(fused_siglip_vision_encode(params, pixels,
+                                                  cfg=cfg, dtype=dtype))
+    for got, ref in ((got_t, ref_t), (got_v, ref_v)):
+        assert got.shape == ref.shape and not np.isnan(got).any()
+        if dtype == jnp.float32:
+            np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+        else:
+            assert np.sum(got * ref, axis=-1).min() > 0.999
+        np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
+                                   rtol=1e-5)
+
+
+def test_siglip_real_width_split_eligible():
+    """The real SigLIP towers (768-wide) are fused-eligible via SPLIT
+    mode in bf16, and the per-call gates admit the serving buckets."""
+    from video_quierer_tpu.models.siglip.model import siglip_base_patch16
+    from video_quierer_tpu.ops.fused_layer import (
+        _layer_mode, fused_batch_eligible, fused_text_tower_eligible,
+        fused_vision_tower_eligible)
+    cfg = siglip_base_patch16()
+    assert fused_text_tower_eligible(cfg.text, jnp.bfloat16)
+    assert fused_vision_tower_eligible(cfg.vision, jnp.bfloat16)
+    assert _layer_mode(768, 4, jnp.bfloat16) == "split"
+    # text context 64: batches >= 4 clear MIN_TOKENS; image buckets
+    # tile at s=196 (bt=2 -> t=392)
+    assert fused_batch_eligible(8, 64)
+    assert not fused_batch_eligible(1, 64)
+    assert fused_batch_eligible(32, 196)
+
+
 def test_embedder_uses_fused_path(rng, monkeypatch):
     """End to end through CLIPEmbedder.embed_texts: fused on, fused off
     and the flax tower agree (the embedder is what serving calls)."""

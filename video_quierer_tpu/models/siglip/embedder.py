@@ -94,6 +94,14 @@ class SigLIPEmbedder:
             self.params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, self.params)
+        # fused-layer towers (ops/fused_layer.py via models/siglip/fused
+        # — SPLIT attn/MLP kernels at SigLIP's 768 width, gelu_tanh):
+        # same serving-only routing as CLIPEmbedder, per-call batch gate
+        from video_quierer_tpu.ops.fused_layer import (
+            fused_text_tower_eligible, fused_vision_tower_eligible)
+        self._fused_text = fused_text_tower_eligible(self.cfg.text, dtype)
+        self._fused_vision = fused_vision_tower_eligible(
+            self.cfg.vision, dtype)
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
         # stable identity for fused-executable caches (see CLIPEmbedder)
@@ -106,10 +114,24 @@ class SigLIPEmbedder:
     def _encode_image(self, params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=self.model.dtype,
                                   mean=SIGLIP_MEAN, std=SIGLIP_STD)
+        from video_quierer_tpu.ops.fused_layer import fused_batch_eligible
+        if self._fused_vision and fused_batch_eligible(
+                pixels.shape[0], self.cfg.vision.num_patches):
+            from video_quierer_tpu.models.siglip.fused import \
+                fused_siglip_vision_encode
+            return fused_siglip_vision_encode(params, pixels,
+                                              cfg=self.cfg,
+                                              dtype=self.model.dtype)
         return self.model.apply({"params": params}, pixels,
                                 method=SigLIP.encode_image)
 
     def _encode_text(self, params, ids):
+        from video_quierer_tpu.ops.fused_layer import fused_batch_eligible
+        if self._fused_text and fused_batch_eligible(*ids.shape):
+            from video_quierer_tpu.models.siglip.fused import \
+                fused_siglip_text_encode
+            return fused_siglip_text_encode(params, ids, cfg=self.cfg,
+                                            dtype=self.model.dtype)
         return self.model.apply({"params": params}, ids,
                                 method=SigLIP.encode_text)
 
