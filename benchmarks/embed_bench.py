@@ -23,7 +23,7 @@ def main() -> None:
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--model", default="b32",
-                        choices=["b32", "b16", "l14"])
+                        choices=["b32", "b16", "l14", "siglip"])
     args = parser.parse_args()
 
     import numpy as np
@@ -37,29 +37,63 @@ def main() -> None:
 
     print(f"backend: {jax.default_backend()}", file=sys.stderr)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = {"b32": vit_b_32, "b16": vit_b_16, "l14": vit_l_14}[args.model]()
-    model = CLIP(cfg, dtype=dtype)
-    params = init_params(model, seed=0)
 
-    # engine-true routing: CLIPEmbedder serves image encodes through the
-    # fused-layer vision tower (ops/fused_layer.py; split attn/MLP
-    # kernels for the 768-wide towers) when eligible — the bench applies
-    # the same rule (VQT_FUSED_LAYER=0 reverts to the flax tower)
+    # engine-true routing: the embedders serve image encodes through
+    # the fused-layer vision towers (ops/fused_layer.py; split attn/MLP
+    # kernels for the 768-wide layers) when eligible — the bench
+    # applies the same rule (VQT_FUSED_LAYER=0 reverts to flax)
     from video_quierer_tpu.ops.fused_layer import (
         fused_batch_eligible, fused_vision_encode,
         fused_vision_tower_eligible)
-    fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
-                and fused_batch_eligible(args.batch, cfg.vision.seq_len))
-    print(f"fused vision tower: {fused_ok}", file=sys.stderr)
+    if args.model == "siglip":
+        # second family (models/siglip): 196-patch tower + MAP head,
+        # SigLIP's [-1, 1] normalize
+        from video_quierer_tpu.models.siglip.fused import \
+            fused_siglip_vision_encode
+        from video_quierer_tpu.models.siglip.model import (
+            SigLIP, siglip_base_patch16, siglip_init_params)
+        from video_quierer_tpu.ops.preprocess import (SIGLIP_MEAN,
+                                                      SIGLIP_STD)
+        from video_quierer_tpu.models.siglip.fused import \
+            siglip_fused_vision_enabled
+        cfg = siglip_base_patch16()
+        model = SigLIP(cfg, dtype=dtype)
+        params = siglip_init_params(model, seed=0)
+        # engine-true: SigLIP serving defaults the fused vision tower
+        # OFF (measured slower; VQT_SIGLIP_FUSED_VISION=1 opts in)
+        fused_ok = (siglip_fused_vision_enabled()
+                    and fused_vision_tower_eligible(cfg.vision, dtype)
+                    and fused_batch_eligible(args.batch,
+                                             cfg.vision.num_patches))
+        print(f"fused vision tower: {fused_ok}", file=sys.stderr)
 
-    @jax.jit
-    def forward(params, frames_u8):
-        pixels = normalize_images(frames_u8, dtype=dtype)
-        if fused_ok:
-            return fused_vision_encode(params, pixels, cfg=cfg,
-                                       dtype=dtype)
-        return model.apply({"params": params}, pixels,
-                           method=CLIP.encode_image)
+        @jax.jit
+        def forward(params, frames_u8):
+            pixels = normalize_images(frames_u8, dtype=dtype,
+                                      mean=SIGLIP_MEAN, std=SIGLIP_STD)
+            if fused_ok:
+                return fused_siglip_vision_encode(params, pixels,
+                                                  cfg=cfg, dtype=dtype)
+            return model.apply({"params": params}, pixels,
+                               method=SigLIP.encode_image)
+    else:
+        cfg = {"b32": vit_b_32, "b16": vit_b_16,
+               "l14": vit_l_14}[args.model]()
+        model = CLIP(cfg, dtype=dtype)
+        params = init_params(model, seed=0)
+        fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
+                    and fused_batch_eligible(args.batch,
+                                             cfg.vision.seq_len))
+        print(f"fused vision tower: {fused_ok}", file=sys.stderr)
+
+        @jax.jit
+        def forward(params, frames_u8):
+            pixels = normalize_images(frames_u8, dtype=dtype)
+            if fused_ok:
+                return fused_vision_encode(params, pixels, cfg=cfg,
+                                           dtype=dtype)
+            return model.apply({"params": params}, pixels,
+                               method=CLIP.encode_image)
 
     # Distinct per-step batches, generated ON device (no host transfer,
     # and identical repeated dispatches can be memoized by the runtime —
@@ -99,7 +133,8 @@ def main() -> None:
         print(f"rep{rep}: {dt / args.steps * 1000:.1f} ms/batch",
               file=sys.stderr)
     fps = args.batch * args.steps / dt
-    gflop = {"b32": 4.36, "b16": 17.6, "l14": 80.7}[args.model]
+    gflop = {"b32": 4.36, "b16": 17.6, "l14": 80.7,
+             "siglip": 17.5}[args.model]
     flops = 2 * gflop * 1e9 * args.batch * args.steps  # fwd GFLOP/image
     print(f"model={args.model} batch={args.batch} dtype={args.dtype}: "
           f"{fps:.0f} frames/s/chip "

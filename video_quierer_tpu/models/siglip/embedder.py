@@ -97,11 +97,15 @@ class SigLIPEmbedder:
         # fused-layer towers (ops/fused_layer.py via models/siglip/fused
         # — SPLIT attn/MLP kernels at SigLIP's 768 width, gelu_tanh):
         # same serving-only routing as CLIPEmbedder, per-call batch gate
+        from video_quierer_tpu.models.siglip.fused import \
+            siglip_fused_vision_enabled
         from video_quierer_tpu.ops.fused_layer import (
             fused_text_tower_eligible, fused_vision_tower_eligible)
         self._fused_text = fused_text_tower_eligible(self.cfg.text, dtype)
-        self._fused_vision = fused_vision_tower_eligible(
-            self.cfg.vision, dtype)
+        # vision: measured slower fused (see siglip_fused_vision_enabled)
+        self._fused_vision = (siglip_fused_vision_enabled()
+                              and fused_vision_tower_eligible(
+                                  self.cfg.vision, dtype))
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
         # stable identity for fused-executable caches (see CLIPEmbedder)

@@ -18,6 +18,8 @@ epilogues stay XLA ops — they are one-shot, not per-layer.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
@@ -27,7 +29,19 @@ from video_quierer_tpu.ops.fused_layer import (
     _tile_tokens,
 )
 
-__all__ = ["fused_siglip_text_encode", "fused_siglip_vision_encode"]
+__all__ = ["fused_siglip_text_encode", "fused_siglip_vision_encode",
+           "siglip_fused_vision_enabled"]
+
+
+def siglip_fused_vision_enabled() -> bool:
+    """Serving default OFF for the SigLIP vision tower: fused measured
+    SLOWER than the flax tower here (3,791 vs 3,985 f/s, embed_bench
+    --model siglip batch 128 bf16, v5e 2026-08-19) — at 768 width the
+    per-op overhead fusion removes is small next to the bt=2 tile's
+    cross-item attention redundancy at s=196. (CLIP's s=50 vision tower
+    and SigLIP's s=64 text tower both measure ahead fused.) Opt back in
+    with VQT_SIGLIP_FUSED_VISION=1; tpu_smoke keeps checking parity."""
+    return _os.environ.get("VQT_SIGLIP_FUSED_VISION") == "1"
 
 
 def _ln_params(p, dtype=jnp.float32):
