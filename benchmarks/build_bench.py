@@ -55,6 +55,17 @@ def main() -> None:
     model = CLIP(vit_b_32(), dtype=dtype)
     params = init_params(model, seed=0)
 
+    # engine-true embed routing: the serving embedder runs image
+    # encodes through the fused-layer vision tower when eligible
+    # (ops/fused_layer.py; VQT_FUSED_LAYER=0 reverts)
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_batch_eligible, fused_vision_encode,
+        fused_vision_tower_eligible)
+    cfg = vit_b_32()
+    fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
+                and fused_batch_eligible(args.batch, cfg.vision.seq_len))
+    log(f"fused vision tower: {fused_ok}")
+
     @jax.jit
     def gen_embed(params, seed):
         # synthetic decode ON DEVICE: distinct uint8 frames per batch
@@ -63,6 +74,9 @@ def main() -> None:
             jax.random.PRNGKey(seed), (args.batch, 224, 224, 3), 0, 255,
             jnp.uint8)
         pixels = normalize_images(frames, dtype=dtype)
+        if fused_ok:
+            return fused_vision_encode(params, pixels, cfg=cfg,
+                                       dtype=dtype)
         return model.apply({"params": params}, pixels,
                            method=CLIP.encode_image)
 

@@ -127,7 +127,14 @@ def main() -> None:
         return feats / (jnp.linalg.norm(feats, axis=-1,
                                         keepdims=True) + 1e-10)
 
+    import os as _os_probe
+
     def _rerank(q, cand, e32):
+        if _os_probe.environ.get("VQT_RERANK_SORT") == "1":
+            # probe: ascending-id gather order (page-locality experiment
+            # for the XLA row gather); top-k below is order-independent
+            order = jnp.argsort(cand, axis=-1)
+            cand = jnp.take_along_axis(cand, order, axis=-1)
         rows = jnp.take(e32, jnp.clip(cand, 0, n_pad - 1), axis=0)
         exact = jnp.einsum("bfd,bd->bf", rows, q,
                            preferred_element_type=jnp.float32,
