@@ -140,7 +140,7 @@ def main() -> None:
 
     def _encode(params, ids):
         if _fused_text and fused_seq_eligible(ids.shape[1]) \
-                and fused_batch_eligible(*ids.shape):
+                and fused_batch_eligible(*ids.shape, jnp.bfloat16):
             return fused_text_encode(params, ids, cfg=cfg,
                                      dtype=jnp.bfloat16)
         feats = model.apply({"params": params}, ids,

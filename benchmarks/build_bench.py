@@ -63,7 +63,7 @@ def main() -> None:
         fused_vision_tower_eligible)
     cfg = vit_b_32()
     fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
-                and fused_batch_eligible(args.batch, cfg.vision.seq_len))
+                and fused_batch_eligible(args.batch, cfg.vision.seq_len, dtype))
     log(f"fused vision tower: {fused_ok}")
 
     @jax.jit

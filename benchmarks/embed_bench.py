@@ -64,7 +64,7 @@ def main() -> None:
         fused_ok = (siglip_fused_vision_enabled()
                     and fused_vision_tower_eligible(cfg.vision, dtype)
                     and fused_batch_eligible(args.batch,
-                                             cfg.vision.num_patches))
+                                             cfg.vision.num_patches, dtype))
         print(f"fused vision tower: {fused_ok}", file=sys.stderr)
 
         @jax.jit
@@ -83,7 +83,7 @@ def main() -> None:
         params = init_params(model, seed=0)
         fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
                     and fused_batch_eligible(args.batch,
-                                             cfg.vision.seq_len))
+                                             cfg.vision.seq_len, dtype))
         print(f"fused vision tower: {fused_ok}", file=sys.stderr)
 
         @jax.jit

@@ -139,6 +139,11 @@ def test_eligibility_gates(monkeypatch):
     assert fused_batch_eligible(256, 50)
     assert not fused_batch_eligible(256, 197)
     assert not fused_batch_eligible(1, 16)
+    # dtype-aware: f32 halves the token target, so a shape that tiles
+    # in bf16 (s=196 → bt=2, t=392) has NO f32 tile — the gate must
+    # reject it rather than let the encode divide by a zero tile
+    assert fused_batch_eligible(32, 196, jnp.bfloat16)
+    assert not fused_batch_eligible(32, 196, jnp.float32)
 
 
 def _small_vision_cfg():

@@ -211,7 +211,8 @@ class CLIPEmbedder:
                 self.model, params, pixels, mesh=self._pipe_mesh,
                 n_microbatches=self._pipe_microbatches)
         if self._fused_vision and fused_batch_eligible(
-                pixels.shape[0], self.cfg.vision.seq_len):
+                pixels.shape[0], self.cfg.vision.seq_len,
+                self.model.dtype):
             return fused_vision_encode(params, pixels, cfg=self.cfg,
                                        dtype=self.model.dtype)
         return self.model.apply({"params": params}, pixels,
@@ -219,7 +220,8 @@ class CLIPEmbedder:
 
     def _encode_text_fn(self, params, input_ids):
         if self._fused_text and fused_seq_eligible(input_ids.shape[1]) \
-                and fused_batch_eligible(*input_ids.shape):
+                and fused_batch_eligible(*input_ids.shape,
+                                         self.model.dtype):
             return fused_text_encode(params, input_ids, cfg=self.cfg,
                                      dtype=self.model.dtype)
         return self.model.apply({"params": params}, input_ids,

@@ -28,10 +28,20 @@ from video_quierer_tpu.models.clip.embedder import (
     _bucket_for,
 )
 from video_quierer_tpu.models.clip.tokenizer import HashTokenizer
+from video_quierer_tpu.models.siglip.fused import (
+    fused_siglip_text_encode,
+    fused_siglip_vision_encode,
+    siglip_fused_vision_enabled,
+)
 from video_quierer_tpu.models.siglip.model import (
     SigLIP,
     siglip_base_patch16,
     siglip_init_params,
+)
+from video_quierer_tpu.ops.fused_layer import (
+    fused_batch_eligible,
+    fused_text_tower_eligible,
+    fused_vision_tower_eligible,
 )
 from video_quierer_tpu.ops.preprocess import (
     SIGLIP_MEAN,
@@ -97,10 +107,6 @@ class SigLIPEmbedder:
         # fused-layer towers (ops/fused_layer.py via models/siglip/fused
         # — SPLIT attn/MLP kernels at SigLIP's 768 width, gelu_tanh):
         # same serving-only routing as CLIPEmbedder, per-call batch gate
-        from video_quierer_tpu.models.siglip.fused import \
-            siglip_fused_vision_enabled
-        from video_quierer_tpu.ops.fused_layer import (
-            fused_text_tower_eligible, fused_vision_tower_eligible)
         self._fused_text = fused_text_tower_eligible(self.cfg.text, dtype)
         # vision: measured slower fused (see siglip_fused_vision_enabled)
         self._fused_vision = (siglip_fused_vision_enabled()
@@ -118,11 +124,9 @@ class SigLIPEmbedder:
     def _encode_image(self, params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=self.model.dtype,
                                   mean=SIGLIP_MEAN, std=SIGLIP_STD)
-        from video_quierer_tpu.ops.fused_layer import fused_batch_eligible
         if self._fused_vision and fused_batch_eligible(
-                pixels.shape[0], self.cfg.vision.num_patches):
-            from video_quierer_tpu.models.siglip.fused import \
-                fused_siglip_vision_encode
+                pixels.shape[0], self.cfg.vision.num_patches,
+                self.model.dtype):
             return fused_siglip_vision_encode(params, pixels,
                                               cfg=self.cfg,
                                               dtype=self.model.dtype)
@@ -130,10 +134,8 @@ class SigLIPEmbedder:
                                 method=SigLIP.encode_image)
 
     def _encode_text(self, params, ids):
-        from video_quierer_tpu.ops.fused_layer import fused_batch_eligible
-        if self._fused_text and fused_batch_eligible(*ids.shape):
-            from video_quierer_tpu.models.siglip.fused import \
-                fused_siglip_text_encode
+        if self._fused_text and fused_batch_eligible(
+                *ids.shape, self.model.dtype):
             return fused_siglip_text_encode(params, ids, cfg=self.cfg,
                                             dtype=self.model.dtype)
         return self.model.apply({"params": params}, ids,

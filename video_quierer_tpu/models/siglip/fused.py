@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from video_quierer_tpu.ops.fused_layer import (
     _ln_f32,
+    _normalize_out,
     _run_layers,
     _tile_tokens,
 )
@@ -72,8 +73,7 @@ def fused_siglip_text_encode(params, input_ids: jax.Array, *, cfg,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dtype) \
         + head["bias"].astype(dtype)[None]
-    feats = feats.astype(jnp.float32)
-    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return _normalize_out(feats, dtype)
 
 
 def _map_head(tokens: jax.Array, hp, *, heads: int, eps: float,
@@ -134,5 +134,4 @@ def fused_siglip_vision_encode(params, pixel_values: jax.Array, *, cfg,
     feats = _map_head(x2.reshape(b, s, d), vp["head"],
                       heads=c.num_heads, eps=c.layer_norm_eps,
                       dtype=dtype)
-    feats = feats.astype(jnp.float32)
-    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return _normalize_out(feats, dtype)

@@ -99,8 +99,9 @@ def _pallas_mode() -> str:
 
 
 def _attn_weight_bytes(d: int, itemsize: int) -> int:
-    # qkv [D,3D] + out [D,D] + biases + LN rows
-    return (4 * d * d + 4 * d + 4 * d * 4) * itemsize
+    # qkv [D,3D] + out [D,D] + biases (tower dtype) + LN rows (always
+    # f32 — _layer_operands materializes them at 4 B/elem)
+    return (4 * d * d + 4 * d) * itemsize + 4 * d * 4
 
 
 def _mlp_weight_bytes(d: int, mlp_ratio: int, itemsize: int) -> int:
@@ -432,6 +433,15 @@ def _layer_operands(p: dict, dtype):
             mlp["fc2"]["bias"].reshape(1, -1).astype(dtype))
 
 
+def _normalize_out(feats: jax.Array, dtype) -> jax.Array:
+    """Shared fused-encode epilogue: round the projection output to the
+    tower dtype (the flax towers emit dtype activations), then L2
+    normalize in f32 (models/clip/model.py:_normalize_f32 documents why
+    a bf16 norm is not acceptable)."""
+    feats = feats.astype(dtype).astype(jnp.float32)
+    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+
 def _item_ids(t: int, s: int) -> Tuple[jax.Array, jax.Array]:
     """Local item-id operands for one tile: token j belongs to item
     j // s — identical for every tile because t is a multiple of s."""
@@ -443,9 +453,16 @@ def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
                 eps: float, s: int, t: int, dtype, causal: bool,
                 mlp_ratio: int, act: str = "quick_gelu"):
     interpret = _pallas_mode() == "interpret"
-    call = (_fused_layer_call
-            if _layer_mode(x2.shape[1], mlp_ratio, dtype) == "full"
-            else _split_layer_call)
+    mode = _layer_mode(x2.shape[1], mlp_ratio, dtype)
+    if not mode:
+        # callers gate on fused_*_tower_eligible, but budgets are
+        # env-mutable between init and call — fail loudly rather than
+        # launching over-budget kernels into an opaque Mosaic VMEM error
+        raise ValueError(
+            f"fused-layer weights for width {x2.shape[1]} exceed both "
+            "VQT_FUSED_LAYER_BUDGET and VQT_FUSED_HALF_BUDGET; use the "
+            "flax tower")
+    call = _fused_layer_call if mode == "full" else _split_layer_call
     idr, idc = _item_ids(t, s)
     for i in range(num_layers):
         ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
@@ -488,11 +505,8 @@ def fused_text_encode(params, input_ids: jax.Array, *, cfg,
     proj = params["text_projection"]["kernel"].astype(dtype)
     feats = jax.lax.dot_general(
         pooled, proj, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
-    # round to the tower dtype BEFORE the f32 normalize — the flax
-    # tower's projection emits dtype activations (_normalize_f32)
-    feats = feats.astype(jnp.float32)
-    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32)
+    return _normalize_out(feats, dtype)
 
 
 def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
@@ -537,16 +551,15 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
     proj = params["visual_projection"]["kernel"].astype(dtype)
     feats = jax.lax.dot_general(
         pooled, proj, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
-    # round to the tower dtype BEFORE the f32 normalize — the flax
-    # tower's projection emits dtype activations (_normalize_f32)
-    feats = feats.astype(jnp.float32)
-    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        preferred_element_type=jnp.float32)
+    return _normalize_out(feats, dtype)
 
 
-def fused_batch_eligible(b: int, s: int) -> bool:
+def fused_batch_eligible(b: int, s: int, dtype=jnp.bfloat16) -> bool:
     """Per-call gate shared by both towers: a valid token tile exists
-    AND the batch is wide enough that per-pallas_call overhead wins
-    over XLA's fused executable (MIN_TOKENS; single-query latency
-    dispatches stay on the flax tower)."""
-    return b * s >= MIN_TOKENS and _tile_tokens(b, s) > 0
+    FOR THIS DTYPE (f32 halves the token target — a shape can tile in
+    bf16 but not f32) AND the batch is wide enough that per-pallas_call
+    overhead wins over XLA's fused executable (MIN_TOKENS; single-query
+    latency dispatches stay on the flax tower)."""
+    return (b * s >= MIN_TOKENS
+            and _tile_tokens(b, s, jnp.dtype(dtype).itemsize) > 0)
