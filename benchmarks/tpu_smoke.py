@@ -313,6 +313,25 @@ def main() -> None:
     print(f"[smoke] fused-layer vision tower (split mode) == flax tower "
           f"(min cos {cos.min():.6f})")
 
+    # mesh-serving path: the fused encode under shard_map (params
+    # replicated, batch sharded over the data axis) — one real device
+    # still exercises pallas-inside-shard_map on hardware Mosaic
+    from jax.sharding import Mesh
+    from video_quierer_tpu.ops.fused_layer import fused_encode_shard_map
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    ids16 = rng.integers(1, cfg.text.vocab_size - 2, size=(64, 16))
+    ids16[:, -1] = cfg.text.vocab_size - 1
+    ids16 = jnp.asarray(ids16.astype(np.int32))
+    direct = np.asarray(fused_text_encode(params, ids16, cfg=cfg,
+                                          dtype=jnp.bfloat16))
+    sm = fused_encode_shard_map(
+        lambda p, i: fused_text_encode(p, i, cfg=cfg,
+                                       dtype=jnp.bfloat16),
+        mesh1, "data", in_ndim=2)
+    got = np.asarray(sm(params, ids16))
+    np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-5)
+    print("[smoke] shard_map'd fused text encode == direct (1-dev mesh)")
+
     # fused SigLIP towers (second family: 768-wide split kernels,
     # gelu_tanh explicit-exp activation, non-causal text) vs flax
     from video_quierer_tpu.models.siglip.fused import (

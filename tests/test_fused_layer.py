@@ -108,11 +108,14 @@ def test_eligibility_gates(monkeypatch):
     monkeypatch.setenv("VQT_FUSED_LAYER", "0")
     assert not fused_text_tower_eligible(cfg.text, jnp.bfloat16)
     monkeypatch.delenv("VQT_FUSED_LAYER")
-    # mesh serving keeps the XLA tower
+    # data meshes serve fused via shard_map; the GPipe tower keeps its
+    # own stage-sharded path
     devs = np.array(jax.devices()[:2])
     from jax.sharding import Mesh
-    assert not fused_text_tower_eligible(
+    assert fused_text_tower_eligible(
         cfg.text, jnp.bfloat16, Mesh(devs, ("data",)))
+    assert not fused_text_tower_eligible(
+        cfg.text, jnp.bfloat16, Mesh(devs, ("pipe",)))
     # the real b32 text tower: full-layer fusion in bf16; f32 doubles
     # the weight set past the full budget but the halves fit → split
     real = CLIPTextConfig()
@@ -283,6 +286,27 @@ def test_siglip_real_width_split_eligible():
     assert fused_batch_eligible(8, 64)
     assert not fused_batch_eligible(1, 64)
     assert fused_batch_eligible(32, 196)
+
+
+def test_embedder_mesh_fused_parity(monkeypatch):
+    """DP-mesh serving routes fused encodes per data-shard via
+    shard_map (params replicated) — outputs must match the meshless
+    flax tower. MIN_TOKENS is lowered so the 8-way shard split stays
+    eligible at a test-sized batch."""
+    import video_quierer_tpu.ops.fused_layer as fl
+    from jax.sharding import Mesh
+    monkeypatch.setattr(fl, "MIN_TOKENS", 1)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    emb_m = CLIPEmbedder(model_name="openai/clip-vit-base-patch32",
+                         dtype=jnp.bfloat16, mesh=mesh)
+    assert emb_m._fused_text
+    texts = [f"shard parity text {i}" for i in range(32)]
+    got = emb_m.embed_texts(texts)
+    monkeypatch.setenv("VQT_FUSED_LAYER", "0")
+    emb0 = CLIPEmbedder(model_name="openai/clip-vit-base-patch32",
+                        dtype=jnp.bfloat16)
+    ref = emb0.embed_texts(texts)
+    assert np.sum(got * ref, axis=-1).min() > 0.999
 
 
 def test_embedder_uses_fused_path(rng, monkeypatch):

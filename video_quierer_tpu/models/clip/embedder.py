@@ -34,6 +34,7 @@ from video_quierer_tpu.models.clip.tokenizer import (
 )
 from video_quierer_tpu.ops.fused_layer import (
     fused_batch_eligible,
+    fused_encode_shard_map,
     fused_seq_eligible,
     fused_text_encode,
     fused_text_tower_eligible,
@@ -186,7 +187,9 @@ class CLIPEmbedder:
         # per-op overhead floor was ~60% of the text encode at serving
         # seq lengths. Static eligibility here; per-call shape gates
         # (fused_seq_eligible / fused_batch_eligible) fall back to the
-        # flax towers. The pipelined (pp) image tower keeps its own path.
+        # flax towers. Under a DATA mesh the fused encode runs per shard
+        # via shard_map (_fused_shard_ok); the pipelined (pp) image
+        # tower keeps its own path.
         self._fused_text = fused_text_tower_eligible(
             self.cfg.text, dtype, mesh)
         self._fused_vision = (self._pipe_mesh is None
@@ -202,6 +205,15 @@ class CLIPEmbedder:
 
     # -- jitted cores ----------------------------------------------------
 
+    def _fused_shard_ok(self, b: int, s: int) -> bool:
+        """Mesh serving: the fused towers run per data-shard under
+        shard_map (ops/fused_layer.py:fused_encode_shard_map) — the
+        batch must split evenly and each SHARD must clear the per-call
+        gates."""
+        n = self._data_axis_size
+        return b % n == 0 and fused_batch_eligible(b // n, s,
+                                                   self.model.dtype)
+
     def _encode_image_fn(self, params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=self.model.dtype)
         if self._pipe_mesh is not None:
@@ -210,20 +222,35 @@ class CLIPEmbedder:
             return pipelined_encode_image(
                 self.model, params, pixels, mesh=self._pipe_mesh,
                 n_microbatches=self._pipe_microbatches)
-        if self._fused_vision and fused_batch_eligible(
-                pixels.shape[0], self.cfg.vision.seq_len,
-                self.model.dtype):
-            return fused_vision_encode(params, pixels, cfg=self.cfg,
-                                       dtype=self.model.dtype)
+        s = self.cfg.vision.seq_len
+        if self._fused_vision:
+            if self.mesh is None and fused_batch_eligible(
+                    pixels.shape[0], s, self.model.dtype):
+                return fused_vision_encode(params, pixels, cfg=self.cfg,
+                                           dtype=self.model.dtype)
+            if self.mesh is not None and self._fused_shard_ok(
+                    pixels.shape[0], s):
+                fn = fused_encode_shard_map(
+                    lambda p, px: fused_vision_encode(
+                        p, px, cfg=self.cfg, dtype=self.model.dtype),
+                    self.mesh, self.data_axis, in_ndim=4)
+                return fn(params, pixels)
         return self.model.apply({"params": params}, pixels,
                                 method=CLIP.encode_image)
 
     def _encode_text_fn(self, params, input_ids):
-        if self._fused_text and fused_seq_eligible(input_ids.shape[1]) \
-                and fused_batch_eligible(*input_ids.shape,
-                                         self.model.dtype):
-            return fused_text_encode(params, input_ids, cfg=self.cfg,
-                                     dtype=self.model.dtype)
+        b, s = input_ids.shape
+        if self._fused_text and fused_seq_eligible(s):
+            if self.mesh is None and fused_batch_eligible(
+                    b, s, self.model.dtype):
+                return fused_text_encode(params, input_ids, cfg=self.cfg,
+                                         dtype=self.model.dtype)
+            if self.mesh is not None and self._fused_shard_ok(b, s):
+                fn = fused_encode_shard_map(
+                    lambda p, ids: fused_text_encode(
+                        p, ids, cfg=self.cfg, dtype=self.model.dtype),
+                    self.mesh, self.data_axis, in_ndim=2)
+                return fn(params, input_ids)
         return self.model.apply({"params": params}, input_ids,
                                 method=CLIP.encode_text)
 

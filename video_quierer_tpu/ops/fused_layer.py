@@ -129,9 +129,9 @@ def _width_eligible(d: int, heads: int, mlp_ratio: int, dtype,
         return False
     if _os.environ.get("VQT_FUSED_LAYER") == "0":  # A/B + escape hatch
         return False
-    if mesh is not None:
-        # a pallas_call inside a jit over sharded operands needs
-        # shard_map; mesh serving keeps the XLA tower
+    if mesh is not None and getattr(mesh, "shape", None) is not None \
+            and "pipe" in mesh.shape:
+        # the GPipe tower has its own stage-sharded path
         return False
     if d % 128 or d % heads:
         return False
@@ -553,6 +553,25 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
         pooled, proj, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return _normalize_out(feats, dtype)
+
+
+def fused_encode_shard_map(encode_fn, mesh, data_axis: str,
+                           in_ndim: int):
+    """Mesh serving path: run a fused encode per DATA shard under
+    ``shard_map`` (params replicated, batch axis sharded). A
+    ``pallas_call`` inside a jit over sharded operands requires
+    shard_map — without it XLA would gather the full batch onto every
+    device. ``encode_fn(params, x) -> [b_local, D]``; ``in_ndim`` is
+    the rank of ``x`` (2 for token ids, 4 for NHWC pixels). Callers
+    gate on ``b % mesh.shape[data_axis] == 0`` and per-SHARD batch
+    eligibility."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    in_spec = P(data_axis, *([None] * (in_ndim - 1)))
+    return shard_map(encode_fn, mesh=mesh,
+                     in_specs=(P(), in_spec),
+                     out_specs=P(data_axis, None),
+                     check_vma=False)
 
 
 def fused_batch_eligible(b: int, s: int, dtype=jnp.bfloat16) -> bool:
