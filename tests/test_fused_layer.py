@@ -288,6 +288,52 @@ def test_siglip_real_width_split_eligible():
     assert fused_batch_eligible(32, 196)
 
 
+def test_shard_map_vision_wrapper(rng):
+    """The 4-D (NHWC) shard_map wrapper: fused vision encode per data
+    shard == the direct call."""
+    from jax.sharding import Mesh
+    from video_quierer_tpu.ops.fused_layer import (
+        fused_encode_shard_map, fused_vision_encode)
+    cfg = _small_vision_cfg()
+    model = CLIP(cfg, dtype=jnp.float32)
+    params = init_params(model, seed=5)
+    # s=17 tiles only at bt=8, so each shard needs >= 8 items — 16
+    # items over a 2-device mesh (the embedder's _fused_shard_ok gates
+    # exactly this per-shard eligibility)
+    pixels = jnp.asarray(rng.standard_normal((16, 32, 32, 3))
+                         .astype(np.float32))
+    direct = np.asarray(fused_vision_encode(params, pixels, cfg=cfg,
+                                            dtype=jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    fn = fused_encode_shard_map(
+        lambda p, px: fused_vision_encode(p, px, cfg=cfg,
+                                          dtype=jnp.float32),
+        mesh, "data", in_ndim=4)
+    got = np.asarray(fn(params, pixels))
+    np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-5)
+
+
+def test_run_layers_rejects_overbudget(monkeypatch, rng):
+    """Weights fitting neither budget must fail loudly, not launch
+    over-budget kernels into an opaque Mosaic VMEM error."""
+    monkeypatch.setenv("VQT_FUSED_LAYER_BUDGET", "1")
+    monkeypatch.setenv("VQT_FUSED_HALF_BUDGET", "1")
+    import importlib
+    import video_quierer_tpu.ops.fused_layer as fl
+    importlib.reload(fl)
+    try:
+        cfg = _small_cfg()
+        model = CLIP(cfg, dtype=jnp.float32)
+        params = init_params(model, seed=6)
+        ids = jnp.asarray(_ids(rng, 4, 16, cfg.text.vocab_size))
+        with pytest.raises(ValueError, match="exceed both"):
+            fl.fused_text_encode(params, ids, cfg=cfg, dtype=jnp.float32)
+    finally:
+        monkeypatch.delenv("VQT_FUSED_LAYER_BUDGET")
+        monkeypatch.delenv("VQT_FUSED_HALF_BUDGET")
+        importlib.reload(fl)
+
+
 def test_embedder_mesh_fused_parity(monkeypatch):
     """DP-mesh serving routes fused encodes per data-shard via
     shard_map (params replicated) — outputs must match the meshless
