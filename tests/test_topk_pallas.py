@@ -136,6 +136,40 @@ def test_deferred_tie_break_across_macros(pallas_interpret, monkeypatch):
     np.testing.assert_array_equal(np.asarray(idxs)[0], [17, 3000, 5000])
 
 
+@pytest.mark.parametrize("layout", ["flat", "rows"])
+@pytest.mark.parametrize("dtype", ["bfloat16", "int8"])
+def test_b1_layouts_agree_quantized(rng, pallas_interpret, monkeypatch,
+                                    dtype, layout):
+    """The B=1 scan must rank correctly under BOTH scratch layouts for the
+    quantized dtypes (VQT_SCAN_B1_LAYOUT — the rows/MXU layout avoids the
+    flat path's in-kernel upcast; auto picks per dtype from hardware A/B)."""
+    from video_quierer_tpu.ops.quantize import quantize_rows
+    monkeypatch.setattr(topk_mod, "_SCAN_B1_LAYOUT", layout)
+    topk_mod._pallas_block_scan.clear_cache()
+    topk_mod._pallas_block_scan_int8.clear_cache()
+    n, valid, k = 3 * 1024, 2900, 6
+    emb = rng.standard_normal((n, 512), dtype=np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    q = rng.standard_normal((1, 512), dtype=np.float32)
+    q /= np.linalg.norm(q)
+    if dtype == "int8":
+        codes, scales = quantize_rows(jnp.asarray(emb))
+        vals, idxs = topk_mod.cosine_topk_int8(
+            codes, scales, jnp.asarray(q), valid, k=k)
+    else:
+        vals, idxs = topk_mod.cosine_topk(
+            jnp.asarray(emb, dtype=jnp.bfloat16), jnp.asarray(q), valid,
+            k=k)
+    vals, idxs = np.asarray(vals), np.asarray(idxs)
+    ov, oi = oracle_topk(emb, q[0], valid, 3 * k)
+    # quantized scores carry ~1e-2 error; candidates must come from the
+    # oracle's over-fetched set with close scores
+    assert set(idxs[0]) <= set(oi)
+    np.testing.assert_allclose(vals[0], ov[:k], atol=3e-2)
+    topk_mod._pallas_block_scan.clear_cache()
+    topk_mod._pallas_block_scan_int8.clear_cache()
+
+
 def test_deferred_selection_int8(rng, pallas_interpret, monkeypatch):
     from video_quierer_tpu.ops.quantize import quantize_rows
     monkeypatch.setattr(topk_mod, "SELECT_BLOCKS", 3)

@@ -212,8 +212,27 @@ def _macro_topk_rows(sc, slot, macro_base, valid, k: int
     return vals, idxs
 
 
-def _use_flat_layout(b: int) -> bool:
-    return b == 1 and SCAN_VPU_B1 and BLOCK_ROWS % _LANES == 0
+# B=1 scoring layout. "flat" is the exact f32 VPU multiply+lane-reduce
+# (SCAN_VPU_B1 above — avoids the MXU's fp32 multi-pass emulation,
+# measured ~1.4× faster for f32). The round-2 hypothesis that the flat
+# path's in-kernel bf16→f32 upcast explained the bf16 scan's 472 GB/s
+# (vs f32's 607) was REFUTED by a per-dtype A/B of flat vs the
+# rows/MXU layout (scan_bench --batch 1, back-to-back same session
+# 2026-08-19 ~19:30-19:55): bf16 flat 4.34 ms vs rows 4.54; f32 flat
+# 6.72 vs rows 7.29; int8 6.16 vs 6.18 (that window was heavily
+# contended — int8 read 2.5× its recorded 2.46 ms in BOTH layouts, so
+# only the within-session comparison stands). Flat stays the default
+# for every dtype; VQT_SCAN_B1_LAYOUT=rows forces the MXU layout for
+# future A/Bs. ``dtype`` is accepted so a per-dtype "auto" split can
+# be reintroduced if different hardware measures differently.
+_SCAN_B1_LAYOUT = _os.environ.get("VQT_SCAN_B1_LAYOUT", "auto")
+
+
+def _use_flat_layout(b: int, dtype=jnp.float32) -> bool:
+    del dtype  # auto resolved dtype-independent (see the A/B above)
+    if b != 1 or not SCAN_VPU_B1 or BLOCK_ROWS % _LANES != 0:
+        return False
+    return _SCAN_B1_LAYOUT != "rows"
 
 
 def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, sc_ref,
@@ -231,7 +250,7 @@ def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, sc_ref,
     blk = emb_ref.shape[0]
     b = qt_ref.shape[1]
     slot = jax.lax.rem(i, s)
-    flat = _use_flat_layout(b)
+    flat = _use_flat_layout(b, emb_ref.dtype)
     if flat:
         # exact f32 elementwise multiply + lane reduction — no 128-lane
         # rhs padding, no fp32 MXU emulation passes. The block is viewed
@@ -270,9 +289,9 @@ def _scan_kernel(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref, sc_ref,
 
 
 def _scan_grid_spec(d: int, b: int, k: int, n_blocks: int, s: int,
-                    extra_in_specs=()):
+                    extra_in_specs=(), dtype=jnp.float32):
     """Grid spec shared by the f32/bf16 and int8 deferred-selection scans."""
-    flat = _use_flat_layout(b)
+    flat = _use_flat_layout(b, dtype)
     scratch = (pltpu.VMEM((s, BLOCK_ROWS // _LANES, _LANES), jnp.float32)
                if flat else
                pltpu.VMEM((s, b, BLOCK_ROWS), jnp.float32))
@@ -311,7 +330,7 @@ def _pallas_block_scan(emb: jax.Array, qt: jax.Array, valid_count: jax.Array,
             jax.ShapeDtypeStruct((n_macros, b, k), jnp.float32),
             jax.ShapeDtypeStruct((n_macros, b, k), jnp.int32),
         ],
-        grid_spec=_scan_grid_spec(d, b, k, n_blocks, s),
+        grid_spec=_scan_grid_spec(d, b, k, n_blocks, s, dtype=emb.dtype),
         interpret=interpret,
         # grid steps are order-dependent (scratch accumulates across
         # steps; the macro's last step selects), so the single grid
@@ -337,7 +356,7 @@ def _scan_kernel_int8(valid_ref, emb_ref, scales_ref, qt_ref, vals_ref,
     blk = emb_ref.shape[0]
     b = qt_ref.shape[1]
     slot = jax.lax.rem(i, s)
-    flat = _use_flat_layout(b)
+    flat = _use_flat_layout(b, emb_ref.dtype)
     row_scale = scales_ref[:][:, 0]  # [blk]
     if flat:
         # B=1: exact f32 VPU multiply + lane reduce on the upcast codes
@@ -384,7 +403,8 @@ def _pallas_block_scan_int8(emb_i8: jax.Array, scales: jax.Array,
             jax.ShapeDtypeStruct((n_macros, b, k), jnp.int32),
         ],
         grid_spec=_scan_grid_spec(d, b, k, n_blocks, s,
-                                  extra_in_specs=(scales_spec,)),
+                                  extra_in_specs=(scales_spec,),
+                                  dtype=emb_i8.dtype),
         interpret=interpret,
         # grid steps are order-dependent (scratch accumulates across
         # steps; the macro's last step selects), so the single grid
