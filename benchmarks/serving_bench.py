@@ -24,6 +24,7 @@ Prints one JSON line on stdout; diagnostics to stderr.
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
@@ -43,8 +44,15 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--chunk", type=int, default=131072)
+    ap.add_argument("--resolvers", default="",
+                    help="comma list of VQT_COALESCE_RESOLVERS pool "
+                         "sizes to A/B within this one warm process "
+                         "(the coalescer is closed and re-created per "
+                         "size; empty = engine default)")
     args = ap.parse_args()
     thread_counts = [int(t) for t in str(args.threads).split(",")]
+    resolver_counts = ([int(r) for r in str(args.resolvers).split(",")]
+                       if args.resolvers else [None])
 
     import numpy as np
     import jax
@@ -160,7 +168,23 @@ def main() -> None:
             log(f"phase {phase}")
             return phase
 
-        phases = [run_phase(n) for n in thread_counts]
+        phases = []
+        for n_res in resolver_counts:
+            # A/B resolver-pool sizes inside ONE warm process: close the
+            # old coalescer (its executables are engine-owned and stay
+            # warm) and let search_coalesced lazily build a new one that
+            # reads the env at construction
+            if n_res is not None:
+                if eng._coalescer is not None:
+                    eng._coalescer.close()
+                    eng._coalescer = None
+                os.environ["VQT_COALESCE_RESOLVERS"] = str(n_res)
+                log(f"--- resolvers={n_res} ---")
+            for n in thread_counts:
+                phase = run_phase(n)
+                if n_res is not None:
+                    phase["resolvers"] = n_res
+                phases.append(phase)
         best = max(phases, key=lambda p: p["searches_per_s"])
         print(json.dumps({
             "metric": "engine_true_coalesced_serving",

@@ -140,6 +140,38 @@ def test_pipelined_with_interleaved_writer(engine):
     assert not errors
 
 
+def test_resolver_pool_concurrent(engine, monkeypatch):
+    """With a resolver POOL (the per-flush result fetch is RTT-bound, so
+    concurrent resolvers overlap the fetches) every request must still
+    match the direct path and shutdown must join every pool thread."""
+    monkeypatch.setenv("VQT_COALESCE_RESOLVERS", "3")
+    from video_quierer_tpu.engine.batching import SearchCoalescer
+    co = SearchCoalescer(engine, max_batch=4, max_wait_ms=2.0,
+                         pipeline_depth=3)
+    assert len(co._resolvers) == 3
+    results, errors = {}, []
+
+    def work(q):
+        try:
+            results[q] = co.search(q, k=3, use_cache=False)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    queries = [f"pool {i}" for i in range(24)]
+    threads = [threading.Thread(target=work, args=(q,)) for q in queries]
+    [t.start() for t in threads]
+    [t.join(timeout=120) for t in threads]
+    assert not errors and len(results) == len(queries)
+    for q in queries:
+        direct = engine.search(q, k=3, use_cache=False)
+        assert [r["frame_id"] for r in results[q]] == \
+            [r["frame_id"] for r in direct]
+    co.close()
+    for t in co._resolvers:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in co._resolvers)
+
+
 def test_pipeline_depth_zero_serial(tmp_path, monkeypatch):
     """VQT_COALESCE_PIPELINE=0 keeps the old fully-serial flush path."""
     monkeypatch.setenv("VQT_COALESCE_PIPELINE", "0")

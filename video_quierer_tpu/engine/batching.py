@@ -24,6 +24,17 @@ remote-tunnel TPU the result fetch alone is tens of milliseconds per
 flush; overlapping it with the next flush's host work converts the serving
 loop from sum-of-stages to max-of-stages.
 
+Resolution runs on a small thread POOL (``VQT_COALESCE_RESOLVERS``,
+default = pipeline depth): the per-flush result fetch is latency-bound
+(tens of milliseconds of transport RTT for a few hundred KB), so a
+single resolver serializes one RTT per flush no matter how far ahead
+the dispatcher runs — the pool overlaps the fetches so the serving
+cadence is set by max(dispatch host work, fetch RTT / pool size,
+device time) instead of the bare RTT. Futures are per-request and each
+flush's lock hand-off is self-contained, so cross-flush resolve order
+doesn't matter. On a co-located TPU host the fetch is cheap and the
+extra threads simply idle.
+
 Only FULL batches dispatch ahead. A partial batch whose window expired
 waits until nothing is in flight: the in-flight flush's threads are
 about to resubmit, and flushing early splits what would have been one
@@ -75,11 +86,16 @@ class SearchCoalescer:
         # _inflight_lock; read by the collection loop's partial-batch gate)
         self._inflight = 0
         self._inflight_lock = threading.Lock()
+        n_resolvers = int(os.environ.get("VQT_COALESCE_RESOLVERS", "0")) \
+            or self.pipeline_depth
+        self._resolvers = []
         if self.pipeline_depth:
-            self._resolver = threading.Thread(
-                target=self._resolve_loop, daemon=True,
-                name="search-coalescer-resolve")
-            self._resolver.start()
+            for i in range(max(1, n_resolvers)):
+                t = threading.Thread(
+                    target=self._resolve_loop, daemon=True,
+                    name=f"search-coalescer-resolve-{i}")
+                t.start()
+                self._resolvers.append(t)
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="search-coalescer")
         self._worker.start()
@@ -144,8 +160,8 @@ class SearchCoalescer:
                     break
                 batch.append(item)
             self._process(batch)
-        if self.pipeline_depth:
-            self._resolve_q.put(None)  # let the resolver drain, then exit
+        for _ in self._resolvers:   # let each resolver drain, then exit
+            self._resolve_q.put(None)
 
     def _process(self, batch) -> None:
         engine = self._engine
