@@ -91,6 +91,10 @@ def test_stats_shape(server):
     assert s["system_ready"] is True
     assert s["video_count"] == 2
     assert s["total_frames_indexed"] == 20
+    # the accuracy contract is API-visible (advisor round-2 remedy)
+    assert s["index_performance"]["accuracy_mode"] in (
+        "exact-f32-scan", "exact-f32-rerank", "approximate-ivf")
+    assert "device_dtype" in s["index_performance"]
 
 
 def test_search_response_shape(server):

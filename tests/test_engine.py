@@ -176,6 +176,13 @@ def test_stats_and_metrics(engine):
     assert s["total_frames_indexed"] == 20
     assert s["metrics"]["counters"]["searches"] >= 1
     assert "search_latency_ms" in s["metrics"]["histograms"]
+    # named accuracy contract: quantized default mirror -> exact
+    # f32 re-rank mode; f32 mirror -> exact scan outright
+    assert s["index"]["accuracy_mode"] == (
+        "exact-f32-scan"
+        if engine.config.index.device_dtype == "float32"
+        else "exact-f32-rerank")
+    assert s["index"]["device_dtype"] == engine.config.index.device_dtype
     prom = engine.metrics.export_prometheus()
     assert "video_search_searches" in prom
     assert "video_search_uptime_seconds" in prom

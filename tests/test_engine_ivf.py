@@ -42,6 +42,7 @@ def test_ivf_tier_builds_and_serves(ivf_engine):
     stats = eng.ann_stats()
     assert stats["kind"] == "ivf" and stats["active"]
     assert stats["nlist"] == 8 and stats["rows"] == 400
+    assert eng.accuracy_mode() == "approximate-ivf"
     res = eng.search("a dog in the park", k=5, use_cache=False)
     assert len(res) == 5
     assert all("formatted_time" in r for r in res)

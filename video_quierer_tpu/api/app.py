@@ -375,7 +375,11 @@ def _register_routes(app: web.Application) -> None:
             "video_count": s["video_count"],
             "total_frames_indexed": s["total_frames_indexed"],
             "index_performance": {
-                "embeddings_count": s["total_frames_indexed"]},
+                "embeddings_count": s["total_frames_indexed"],
+                # named accuracy contract (engine.accuracy_mode):
+                # quantized mirrors pre-filter approximately but every
+                # returned row is exactly re-ranked in f32
+                **s["index"]},
             "feature_extraction": {"processor_type": s["processor_type"]},
             "cache_performance": {"cache_exists": s["cache_exists"]},
             "metrics": {"total_videos": s["video_hashes_count"]},

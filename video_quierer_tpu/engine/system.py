@@ -783,6 +783,28 @@ class VideoSearchEngine:
     def ready(self) -> bool:
         return self._ready
 
+    def accuracy_mode(self) -> str:
+        """Named accuracy contract of the serving index (advisor round-2
+        remedy: the approximate-candidate contract is an API-visible
+        mode, not a config comment).
+
+        - ``exact-f32-scan``  — f32 mirror, full exact scan (byte-exact
+          reference ordering, video_search_overhaul.py:40-64).
+        - ``exact-f32-rerank`` — quantized (bf16/int8) mirror: the
+          candidate pre-filter is approximate but every returned row is
+          exactly re-ranked in f32 against the host/f32 row store;
+          clustered-corpus recall@10 = 1.000 at default knobs (permuted
+          mirror — see ``IndexConfig.device_dtype``).
+        - ``approximate-ivf`` — cluster-pruned ANN tier is live;
+          ``nprobe`` trades recall for traffic.
+        """
+        ann = self.ann_stats()
+        if ann.get("kind") == "ivf" and ann.get("active"):
+            return "approximate-ivf"
+        if self.config.index.device_dtype == "float32":
+            return "exact-f32-scan"
+        return "exact-f32-rerank"
+
     def stats(self) -> Dict:
         emb = self._embedder
         return {
@@ -794,5 +816,10 @@ class VideoSearchEngine:
             "video_hashes_count": len(self.index.video_hashes),
             "query_cache": self.query_cache.stats(),
             "ann": self.ann_stats(),
+            "index": {
+                "kind": self.config.index.kind,
+                "device_dtype": self.config.index.device_dtype,
+                "accuracy_mode": self.accuracy_mode(),
+            },
             "metrics": self.metrics.snapshot(),
         }
