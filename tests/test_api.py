@@ -204,6 +204,32 @@ def test_image_query_data_uri(server):
     assert len(r.json()["results"]) == 3
 
 
+def test_search_similar_endpoint(server):
+    seed = requests.post(server["base"] + "/api/search",
+                         json={"query": "a scene", "k": 1}
+                         ).json()["results"][0]
+    r = requests.post(server["base"] + "/api/search/similar",
+                      json={"video_name": seed["video_name"],
+                            "timestamp": seed["timestamp"], "k": 3})
+    assert r.status_code == 200
+    body = r.json()
+    assert set(body) == {"results", "search_time_ms", "from_cache",
+                         "query_id", "performance"}
+    assert len(body["results"]) == 3
+    assert not any(res["video_name"] == seed["video_name"]
+                   and res["frame_id"] == seed["frame_id"]
+                   for res in body["results"])
+    # unknown video -> 404; junk timestamp -> 422; missing name -> 400
+    assert requests.post(server["base"] + "/api/search/similar",
+                         json={"video_name": "ghost.mp4", "timestamp": 0}
+                         ).status_code == 404
+    assert requests.post(server["base"] + "/api/search/similar",
+                         json={"video_name": seed["video_name"],
+                               "timestamp": "junk"}).status_code == 422
+    assert requests.post(server["base"] + "/api/search/similar",
+                         json={"timestamp": 0}).status_code == 400
+
+
 def test_list_videos(server):
     r = requests.get(server["base"] + "/api/videos").json()
     assert r["count"] == 2

@@ -188,6 +188,31 @@ def test_stats_and_metrics(engine):
     assert "video_search_uptime_seconds" in prom
 
 
+def test_search_similar(engine):
+    engine.startup()
+    seed = engine.search("some scene", k=1, use_cache=False)[0]
+    res, from_cache = engine.search_similar_ex(
+        seed["video_name"], seed["timestamp"], k=5, use_cache=False)
+    assert len(res) == 5
+    # the seed frame itself is excluded
+    assert not any(r["video_name"] == seed["video_name"]
+                   and r["frame_id"] == seed["frame_id"] for r in res)
+    # results are descending and carry the standard schema
+    scores = [r["score"] for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert set(res[0]) == {"video_name", "timestamp", "frame_id",
+                           "score", "formatted_time"}
+    # the timestamp snaps to the nearest indexed frame: an off-grid seed
+    # timestamp resolves to the same row
+    res2 = engine.search_similar(seed["video_name"],
+                                 seed["timestamp"] + 1e-4, k=5,
+                                 use_cache=False)
+    assert [r["frame_id"] for r in res2] == [r["frame_id"] for r in res]
+    assert engine.metrics.snapshot()["counters"]["similar_searches"] >= 2
+    with pytest.raises(KeyError):
+        engine.search_similar("no_such_video.mp4", 0.0)
+
+
 def test_video_level_search(engine):
     engine.startup()
     res = engine.search_videos("overall content", k=2)

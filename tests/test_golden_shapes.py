@@ -91,6 +91,9 @@ def collect_shapes(base: str) -> dict:
             base + "/api/search/batch", json={"queries": ["a"], "k": 2}),
         "POST /api/search/videos": lambda: requests.post(
             base + "/api/search/videos", json={"query": "g", "k": 1}),
+        "POST /api/search/similar": lambda: requests.post(
+            base + "/api/search/similar",
+            json={"video_name": "g.mp4", "timestamp": 0.0, "k": 2}),
         "POST /search": lambda: requests.post(
             base + "/search", json={"query": "legacy", "k": 1}),
         "GET /api/videos": lambda: requests.get(base + "/api/videos"),

@@ -325,6 +325,7 @@ def _register_routes(app: web.Application) -> None:
                 "Configuration management",
                 "Cache optimization",
                 "Image queries (data URI)",
+                "Similar-moment search",
                 "Prometheus metrics",
             ],
             "endpoints": {
@@ -537,6 +538,41 @@ def _register_routes(app: web.Application) -> None:
         results, from_cache = await asyncio.to_thread(
             engine.search_by_vector_ex, vector, k,
             bool(body.get("use_cache", True)))
+        return _json({
+            "results": results,
+            "search_time_ms": (time.time() - t0) * 1000.0,
+            "from_cache": from_cache,
+            "query_id": str(uuid.uuid4()),
+            "performance": {"results_count": len(results)},
+        })
+
+    @routes.post("/api/search/similar")
+    async def api_search_similar(request: web.Request):
+        """'More like this': body ``{"video_name": str, "timestamp":
+        float, "k": 5}`` — vector search seeded by the indexed frame of
+        that video nearest the timestamp (seed excluded). The query
+        embedding comes from the index's own f32 rows, so no text/image
+        tower runs (engine.search_similar_ex)."""
+        try:
+            body = await request.json()
+            assert isinstance(body, dict)
+        except Exception:
+            return _error(422, "invalid JSON body")
+        video_name = str(body.get("video_name", "")).strip()
+        if not video_name:
+            return _error(400, "No video_name provided")
+        k = _parse_k(body)
+        try:
+            timestamp = float(body.get("timestamp", 0.0))
+        except (TypeError, ValueError):
+            return _error(422, "timestamp must be a number")
+        t0 = time.time()
+        try:
+            results, from_cache = await asyncio.to_thread(
+                engine.search_similar_ex, video_name, timestamp, k,
+                bool(body.get("use_cache", True)))
+        except KeyError:
+            return _error(404, f"Video not found in index: {video_name}")
         return _json({
             "results": results,
             "search_time_ms": (time.time() - t0) * 1000.0,

@@ -38,6 +38,8 @@ _ENDPOINTS = [
      "Video-level search (mean-frame ranking)", None),
     ("post", "/api/search/image", "search",
      "Image search by multipart upload", None),
+    ("post", "/api/search/similar", "search",
+     "Similar moments to an indexed frame (seed excluded)", None),
     ("post", "/search", "search", "Legacy search", None),
     ("post", "/api/videos/upload", "videos",
      "Upload and index a video (multipart; ?upload_id= enables progress "

@@ -709,6 +709,40 @@ class VideoSearchEngine:
             self.search(q, k=k, use_cache=True)
         return len(queries)
 
+    def search_similar_ex(self, video_name: str, timestamp: float,
+                          k: int = 5, use_cache: bool = True
+                          ) -> Tuple[List[Dict], bool]:
+        """'More like this': vector search seeded by the indexed frame
+        of ``video_name`` nearest ``timestamp``; the seed frame itself
+        is excluded from the results. Extends the restored image/vector
+        query family (src/video_search_system.py:284-289) to in-corpus
+        seeds — the query embedding is read straight from the index's
+        f32 host rows, so no tower forward runs.
+
+        Raises ``KeyError`` if the video has no indexed frames.
+        """
+        with self.lock.read():
+            row = self.index.nearest_frame(video_name, timestamp)
+            if row is None:
+                raise KeyError(video_name)
+            vec = self.index.frame_embedding(row)
+            seed = self.index.frame_info(row)
+        # over-fetch one so dropping the seed still fills k; the vector
+        # path takes its own read lock (RWLock reads don't nest across a
+        # queued writer)
+        results, from_cache = self.search_by_vector_ex(vec, k + 1,
+                                                       use_cache)
+        out = [r for r in results
+               if not (r["video_name"] == seed["video_name"]
+                       and r["frame_id"] == seed["frame_id"])][:k]
+        self.metrics.inc("similar_searches")
+        return out, from_cache
+
+    def search_similar(self, video_name: str, timestamp: float,
+                       k: int = 5, use_cache: bool = True) -> List[Dict]:
+        return self.search_similar_ex(video_name, timestamp, k,
+                                      use_cache)[0]
+
     def search_by_image_ex(self, image_rgb_u8: np.ndarray, k: int = 5
                            ) -> Tuple[List[Dict], bool]:
         """Query by raw image: resize→embed→vector search."""

@@ -333,6 +333,36 @@ class DeviceVideoIndex:
                 for i, name in enumerate(self._video_names)
                 if i < len(counts) and counts[i] > 0}
 
+    def nearest_frame(self, video_name: str, timestamp: float
+                      ) -> Optional[int]:
+        """Host row of ``video_name``'s indexed frame nearest
+        ``timestamp`` (``None`` if the video has no live rows). Seed
+        lookup for similar-moment search (engine.search_similar_ex)."""
+        vid = self._video_name_to_id.get(video_name)
+        if vid is None:
+            return None
+        rows = np.nonzero(self._video_ids[: self._count] == vid)[0]
+        if rows.size == 0:
+            return None
+        return int(rows[np.argmin(np.abs(self._timestamps[rows]
+                                         - float(timestamp)))])
+
+    def frame_embedding(self, row: int) -> np.ndarray:
+        """f32 embedding of live host row ``row`` (copied)."""
+        if not 0 <= row < self._count:
+            raise IndexError(f"row {row} out of range [0, {self._count})")
+        return self._emb[row].astype(np.float32, copy=True)
+
+    def frame_info(self, row: int) -> Dict:
+        """Metadata of live host row ``row`` (video/timestamp/frame id)."""
+        if not 0 <= row < self._count:
+            raise IndexError(f"row {row} out of range [0, {self._count})")
+        return {
+            "video_name": self._video_names[int(self._video_ids[row])],
+            "timestamp": float(self._timestamps[row]),
+            "frame_id": int(self._frame_ids[row]),
+        }
+
     def add_frame(self, embedding: np.ndarray, video_name: str,
                   timestamp: float) -> None:
         """Append one frame (ref: video_search_overhaul.py:31-38)."""
