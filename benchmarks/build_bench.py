@@ -38,6 +38,14 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--stream", default="device",
+                    choices=("device", "host", "off"),
+                    help="mirror streaming mode: 'device' = "
+                         "add_batch_device (features never leave the "
+                         "device — the engine default), 'host' = "
+                         "per-batch sync_mirror() from host, 'off' = "
+                         "lazy one-shot sync at first query (the "
+                         "round-3 behavior, for A/B)")
     args = ap.parse_args()
 
     import numpy as np
@@ -88,36 +96,51 @@ def main() -> None:
     _ = np.asarray(gen_embed(params, jnp.int32(0)))
     log(f"compile: {time.time() - t0:.1f}s")
 
-    frames_per_video = args.frames
+    fpv = args.frames
     t_start = time.time()
     done = 0
-    video_id = 0
-    carry = np.zeros((0, 512), np.float32)
     pending = []
     DEPTH = 4  # dispatch-ahead depth: overlap fetch with compute
     seed = 1
+    last_q = None
     while done < n_total or pending:
         while len(pending) < DEPTH and done + len(pending) * args.batch \
                 < n_total:
             pending.append(gen_embed(params, jnp.int32(seed)))
             seed += 1
-        feats = np.asarray(pending.pop(0))          # fetch oldest
-        done += feats.shape[0]
-        carry = np.concatenate([carry, feats]) if carry.size else feats
-        while carry.shape[0] >= frames_per_video:
-            idx.add_batch(carry[:frames_per_video], f"v{video_id}.mp4",
-                          (np.arange(frames_per_video) / 30.0).tolist())
-            carry = carry[frames_per_video:]
-            video_id += 1
-        if video_id and video_id % 1000 == 0 and carry.shape[0] == 0:
+        feats_dev = pending.pop(0)                  # oldest in flight
+        fetched = np.asarray(feats_dev)             # device→host fetch
+        b = fetched.shape[0]
+        start, done = done, done + b
+        # segment this batch's rows into their videos (a video can span
+        # batch boundaries; appends per video-segment, like the engine)
+        pos = 0
+        while pos < b and start + pos < n_total:
+            g = start + pos
+            v, in_v = g // fpv, g % fpv
+            n = min(fpv - in_v, b - pos, n_total - g)
+            stamps = ((in_v + np.arange(n)) / 30.0).tolist()
+            if args.stream == "device":
+                idx.add_batch_device(feats_dev, f"v{v}.mp4", stamps,
+                                     offset=pos, feats_np=fetched)
+            else:
+                idx.add_batch(fetched[pos: pos + n], f"v{v}.mp4",
+                              stamps)
+            pos += n
+        if args.stream == "host":
+            idx.sync_mirror()
+        last_q = fetched[-1]
+        vids = done // fpv
+        if vids and vids % 1000 == 0 and done % fpv == 0:
             el = time.time() - t_start
-            log(f"{video_id} videos / {done} frames in {el:.0f}s "
+            log(f"{vids} videos / {done} frames in {el:.0f}s "
                 f"({done / el:.0f} f/s)")
 
-    # one search proves the built index serves (also forces the device
-    # mirror sync the engine would do on first query)
+    # one search proves the built index serves (and, in 'off' mode,
+    # pays the one-shot mirror sync the engine used to do on first
+    # query; in streaming modes it must cost steady-state latency)
     t_sync = time.time()
-    q = np.asarray(carry[0] if carry.size else
+    q = np.asarray(last_q if last_q is not None else
                    np.random.default_rng(0).standard_normal(512),
                    np.float32)
     res = idx.search(q / np.linalg.norm(q), k=10)
@@ -133,6 +156,7 @@ def main() -> None:
         "wall_s": round(wall, 1),
         "frames_per_s": round(n_total / wall, 1),
         "first_query_sync_s": round(sync_s, 2),
+        "stream": args.stream,
         "scope": "device path at full scale: on-device synthetic decode "
                  "+ CLIP ViT-B/32 embed + feature fetch + real "
                  "DeviceVideoIndex append; decode tier measured "

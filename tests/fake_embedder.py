@@ -28,6 +28,14 @@ class FakeEmbedder:
             out[i] = v / (np.linalg.norm(v) + 1e-10)
         return out
 
+    def embed_frames_device(self, frames_u8: np.ndarray):
+        """Device-handle twin (models/clip/embedder.py contract) so the
+        engine's device-resident mirror append path is exercised in the
+        CPU suite, not just the host fallback."""
+        import jax.numpy as jnp
+        feats = self.embed_frames(frames_u8)
+        return jnp.asarray(feats), feats
+
     def embed_text(self, text: str) -> np.ndarray:
         seed = int.from_bytes(
             hashlib.md5(text.encode()).digest()[:8], "little")

@@ -87,6 +87,13 @@ class IngestConfig:
     # Brightness-band + Laplacian blur rejection on sampled frames
     # (frame_extractor.py:301-316 semantics, applied to the 224px crop).
     quality_filter: bool = False
+    # Stream the device mirror during ingest: after each append batch
+    # the new rows scatter to the device mirror immediately (bucketed,
+    # capacity growth is a device-side zeros-concat), so the first
+    # search after a large build pays steady-state latency instead of a
+    # one-shot multi-GB sync (measured 130.7 s at the 10k-video scale —
+    # BASELINE.md). Off = the reference-style lazy sync at first query.
+    stream_mirror: bool = True
 
 
 @dataclasses.dataclass
@@ -236,6 +243,8 @@ _ENV_OVERRIDES = {
     "VQT_SAMPLING_STRATEGY": ("ingest.sampling_strategy", str),
     "VQT_QUALITY_FILTER": ("ingest.quality_filter",
                            lambda v: v not in ("0", "false", "")),
+    "VQT_STREAM_MIRROR": ("ingest.stream_mirror",
+                          lambda v: v not in ("0", "false", "")),
     "VQT_CLIP_CHECKPOINT": ("model.checkpoint_dir", str),
     "VQT_MODEL_NAME": ("model.name", str),
     "VQT_DTYPE": ("model.dtype", str),

@@ -187,6 +187,25 @@ class VideoSearchEngine:
             self.metrics.inc("embed_fallbacks")
             return self._fallback_visual.embed_frames(frames_u8)
 
+    def embed_frames_device(self, frames_u8: np.ndarray):
+        """``(feats_dev, feats_np)``: device-resident features plus the
+        host copy (one fetch). ``feats_dev`` is None when the active
+        embedder can't hand back a device array (stats fallback) — the
+        caller then streams the mirror from host instead."""
+        emb = self._get_embedder()
+        if emb is None:
+            return None, self._fallback_visual.embed_frames(frames_u8)
+        try:
+            fn = getattr(emb, "embed_frames_device", None)
+            if fn is None:
+                return None, emb.embed_frames(frames_u8)
+            return fn(frames_u8)
+        except Exception:
+            logger.exception("CLIP embedding failed — falling back to "
+                             "visual statistics")
+            self.metrics.inc("embed_fallbacks")
+            return None, self._fallback_visual.embed_frames(frames_u8)
+
     def encode_text(self, query: str) -> np.ndarray:
         emb = self._get_embedder()
         if emb is None:
@@ -309,15 +328,35 @@ class VideoSearchEngine:
                     num_workers=ing.num_decode_workers,
                     prefetch=ing.prefetch_videos,
                     extract_fn=extract_fn):
+                feats_dev = None
                 with self.metrics.timer("embed_batch"):
-                    feats = self.embed_frames(batch.frames)
+                    if ing.stream_mirror:
+                        feats_dev, feats = self.embed_frames_device(
+                            batch.frames)
+                    else:
+                        feats = self.embed_frames(batch.frames)
                 pos = 0
                 for vidx, frames, stamps in group_by_video(batch):
                     n = frames.shape[0]
-                    self.index.add_batch(feats[pos: pos + n],
-                                         Path(videos[vidx]).name, stamps)
+                    if feats_dev is not None:
+                        # device-resident append: the mirror is fed by
+                        # on-device scatters straight from the embed
+                        # output — the features never re-cross the
+                        # host↔device link
+                        self.index.add_batch_device(
+                            feats_dev, Path(videos[vidx]).name, stamps,
+                            offset=pos, feats_np=feats)
+                    else:
+                        self.index.add_batch(feats[pos: pos + n],
+                                             Path(videos[vidx]).name,
+                                             stamps)
                     pos += n
                 added += len(batch)
+                if ing.stream_mirror and feats_dev is None:
+                    # host-path streaming: still per-batch, so the first
+                    # search after the build pays steady-state latency,
+                    # not a one-shot multi-GB sync
+                    self.index.sync_mirror()
                 self.metrics.inc("frames_embedded", len(batch))
             for video in videos:
                 if Path(video).exists():

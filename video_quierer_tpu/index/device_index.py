@@ -268,6 +268,7 @@ class DeviceVideoIndex:
         self._inv_perm: Optional[np.ndarray] = None
         self._perm_rows = 0            # prefix: host rows covered
         self._fy_rng: Optional[np.random.Generator] = None
+        self._fy_origin: Dict[int, int] = {}   # last batch's moved rows
         self._perm_dev: Optional[jax.Array] = None
         self._mirror_layout_cur = "id"  # layout of the CURRENT mirror
         # identity-layout f32 row store for the fused device re-rank
@@ -453,6 +454,50 @@ class DeviceVideoIndex:
         scales)."""
         return dev.at[pos].set(vals, mode="drop")
 
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("new_rows",))
+    def _grow_rows(old: jax.Array, *, new_rows: int) -> jax.Array:
+        """Device-side capacity growth: extend a mirror buffer with
+        zero rows WITHOUT re-uploading it through the host (the
+        streaming-build path — a full re-place of a 2 GB mirror costs
+        ~130 s through the 15 MB/s tunnel; this is one device-to-device
+        copy)."""
+        pad = jnp.zeros((new_rows - old.shape[0],) + old.shape[1:],
+                        old.dtype)
+        return jnp.concatenate([old, pad], axis=0)
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("new_rows",))
+    def _grow_iota(old: jax.Array, *, new_rows: int) -> jax.Array:
+        """Grow the perm column: positions past the old capacity are
+        dead under the live-prefix layout and hold identity, matching
+        the host-side arrangement (:meth:`_extend_perm_to`)."""
+        tail = jnp.arange(old.shape[0], new_rows, dtype=old.dtype)
+        return jnp.concatenate([old, tail], axis=0)
+
+    def _try_grow_mirror(self, cap: int, layout: str) -> bool:
+        """Grow the device mirror in place on a capacity increase
+        (single-device prefix/id layouts). Returns True when the mirror
+        was grown and the caller can proceed with its incremental
+        append path; False when a full re-place is required (mesh
+        shards, layout change, shrink/compaction)."""
+        if (self.mesh is not None or self._device_emb is None
+                or layout not in ("prefix", "id")
+                or self._mirror_layout_cur != layout
+                or cap <= self._device_cap
+                or self._device_rows > self._count):
+            return False
+        self._device_emb = self._grow_rows(self._device_emb,
+                                           new_rows=cap)
+        if self._device_scales is not None:
+            self._device_scales = self._grow_rows(self._device_scales,
+                                                  new_rows=cap)
+        if layout == "prefix" and self._perm_dev is not None:
+            self._perm_dev = self._grow_iota(self._perm_dev,
+                                             new_rows=cap)
+        self._device_cap = cap
+        return True
+
     def _mirror_permuted(self) -> bool:
         """Whether the device mirror should live under the row
         permutation: the bf16/int8 candidate modes, except under the
@@ -504,9 +549,22 @@ class DeviceVideoIndex:
 
         Returns the (unique, sorted) mirror positions whose content
         changed — at most ``2·n_new`` — or ``None`` when the arrangement
-        was rebuilt from scratch (capacity change, compaction, first
-        build: vectorized ``rng.permutation``; callers must re-place the
-        whole mirror, which those events force anyway)."""
+        was rebuilt from scratch (compaction, first build: vectorized
+        ``rng.permutation``; callers must re-place the whole mirror,
+        which those events force anyway). Capacity GROWTH preserves the
+        existing prefix arrangement (the Fisher–Yates insertion math
+        depends only on the prefix size, never on capacity), so the
+        device mirror can grow in place without a host re-upload
+        (:meth:`_grow_rows` — the streaming-build path)."""
+        if (self._perm is not None and self._fy_rng is not None
+                and self._perm_rows <= count
+                and cap > self._perm.shape[0]):
+            perm = np.arange(cap, dtype=np.int32)
+            perm[: self._perm_rows] = self._perm[: self._perm_rows]
+            inv = np.arange(cap, dtype=np.int32)
+            inv[perm[: self._perm_rows]] = np.arange(
+                self._perm_rows, dtype=np.int32)
+            self._perm, self._inv_perm = perm, inv
         if (self._perm is None or self._perm.shape[0] != cap
                 or self._perm_rows > count or self._fy_rng is None):
             rng = np.random.default_rng(0xC0FFEE ^ cap)
@@ -518,18 +576,29 @@ class DeviceVideoIndex:
             self._perm_rows = count
             self._fy_rng = rng
             self._perm_dev = None
+            self._fy_origin = {}
             return None
         if count == self._perm_rows:
+            self._fy_origin = {}
             return np.empty(0, np.int32)
         lo, hi = self._perm_rows, count
         perm, inv = self._perm, self._inv_perm
         js = self._fy_rng.integers(0, np.arange(lo, hi) + 1)
         changed = []
+        # For the device-resident append path (_stream_append_device):
+        # pre-batch mirror position of every OLD row displaced by this
+        # batch, so its bytes can be RELOCATED on device (one gather +
+        # scatter against the pre-batch buffer) instead of re-uploaded.
+        # Rows displaced more than once keep their first (= pre-batch)
+        # origin; rows < lo are old, rows >= lo are this batch's.
+        origin: Dict[int, int] = {}
         for i in range(hi - lo):
             m = lo + i   # prefix size before this insert == new host row
             j = int(js[i])
             if j != m:
                 disp = int(perm[j])
+                if disp < lo and disp not in origin:
+                    origin[disp] = j
                 perm[m] = disp
                 inv[disp] = m
                 perm[j] = m
@@ -540,6 +609,7 @@ class DeviceVideoIndex:
                 inv[m] = m
             changed.append(m)
         self._perm_rows = count
+        self._fy_origin = origin
         return np.unique(np.asarray(changed, np.int32))
 
     def _perm_arg(self) -> Optional[jax.Array]:
@@ -578,8 +648,10 @@ class DeviceVideoIndex:
             return
         changed: Optional[np.ndarray] = None
         if layout == "prefix":
-            if (self._device_emb is not None and self._device_cap == cap
+            if (self._device_emb is not None
                     and self._mirror_layout_cur == layout
+                    and (self._device_cap == cap
+                         or self._try_grow_mirror(cap, layout))
                     and 0 <= self._count - self._device_rows
                     <= self._UPDATE_BUCKETS[-1]):
                 changed = self._extend_perm_to(self._count, cap)
@@ -599,7 +671,9 @@ class DeviceVideoIndex:
             rows = np.zeros((bucket, self.dim), np.float32)
             rows[:n] = self._emb[self._perm[changed]]
             absmax = np.abs(rows).max(axis=-1, keepdims=True)
-            scales = (absmax / 127.0).astype(np.float32)
+            scales = absmax * np.float32(1.0 / 127.0)  # explicit f32
+            # multiply: bit-parity with the on-device quantize (XLA
+            # rewrites /127.0 as an inexact reciprocal multiply)
             safe = np.where(scales > 0, scales, 1.0)
             codes = np.clip(np.round(rows / safe), -127,
                             127).astype(np.int8)
@@ -616,7 +690,8 @@ class DeviceVideoIndex:
             return
         live = self._emb
         absmax = np.abs(live).max(axis=-1, keepdims=True)
-        scales = (absmax / 127.0).astype(np.float32)
+        scales = absmax * np.float32(1.0 / 127.0)  # explicit f32
+        # multiply: bit-parity with the on-device quantize
         safe = np.where(scales > 0, scales, 1.0)
         codes = np.clip(np.round(live / safe), -127, 127).astype(np.int8)
         if layout != "id":
@@ -663,7 +738,9 @@ class DeviceVideoIndex:
             if layout == "prefix":
                 self._perm_dev = jnp.asarray(self._perm)
 
-        if self._device_emb is None or self._device_cap != cap \
+        if self._device_emb is None \
+                or (self._device_cap != cap
+                    and not self._try_grow_mirror(cap, layout)) \
                 or self._device_rows > self._count \
                 or self._mirror_layout_cur != layout:
             # capacity change, compaction, or layout change → full upload
@@ -745,9 +822,15 @@ class DeviceVideoIndex:
 
     def _sync_device_f32(self) -> jax.Array:
         """Bring the identity-layout f32 row store up to date (same
-        incremental discipline as the mirror: full upload on capacity /
-        compaction change, bucketed ``dynamic_update_slice`` appends)."""
+        incremental discipline as the mirror: device-side grow on a
+        capacity increase, full upload on compaction, bucketed
+        ``dynamic_update_slice`` appends)."""
         cap = self._emb.shape[0]
+        if (self._device_f32 is not None and cap > self._f32_cap
+                and self._f32_rows <= self._count):
+            self._device_f32 = self._grow_rows(self._device_f32,
+                                               new_rows=cap)
+            self._f32_cap = cap
         if self._device_f32 is None or self._f32_cap != cap \
                 or self._f32_rows > self._count:
             self._device_f32 = jnp.asarray(self._emb, jnp.float32)
@@ -767,6 +850,238 @@ class DeviceVideoIndex:
                     self._device_f32, jnp.asarray(rows), jnp.int32(lo))
             self._f32_rows = self._count
         return self._device_f32
+
+    def sync_mirror(self) -> None:
+        """Eagerly bring every device mirror up to date.
+
+        The mirrors sync lazily at search time; on a large build that
+        turns the FIRST query into a one-shot multi-GB host→device
+        upload (measured 130.7 s at the 10k-video scale through the
+        15 MB/s tunnel — BASELINE.md). The ingest pipeline calls this
+        after each append batch instead, so rows stream to the device
+        as they land (bucketed scatters; capacity growth is a
+        device-side zeros-concat, never a re-upload) and the first
+        query costs the same as any other. The reference pays nothing
+        here only because it re-uploads the corpus per query
+        (video_search_overhaul.py:46)."""
+        if self._count == 0:
+            return
+        if self.device_dtype == "int8":
+            self._sync_device_int8()
+        else:
+            self._sync_device()
+        if (self.device_dtype in ("bfloat16", "int8")
+                and self._device_rerank_active()):
+            with self._sync_lock:
+                self._sync_device_f32()
+
+    # -- device-resident append (features never leave the device) ------
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _scatter_rows_from(dev: jax.Array, feats: jax.Array,
+                           src: jax.Array, dst: jax.Array) -> jax.Array:
+        """Scatter rows gathered FROM A DEVICE ARRAY (the embedder's
+        output) into the donated mirror — the bulk bytes never cross
+        host↔device. Pad entries carry ``dst == capacity`` (drop)."""
+        rows = jnp.take(feats, jnp.clip(src, 0, feats.shape[0] - 1),
+                        axis=0).astype(dev.dtype)
+        return dev.at[dst].set(rows, mode="drop")
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def _stream_bf16(dev, perm_col, feats, old_src, old_dst, old_ids,
+                     new_src, new_dst, new_ids):
+        """Device-resident bf16 prefix append: relocate the rows this
+        batch's Fisher–Yates inserts displaced (gather against the
+        pre-batch buffer) and cast+scatter the new rows straight from
+        the embedder's device output. All positions host-computed
+        (``_extend_perm_to``), all bulk data device-resident."""
+        cap = dev.shape[0]
+        moved = jnp.take(dev, jnp.clip(old_src, 0, cap - 1), axis=0)
+        dev = dev.at[old_dst].set(moved, mode="drop")
+        rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
+                        axis=0).astype(dev.dtype)
+        dev = dev.at[new_dst].set(rows, mode="drop")
+        perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
+        perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
+        return dev, perm_col
+
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def _stream_int8(codes, scales, perm_col, feats, old_src, old_dst,
+                     old_ids, new_src, new_dst, new_ids):
+        """int8 twin of :meth:`_stream_bf16`: quantization happens ON
+        DEVICE (bit-parity with the host path — both divide in f32)."""
+        cap = codes.shape[0]
+        osrc = jnp.clip(old_src, 0, cap - 1)
+        codes = codes.at[old_dst].set(jnp.take(codes, osrc, axis=0),
+                                      mode="drop")
+        scales = scales.at[old_dst].set(jnp.take(scales, osrc, axis=0),
+                                        mode="drop")
+        rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
+                        axis=0).astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+        scl = absmax * jnp.float32(1.0 / 127.0)
+        safe = jnp.where(scl > 0, scl, 1.0)
+        q = jnp.clip(jnp.round(rows / safe), -127, 127).astype(jnp.int8)
+        codes = codes.at[new_dst].set(q, mode="drop")
+        scales = scales.at[new_dst].set(scl, mode="drop")
+        perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
+        perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
+        return codes, scales, perm_col
+
+    def add_batch_device(self, feats, video_name: str,
+                         timestamps: Sequence[float], *,
+                         offset: int = 0,
+                         feats_np: Optional[np.ndarray] = None) -> None:
+        """Append rows whose embeddings ALREADY LIVE ON DEVICE.
+
+        The TPU-native ingest hot path: the embedder's output stays
+        device-resident and feeds every mirror by on-device
+        relocate/quantize/scatter — zero bulk host→device traffic (the
+        lazy path re-uploads bytes the device just produced; through
+        this environment's 15 MB/s tunnel that was the whole 130.7 s
+        first-query stall, and over PCIe it is still a wasted copy).
+        The host store — the authority for the pickle cache and the
+        exact re-rank contract — is fed by the device→host fetch the
+        engine performs anyway.
+
+        ``feats`` may hold more rows than this append uses:
+        ``feats[offset : offset + len(timestamps)]`` are appended, so
+        one fixed-shape embed batch can feed several per-video appends
+        without slicing (slices would compile one executable per video
+        length). Pass ``feats_np`` (the full batch fetched once) to
+        avoid a per-video device slice+fetch.
+        """
+        n = len(timestamps)
+        if n == 0:
+            return
+        if feats_np is None:
+            feats_np = np.asarray(feats, np.float32)
+        feats_np = np.asarray(feats_np[offset: offset + n], np.float32)
+        lo = self._count
+        self.add_batch(feats_np, video_name, timestamps)
+        with self._sync_lock:
+            self._stream_append_device_locked(feats, offset, n, lo)
+
+    def _stream_append_device_locked(self, feats, offset: int, n: int,
+                                     lo: int) -> None:
+        """Bring every active mirror up to date using device-resident
+        rows. Falls back to the host sync paths whenever the streaming
+        invariant can't be kept (mesh shards, oversized batch, mirror
+        created mid-corpus)."""
+        if self.mesh is not None:
+            return                       # sharded mirrors re-place lazily
+        cap = self._emb.shape[0]
+        layout = self._mirror_layout()
+        bkt = next((b for b in self._UPDATE_BUCKETS if n <= b), None)
+        quantized = self.device_dtype in ("bfloat16", "int8")
+
+        def host_fallback():
+            if self.device_dtype == "int8":
+                self._sync_device_int8_locked()
+            else:
+                self._sync_device_locked()
+
+        if bkt is None:
+            host_fallback()
+        else:
+            if self._device_emb is None and lo == 0:
+                # fresh build: materialize empty mirrors ON DEVICE
+                self._perm = None
+                self._extend_perm_to(0, cap)
+                if layout == "id":
+                    dt = jnp.float32 if self.device_dtype == "float32" \
+                        else jnp.bfloat16
+                    self._device_emb = jnp.zeros((cap, self.dim), dt)
+                else:
+                    dt = jnp.int8 if self.device_dtype == "int8" \
+                        else jnp.bfloat16
+                    self._device_emb = jnp.zeros((cap, self.dim), dt)
+                    if self.device_dtype == "int8":
+                        self._device_scales = jnp.zeros((cap, 1),
+                                                        jnp.float32)
+                    self._perm_dev = jnp.arange(cap, dtype=jnp.int32)
+                self._device_cap = cap
+                self._device_rows = 0
+                self._mirror_layout_cur = layout
+            if (self._device_emb is None
+                    or self._mirror_layout_cur != layout
+                    or (self._device_cap != cap
+                        and not self._try_grow_mirror(cap, layout))
+                    or self._device_rows != lo):
+                host_fallback()
+            elif layout == "id":
+                dst = np.full(bkt, cap, np.int32)
+                dst[:n] = np.arange(lo, lo + n, dtype=np.int32)
+                src = np.zeros(bkt, np.int32)
+                src[:n] = offset + np.arange(n, dtype=np.int32)
+                self._device_emb = self._scatter_rows_from(
+                    self._device_emb, feats, jnp.asarray(src),
+                    jnp.asarray(dst))
+                self._device_rows = lo + n
+            else:                         # prefix layout
+                changed = self._extend_perm_to(lo + n, cap)
+                if changed is None or self._perm_dev is None:
+                    host_fallback()
+                else:
+                    origin = self._fy_origin
+                    m = len(origin)
+                    old_ids = np.fromiter(origin.keys(), np.int32,
+                                          count=m)
+                    old_src = np.zeros(bkt, np.int32)
+                    old_src[:m] = np.fromiter(origin.values(), np.int32,
+                                              count=m)
+                    old_dst = np.full(bkt, cap, np.int32)
+                    old_dst[:m] = self._inv_perm[old_ids]
+                    old_ids_b = np.full(bkt, cap, np.int32)
+                    old_ids_b[:m] = old_ids
+                    new_ids = np.arange(lo, lo + n, dtype=np.int32)
+                    new_dst = np.full(bkt, cap, np.int32)
+                    new_dst[:n] = self._inv_perm[new_ids]
+                    new_src = np.zeros(bkt, np.int32)
+                    new_src[:n] = offset + np.arange(n, dtype=np.int32)
+                    new_ids_b = np.full(bkt, cap, np.int32)
+                    new_ids_b[:n] = new_ids
+                    args = (feats, jnp.asarray(old_src),
+                            jnp.asarray(old_dst), jnp.asarray(old_ids_b),
+                            jnp.asarray(new_src), jnp.asarray(new_dst),
+                            jnp.asarray(new_ids_b))
+                    if self.device_dtype == "int8":
+                        (self._device_emb, self._device_scales,
+                         self._perm_dev) = self._stream_int8(
+                            self._device_emb, self._device_scales,
+                            self._perm_dev, *args)
+                    else:
+                        self._device_emb, self._perm_dev = \
+                            self._stream_bf16(self._device_emb,
+                                              self._perm_dev, *args)
+                    self._device_rows = lo + n
+        # identity-layout f32 re-rank store rides the same device rows
+        if quantized and self._device_rerank_active():
+            if self._device_f32 is None and lo == 0:
+                self._device_f32 = jnp.zeros((cap, self.dim),
+                                             jnp.float32)
+                self._f32_cap = cap
+                self._f32_rows = 0
+            if (self._device_f32 is not None and cap > self._f32_cap
+                    and self._f32_rows <= self._count):
+                self._device_f32 = self._grow_rows(self._device_f32,
+                                                   new_rows=cap)
+                self._f32_cap = cap
+            if (bkt is None or self._device_f32 is None
+                    or self._f32_cap != cap or self._f32_rows != lo):
+                self._sync_device_f32()
+            else:
+                dst = np.full(bkt, cap, np.int32)
+                dst[:n] = np.arange(lo, lo + n, dtype=np.int32)
+                src = np.zeros(bkt, np.int32)
+                src[:n] = offset + np.arange(n, dtype=np.int32)
+                self._device_f32 = self._scatter_rows_from(
+                    self._device_f32, feats, jnp.asarray(src),
+                    jnp.asarray(dst))
+                self._f32_rows = lo + n
 
     # ------------------------------------------------------------------
     # Search

@@ -294,6 +294,48 @@ class CLIPEmbedder:
             out[pos: pos + m] = np.asarray(feats)[:m]
         return out
 
+    def embed_frames_device(self, frames_u8: np.ndarray):
+        """:meth:`embed_frames` that ALSO hands back the device-resident
+        features: ``(feats_dev [>=N, D], feats_np [N, D] f32)``.
+
+        The ingest hot path feeds the index's device mirrors straight
+        from ``feats_dev`` (DeviceVideoIndex.add_batch_device) — the
+        embeddings the device just produced are never re-uploaded to it.
+        ``feats_dev`` is padded to the chunk-bucket total; rows past N
+        are dead (the append's offset indexing never reads them).
+        """
+        frames_u8 = np.asarray(frames_u8, np.uint8)
+        n = frames_u8.shape[0]
+        if n == 0:
+            return None, np.zeros((0, self.embed_dim), np.float32)
+        out = np.empty((n, self.embed_dim), np.float32)
+        max_bucket = IMAGE_BUCKETS[-1]
+        pending = []
+        pos = 0
+        while pos < n:
+            chunk = frames_u8[pos: pos + max_bucket]
+            m = chunk.shape[0]
+            bucket = _bucket_for(m, IMAGE_BUCKETS)
+            if m < bucket:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((bucket - m,) + chunk.shape[1:],
+                                     np.uint8)])
+            batch = jnp.asarray(chunk)
+            if self._img_sharding is not None:
+                batch = jax.device_put(batch, self._img_sharding)
+            pending.append((pos, m, self._encode_image_jit(self.params,
+                                                           batch)))
+            pos += m
+        # interior chunks are always the max bucket (full), only the
+        # last is padded, so device row r == host row r for r < N and
+        # the concat needs no compaction
+        parts = [feats for _, _, feats in pending]
+        for pos, m, feats in pending:
+            out[pos: pos + m] = np.asarray(feats)[:m]
+        if len(parts) == 1:
+            return parts[0], out
+        return jnp.concatenate(parts, axis=0), out
+
     # engine fused paths call this before handing ids to the fused jit;
     # identity on embedders whose towers are not causal (SigLIP)
     prepare_text_ids = staticmethod(trim_text_ids)
@@ -397,6 +439,16 @@ class MemoizedEmbedder:
             while len(self._memo) > self.max_size:
                 self._memo.popitem(last=False)
         return out
+
+    def embed_frames_device(self, frames_u8: np.ndarray):
+        """Device-resident passthrough (no memoization: the streaming
+        mirror path needs the features ON DEVICE; memo hits would have
+        to be re-uploaded, defeating it — re-ingest dedup still applies
+        on the np path)."""
+        fn = getattr(self.inner, "embed_frames_device", None)
+        if fn is None:
+            return None, self.embed_frames(frames_u8)
+        return fn(frames_u8)
 
     def embed_text(self, text: str) -> np.ndarray:
         return self.inner.embed_text(text)

@@ -23,7 +23,10 @@ def quantize_rows(emb: jax.Array) -> Tuple[jax.Array, jax.Array]:
     and all-zero codes (capacity padding stays harmless).
     """
     absmax = jnp.max(jnp.abs(emb), axis=-1, keepdims=True)
-    scale = absmax / 127.0
+    # explicit reciprocal multiply: bit-parity with the host
+    # quantize paths (index/device_index.py) — XLA rewrites a
+    # divide-by-constant into an inexact reciprocal multiply
+    scale = absmax * jnp.float32(1.0 / 127.0)
     safe = jnp.where(scale > 0, scale, 1.0)
     q = jnp.clip(jnp.round(emb / safe), -127, 127).astype(jnp.int8)
     return q, scale.astype(jnp.float32)
