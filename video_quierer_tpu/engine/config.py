@@ -72,6 +72,12 @@ SAMPLING_STRATEGIES = ("interval", "uniform", "adaptive", "hybrid", "auto")
 class IngestConfig:
     batch_size: int = 256
     num_decode_workers: int = 4
+    # Opt-in PROCESS-pool decode (0 = thread pool): real decode
+    # parallelism on multi-core hosts — the decode tier (~420 source
+    # f/s/core at 720p) bounds whole-system ingest wherever Python-side
+    # sampling holds the GIL between decodes (ingest/pipeline.py:
+    # _make_pool; spawn context, deterministic frame order).
+    num_decode_procs: int = 0
     prefetch_videos: int = 8
     target_size: int = 224
     # Frame-sampling strategy (ingest/samplers.py — the dead path's
@@ -240,6 +246,7 @@ _ENV_OVERRIDES = {
     "VQT_THUMBNAIL_BASE_URL": ("thumbnail_base_url", str),
     "VQT_BATCH_SIZE": ("ingest.batch_size", int),
     "VQT_DECODE_WORKERS": ("ingest.num_decode_workers", int),
+    "VQT_DECODE_PROCS": ("ingest.num_decode_procs", int),
     "VQT_SAMPLING_STRATEGY": ("ingest.sampling_strategy", str),
     "VQT_QUALITY_FILTER": ("ingest.quality_filter",
                            lambda v: v not in ("0", "false", "")),

@@ -301,16 +301,19 @@ class VideoSearchEngine:
         # native-decoder-eligible fast path (extract_fn=None).
         extract_fn = None
         if ing.sampling_strategy != "interval" or ing.quality_filter:
-            from video_quierer_tpu.ingest.samplers import (
-                extract_frames_strategy)
+            import functools
 
-            def extract_fn(path, _cfg=cfg, _ing=ing):
-                return extract_frames_strategy(
-                    path, strategy=_ing.sampling_strategy,
-                    max_frames=_cfg.max_frames,
-                    sampling_mode=_cfg.sampling_mode,
-                    target_size=_ing.target_size,
-                    quality_filter=_ing.quality_filter)
+            from video_quierer_tpu.ingest.pipeline import strategy_extract
+
+            # partial of a module-level fn: picklable, so the opt-in
+            # process-pool decode tier can ship it to workers
+            extract_fn = functools.partial(
+                strategy_extract,
+                strategy=ing.sampling_strategy,
+                max_frames=cfg.max_frames,
+                sampling_mode=cfg.sampling_mode,
+                target_size=ing.target_size,
+                quality_filter=ing.quality_filter)
         added = 0
         with self.lock, self.metrics.timer("ingest"):
             # Re-ingesting a video replaces its rows. The reference
@@ -327,7 +330,8 @@ class VideoSearchEngine:
                     batch_size=ing.batch_size,
                     num_workers=ing.num_decode_workers,
                     prefetch=ing.prefetch_videos,
-                    extract_fn=extract_fn):
+                    extract_fn=extract_fn,
+                    num_procs=ing.num_decode_procs):
                 feats_dev = None
                 with self.metrics.timer("embed_batch"):
                     if ing.stream_mirror:

@@ -23,7 +23,9 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from concurrent.futures import ThreadPoolExecutor
+import multiprocessing
+import pickle
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
@@ -32,6 +34,49 @@ import numpy as np
 from video_quierer_tpu.ingest.frames import extract_frames
 
 logger = logging.getLogger(__name__)
+
+
+def _interval_extract(path: Path, max_frames: int, sampling_mode: str):
+    """Module-level default extractor (picklable, so the process pool
+    can ship it to decode workers)."""
+    return extract_frames(path, max_frames=max_frames,
+                          sampling_mode=sampling_mode)
+
+
+def strategy_extract(path: Path, **kw):
+    """Module-level strategy extractor (picklable twin of the engine's
+    sampler wiring — ingest/samplers.py)."""
+    from video_quierer_tpu.ingest.samplers import extract_frames_strategy
+    return extract_frames_strategy(path, **kw)
+
+
+def _make_pool(num_workers: int, num_procs: int, extract_fn):
+    """Decode pool: threads by default (OpenCV/FFmpeg release the GIL in
+    C++ decode), or an opt-in PROCESS pool (``num_procs > 0``) for hosts
+    where sampling runs Python-heavy strategies (adaptive/hybrid scene
+    detection holds the GIL in numpy between decodes) or the native tier
+    is unavailable. Decode cost scales with SOURCE frames (~420
+    f/s/core at 720p — BASELINE.md), so few-core hosts are decode-bound
+    and real parallelism needs processes.
+
+    Spawn context: fork would clone the parent's JAX/TPU runtime threads
+    mid-flight; spawned workers never initialize a JAX backend (decode
+    is numpy/OpenCV/FFmpeg only). Falls back to threads when the
+    extractor can't be pickled (closures), with a warning.
+    """
+    if num_procs > 0:
+        try:
+            pickle.dumps(extract_fn)
+        except Exception:
+            logger.warning(
+                "decode_processes=%d requested but the extractor is not "
+                "picklable (%r) — falling back to the thread pool",
+                num_procs, extract_fn)
+        else:
+            return ProcessPoolExecutor(
+                max_workers=num_procs,
+                mp_context=multiprocessing.get_context("spawn"))
+    return ThreadPoolExecutor(max_workers=num_workers)
 
 
 @dataclasses.dataclass
@@ -54,14 +99,22 @@ def batched_frames(video_paths: Sequence[Path],
                    num_workers: int = 4,
                    prefetch: int = 8,
                    extract_fn: Optional[ExtractFn] = None,
+                   num_procs: int = 0,
                    ) -> Iterator[FrameBatch]:
-    """Yield cross-video ``FrameBatch``es in deterministic video order."""
+    """Yield cross-video ``FrameBatch``es in deterministic video order.
+
+    ``num_procs > 0`` decodes in a spawn-context PROCESS pool instead of
+    threads (see :func:`_make_pool`); frame order, ``frame_id``
+    assignment, and batching are identical under any pool — consumption
+    follows submission order, never completion order.
+    """
     if not video_paths:
         return
     if extract_fn is None:
-        def extract_fn(path: Path):
-            return extract_frames(path, max_frames=max_frames,
-                                  sampling_mode=sampling_mode)
+        import functools
+        extract_fn = functools.partial(_interval_extract,
+                                       max_frames=max_frames,
+                                       sampling_mode=sampling_mode)
 
     buf_frames: List[np.ndarray] = []
     buf_vidx: List[int] = []
@@ -80,7 +133,7 @@ def batched_frames(video_paths: Sequence[Path],
             buf_vidx = buf_vidx[take:]
             buf_ts = buf_ts[take:]
 
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+    with _make_pool(num_workers, num_procs, extract_fn) as pool:
         futures = {}
         next_submit = 0
         next_consume = 0
