@@ -79,9 +79,11 @@ def main() -> None:
     from video_quierer_tpu.models.clip.model import CLIP, init_params
     from video_quierer_tpu.models.clip.tokenizer import load_tokenizer
     from video_quierer_tpu.models.clip.embedder import trim_text_ids
-    from video_quierer_tpu.ops.quantize import quantize_rows
+    from video_quierer_tpu.ops.quantize import (quantize_rows,
+                                                quantize_rows_int4)
     from video_quierer_tpu.ops.topk import (
-        BLOCK_ROWS, CAND_BLOCK_ROWS, candidate_topk, candidate_topk_int8)
+        BLOCK_ROWS, CAND_BLOCK_ROWS, candidate_topk, candidate_topk_int4,
+        candidate_topk_int8)
 
     log(f"backend: {jax.default_backend()}")
     # align to the index's capacity granularity so the fused candidate
@@ -110,8 +112,12 @@ def main() -> None:
     codes = jnp.take(codes_h, perm, axis=0)
     scales = jnp.take(scales_h, perm, axis=0)
     del codes_h, scales_h
+    codes4_h, scales4_h = quantize_rows_int4(emb)
+    codes4 = jnp.take(codes4_h, perm, axis=0)
+    scales4 = jnp.take(scales4_h, perm, axis=0)
+    del codes4_h, scales4_h
     valid = jnp.int32(args.rows)
-    for a in (emb16, codes, scales, perm):
+    for a in (emb16, codes, scales, codes4, scales4, perm):
         a.block_until_ready()
     log("corpus staged")
 
@@ -192,6 +198,12 @@ def main() -> None:
                                           perm=pm, prefix=prefix)
             return chk(_rerank(q, cand, e32))
 
+        def full4(ids, p, c, s, pm, e32):
+            q = _encode(ids, p).astype(jnp.float32)
+            _, cand = candidate_topk_int4(c, s, q, valid, k=fetch,
+                                          perm=pm, prefix=prefix)
+            return chk(_rerank(q, cand, e32))
+
         # builders, not built fns: orientation is read from the env at
         # TRACE time, so each measured orient needs a fresh jit
         from video_quierer_tpu.ops.fused_layer import (
@@ -219,6 +231,13 @@ def main() -> None:
                 lambda q, c, s, pm: chk(candidate_topk_int8(
                     c, s, q, valid, k=fetch, perm=pm, prefix=prefix)),
                 (codes, scales, perm)), qs),
+            *([("scan-int4", lambda: reg(
+                lambda q, c, s, pm: chk(candidate_topk_int4(
+                    c, s, q, valid, k=fetch, perm=pm, prefix=prefix)),
+                (codes4, scales4, perm)), qs),
+               ("full-int4", lambda: reg(
+                   full4, (params, codes4, scales4, perm, emb)), seqs)]
+              if prefix else []),
             ("rerank", lambda: reg(
                 lambda qc, e32: chk(_rerank(qc[0], qc[1], e32)),
                 (emb,)), list(zip(qs, cands))),

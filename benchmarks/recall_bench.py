@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Recall / latency table across index modes: exact f32, bf16, int8
+"""Recall / latency table across index modes: exact f32, bf16, int8, int4
 (+re-rank), IVF at several nprobe settings.
 
 Runs on CPU or TPU. Uses a clustered synthetic corpus (video frames are
@@ -60,7 +60,7 @@ def main() -> None:
     results = []
 
     # exact f32 / bf16 / int8 via DeviceVideoIndex modes
-    for mode in ("float32", "bfloat16", "int8"):
+    for mode in ("float32", "bfloat16", "int8", "int4"):
         idx = DeviceVideoIndex(device_dtype=mode)
         idx.add_batch(emb, "bench.mp4", np.arange(n, dtype=float))
 

@@ -126,7 +126,10 @@ class IndexConfig:
     # the fetch depth (default 128) tie that closely, the returned set
     # can differ from f32 mode inside that tie band. "float32" = exact
     # scan outright (byte-exact reference ordering); "int8" =
-    # quarter-traffic, same contract as bf16.
+    # quarter-traffic, same contract as bf16; "int4" = eighth-traffic
+    # packed nibbles (single-device tier — no corpus mesh), same
+    # exact-f32-rerank contract with a ~2× coarser candidate
+    # pre-filter that the deep fetch absorbs (recall_bench).
     device_dtype: str = "bfloat16"
     # search tier: "exact" = fused full scan (the default; exact-scan
     # mandate, SURVEY.md §6); "ivf" = cluster-pruned ANN (index/ivf.py,
@@ -223,6 +226,16 @@ class EngineConfig:
                 f"sampling_strategy must be one of {SAMPLING_STRATEGIES}")
         if self.index.kind not in ("exact", "ivf"):
             raise ValueError("index.kind must be 'exact' or 'ivf'")
+        if self.index.device_dtype not in ("float32", "bfloat16",
+                                           "int8", "int4"):
+            raise ValueError(
+                "index.device_dtype must be one of float32/bfloat16/"
+                "int8/int4")
+        if self.index.device_dtype == "int4" \
+                and self.index.corpus_shards > 1:
+            raise ValueError(
+                "index.device_dtype='int4' is the single-device tier — "
+                "corpus sharding requires 'int8' or 'bfloat16'")
         if self.index.device_rerank not in ("auto", "on", "off"):
             raise ValueError(
                 "index.device_rerank must be 'auto', 'on' or 'off'")

@@ -176,8 +176,14 @@ class DeviceVideoIndex:
         (parallel/mesh.py:multislice_corpus_mesh) shards across slices
         and merges hierarchically (ICI within a slice, then DCN).
         """
-        if device_dtype not in ("float32", "bfloat16", "int8"):
+        if device_dtype not in ("float32", "bfloat16", "int8", "int4"):
             raise ValueError(f"unsupported device_dtype {device_dtype!r}")
+        if device_dtype == "int4" and mesh is not None:
+            # the int4 tier is the single-device bandwidth play (packed
+            # split-halves mirror, ops/topk.py); corpus meshes keep the
+            # bf16/int8 sharded scans
+            raise ValueError("device_dtype='int4' does not support a "
+                             "corpus mesh — use 'int8' or 'bfloat16'")
         if device_rerank not in ("auto", "on", "off"):
             raise ValueError(
                 f"unsupported device_rerank {device_rerank!r}")
@@ -498,12 +504,39 @@ class DeviceVideoIndex:
         self._device_cap = cap
         return True
 
+    @property
+    def _codes(self) -> bool:
+        """Quantized-codes mirror (int8/int4): codes + per-row scales."""
+        return self.device_dtype in ("int8", "int4")
+
+    @property
+    def _codes_width(self) -> int:
+        """Mirror row width in bytes: D for int8 codes, D/2 for the
+        packed int4 split-halves layout (ops/quantize.py)."""
+        return self.dim // 2 if self.device_dtype == "int4" else self.dim
+
+    def _quantize_host(self, rows: np.ndarray):
+        """Host-side per-row quantization for the active codes dtype —
+        bit-identical to the on-device quantizers (_stream_int8/_int4)."""
+        if self.device_dtype == "int4":
+            from video_quierer_tpu.ops.quantize import (
+                quantize_rows_int4_np)
+            return quantize_rows_int4_np(rows)
+        absmax = np.abs(rows).max(axis=-1, keepdims=True)
+        scales = absmax * np.float32(1.0 / 127.0)
+        safe = np.where(scales > 0, scales, 1.0)
+        codes = np.clip(np.round(rows / safe), -127, 127).astype(np.int8)
+        return codes, scales
+
     def _mirror_permuted(self) -> bool:
         """Whether the device mirror should live under the row
-        permutation: the bf16/int8 candidate modes, except under the
-        exact-candidate escape hatch (``VQT_CANDIDATE_TOPK=pallas``),
-        whose kernel needs the identity layout."""
+        permutation: the bf16/int8/int4 candidate modes, except under
+        the exact-candidate escape hatch (``VQT_CANDIDATE_TOPK=pallas``),
+        whose kernel needs the identity layout (int4 has no exact
+        kernel, so it stays on the prefix layout regardless)."""
         from video_quierer_tpu.ops.topk import _candidate_mode
+        if self.device_dtype == "int4":
+            return True
         return (self.device_dtype != "float32"
                 and _candidate_mode() != "pallas")
 
@@ -670,13 +703,7 @@ class DeviceVideoIndex:
             pos[:n] = changed
             rows = np.zeros((bucket, self.dim), np.float32)
             rows[:n] = self._emb[self._perm[changed]]
-            absmax = np.abs(rows).max(axis=-1, keepdims=True)
-            scales = absmax * np.float32(1.0 / 127.0)  # explicit f32
-            # multiply: bit-parity with the on-device quantize (XLA
-            # rewrites /127.0 as an inexact reciprocal multiply)
-            safe = np.where(scales > 0, scales, 1.0)
-            codes = np.clip(np.round(rows / safe), -127,
-                            127).astype(np.int8)
+            codes, scales = self._quantize_host(rows)
             pvals = np.full(bucket, cap, np.int32)
             pvals[:n] = self._perm[changed]
             pos_dev = jnp.asarray(pos)
@@ -688,12 +715,7 @@ class DeviceVideoIndex:
                 self._perm_dev, jnp.asarray(pvals), pos_dev)
             self._device_rows = self._count
             return
-        live = self._emb
-        absmax = np.abs(live).max(axis=-1, keepdims=True)
-        scales = absmax * np.float32(1.0 / 127.0)  # explicit f32
-        # multiply: bit-parity with the on-device quantize
-        safe = np.where(scales > 0, scales, 1.0)
-        codes = np.clip(np.round(live / safe), -127, 127).astype(np.int8)
+        codes, scales = self._quantize_host(self._emb)
         if layout != "id":
             codes = codes[self._perm]
             scales = scales[self._perm]
@@ -816,7 +838,7 @@ class DeviceVideoIndex:
         budget = float(os.environ.get("VQT_DEVICE_RERANK_BUDGET_GB",
                                       "12")) * 1e9
         cap = self._emb.shape[0]
-        mirror = cap * (self.dim + 4) if self.device_dtype == "int8" \
+        mirror = cap * (self._codes_width + 4) if self._codes \
             else cap * self.dim * 2
         return cap * self.dim * 4 + mirror <= budget
 
@@ -866,11 +888,11 @@ class DeviceVideoIndex:
         (video_search_overhaul.py:46)."""
         if self._count == 0:
             return
-        if self.device_dtype == "int8":
+        if self._codes:
             self._sync_device_int8()
         else:
             self._sync_device()
-        if (self.device_dtype in ("bfloat16", "int8")
+        if ((self._codes or self.device_dtype == "bfloat16")
                 and self._device_rerank_active()):
             with self._sync_lock:
                 self._sync_device_f32()
@@ -931,6 +953,34 @@ class DeviceVideoIndex:
         perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
         return codes, scales, perm_col
 
+    @staticmethod
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def _stream_int4(codes, scales, perm_col, feats, old_src, old_dst,
+                     old_ids, new_src, new_dst, new_ids):
+        """int4 twin of :meth:`_stream_int8`: on-device quantize + the
+        split-halves nibble pack (ops/quantize.py:quantize_rows_int4,
+        bit-parity with the host path)."""
+        cap = codes.shape[0]
+        osrc = jnp.clip(old_src, 0, cap - 1)
+        codes = codes.at[old_dst].set(jnp.take(codes, osrc, axis=0),
+                                      mode="drop")
+        scales = scales.at[old_dst].set(jnp.take(scales, osrc, axis=0),
+                                        mode="drop")
+        rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
+                        axis=0).astype(jnp.float32)
+        d = rows.shape[-1]
+        absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+        scl = absmax * jnp.float32(1.0 / 7.0)
+        safe = jnp.where(scl > 0, scl, 1.0)
+        q = jnp.clip(jnp.round(rows / safe), -7, 7).astype(jnp.int8)
+        packed = ((q[:, d // 2:] << jnp.int8(4))
+                  | (q[:, : d // 2] & jnp.int8(0xF)))
+        codes = codes.at[new_dst].set(packed, mode="drop")
+        scales = scales.at[new_dst].set(scl, mode="drop")
+        perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
+        perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
+        return codes, scales, perm_col
+
     def add_batch_device(self, feats, video_name: str,
                          timestamps: Sequence[float], *,
                          offset: int = 0,
@@ -976,10 +1026,10 @@ class DeviceVideoIndex:
         cap = self._emb.shape[0]
         layout = self._mirror_layout()
         bkt = next((b for b in self._UPDATE_BUCKETS if n <= b), None)
-        quantized = self.device_dtype in ("bfloat16", "int8")
+        quantized = self._codes or self.device_dtype == "bfloat16"
 
         def host_fallback():
-            if self.device_dtype == "int8":
+            if self._codes:
                 self._sync_device_int8_locked()
             else:
                 self._sync_device_locked()
@@ -996,10 +1046,10 @@ class DeviceVideoIndex:
                         else jnp.bfloat16
                     self._device_emb = jnp.zeros((cap, self.dim), dt)
                 else:
-                    dt = jnp.int8 if self.device_dtype == "int8" \
-                        else jnp.bfloat16
-                    self._device_emb = jnp.zeros((cap, self.dim), dt)
-                    if self.device_dtype == "int8":
+                    dt = jnp.int8 if self._codes else jnp.bfloat16
+                    self._device_emb = jnp.zeros(
+                        (cap, self._codes_width), dt)
+                    if self._codes:
                         self._device_scales = jnp.zeros((cap, 1),
                                                         jnp.float32)
                     self._perm_dev = jnp.arange(cap, dtype=jnp.int32)
@@ -1048,9 +1098,12 @@ class DeviceVideoIndex:
                             jnp.asarray(old_dst), jnp.asarray(old_ids_b),
                             jnp.asarray(new_src), jnp.asarray(new_dst),
                             jnp.asarray(new_ids_b))
-                    if self.device_dtype == "int8":
+                    if self._codes:
+                        stream = (self._stream_int4
+                                  if self.device_dtype == "int4"
+                                  else self._stream_int8)
                         (self._device_emb, self._device_scales,
-                         self._perm_dev) = self._stream_int8(
+                         self._perm_dev) = stream(
                             self._device_emb, self._device_scales,
                             self._perm_dev, *args)
                     else:
@@ -1130,8 +1183,8 @@ class DeviceVideoIndex:
             return [[] for _ in range(len(queries))]
         k = max(1, min(int(k), MAX_K))
         q = np.stack([self.normalize_query(r) for r in np.asarray(queries)])
-        if self.device_dtype == "int8":
-            return self._search_batch_int8(q, k)
+        if self._codes:
+            return self._search_batch_codes(q, k)
         bf16 = self.device_dtype == "bfloat16"
         # bf16 scan scores carry ~1e-2 quantization error; over-fetch and
         # re-rank the candidates in f32 on host (the int8 pattern), so
@@ -1223,9 +1276,9 @@ class DeviceVideoIndex:
         if self._count == 0:
             return lambda: [[] for _ in range(n_q)]
         k = max(1, min(int(k), MAX_K))
-        rerank = self.device_dtype in ("bfloat16", "int8")
+        rerank = self._codes or self.device_dtype == "bfloat16"
         k_dev = self._rerank_fetch(k) if rerank else k
-        if self.device_dtype == "int8":
+        if self._codes:
             self._sync_device_int8()
             operands = (self._device_emb, self._device_scales)
         else:
@@ -1284,10 +1337,11 @@ class DeviceVideoIndex:
         the candidate stage to the live-prefix kernels (iota liveness,
         col-major orientation — ops/topk.py)."""
         int8 = self.device_dtype == "int8"
+        int4 = self.device_dtype == "int4"
         bf16 = self.device_dtype == "bfloat16"
         permuted = layout in ("perm", "prefix")
         prefix = layout == "prefix"
-        n_data = 2 if int8 else 1
+        n_data = 2 if (int8 or int4) else 1
 
         def split(ops):
             return ops[:n_data], (ops[n_data] if permuted else None)
@@ -1318,7 +1372,15 @@ class DeviceVideoIndex:
                             perm=perm)
             return fn
         from video_quierer_tpu.ops.topk import (candidate_topk,
+                                                candidate_topk_int4,
                                                 candidate_topk_int8)
+        if int4:
+            def fn(ops, q, valid, k):
+                data, perm = split(ops)
+                return candidate_topk_int4(data[0], data[1], q, valid,
+                                           k=k, perm=perm, prefix=prefix,
+                                           live=live)
+            return fn
         if int8:
             def fn(ops, q, valid, k):
                 data, perm = split(ops)
@@ -1334,20 +1396,21 @@ class DeviceVideoIndex:
             return fn
         return lambda ops, q, valid, k: cosine_topk(ops[0], q, valid, k=k)
 
-    def _search_batch_int8(self, q: np.ndarray, k: int
-                           ) -> List[List[Dict]]:
-        """int8 scan (4× less HBM traffic) + exact f32 re-rank.
+    def _search_batch_codes(self, q: np.ndarray, k: int
+                            ) -> List[List[Dict]]:
+        """Quantized-codes scan (int8: 4× less HBM traffic; int4: 8×)
+        + exact f32 re-rank.
 
         The device pass returns an over-fetched approximate candidate set
         (up to MAX_K); candidates are re-scored against the f32 host rows
         and stable-sorted, so the final k match the exact scan whenever
-        the true top-k survive the int8 pre-filter (quantization error is
-        ~1e-2 relative — in practice they do; tests check top-1 exactly
-        and recall@k against f32).
+        the true top-k survive the quantized pre-filter (int8 error
+        ~1e-2 relative, int4 ~2×that — the deep fetch absorbs both;
+        tests check top-1 exactly and recall@k against f32).
         """
         self._sync_device_int8()
         fetch = self._rerank_fetch(k)
-        if self.mesh is not None:
+        if self.mesh is not None:          # int8 only (int4 is 1-chip)
             from video_quierer_tpu.index.sharded import (
                 is_multislice, multislice_cosine_topk_int8,
                 sharded_cosine_topk_int8)
@@ -1359,8 +1422,11 @@ class DeviceVideoIndex:
                 self._count, k=fetch, mesh=self.mesh,
                 impl=self._candidate_impl(), perm=self._perm_arg())
         else:
-            from video_quierer_tpu.ops.topk import candidate_topk_int8
-            _, idxs = candidate_topk_int8(
+            from video_quierer_tpu.ops.topk import (candidate_topk_int4,
+                                                    candidate_topk_int8)
+            cand = (candidate_topk_int4 if self.device_dtype == "int4"
+                    else candidate_topk_int8)
+            _, idxs = cand(
                 self._device_emb, self._device_scales, jnp.asarray(q),
                 self._count, k=fetch, perm=self._perm_arg(),
                 prefix=self._mirror_layout_cur == "prefix",

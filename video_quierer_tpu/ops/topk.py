@@ -659,6 +659,74 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
                                     prefix=prefix)
 
 
+# -- int4 tier --------------------------------------------------------------
+# Half int8's HBM traffic again (0.5 B/element): two 4-bit codes pack
+# into one int8 byte in a SPLIT-HALVES layout — byte j of a row holds
+# feature j in its low nibble and feature j + D/2 in its high nibble —
+# so the in-kernel unpack yields two CONTIGUOUS [blk, D/2] code blocks
+# (no lane interleave) and the score is two half-depth MXU dots:
+#   score = lo · q[:D/2] + hi · q[D/2:]
+# Exactness contract is the int8 one: candidates only feed the exact
+# f32 re-rank, and the deep fetch absorbs the coarser (scale = max|row|
+# / 7) quantization (recall_bench: recall@10 = 1.000 at default knobs).
+# Exceeds /root/reference/src/indexes/hnsw.py's approximate recall at a
+# fraction of its cost.
+
+
+def _unpack_nibbles(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """``[..., D/2] int8`` packed → ``(lo, hi)`` int8 nibbles, sign
+    extended via arithmetic shifts (values in [-8, 7]; the quantizer
+    only emits [-7, 7])."""
+    lo = (packed << jnp.int8(4)) >> jnp.int8(4)
+    hi = packed >> jnp.int8(4)
+    return lo, hi
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "recall", "native", "prefix"))
+def _approx_scan_int4(packed: jax.Array, scales: jax.Array,
+                      queries: jax.Array, valid_count: jax.Array,
+                      *, k: int, recall: float, perm=None,
+                      native: bool = False, prefix: bool = False
+                      ) -> Tuple[jax.Array, jax.Array]:
+    """Portable XLA int4 scan (materializes the unpacked codes, so it
+    reads more than the Pallas kernel — correctness/fallback tier; the
+    fused kernel unpacks in VMEM after the 0.5 B/element HBM read)."""
+    half = packed.shape[1]
+    lo, hi = _unpack_nibbles(packed)
+    q_lo, q_hi = queries[:, :half], queries[:, half:]
+    if native:
+        qabs = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = (qabs / 127.0).astype(jnp.float32)
+        qsafe = jnp.where(qscale > 0, qscale, 1.0)
+        dn = (((1,), (1,)), ((), ()))
+        raw = (jax.lax.dot_general(
+                   jnp.clip(jnp.round(q_lo / qsafe), -127,
+                            127).astype(jnp.int8), lo,
+                   dimension_numbers=dn,
+                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(
+                   jnp.clip(jnp.round(q_hi / qsafe), -127,
+                            127).astype(jnp.int8), hi,
+                   dimension_numbers=dn,
+                   preferred_element_type=jnp.int32))
+        scores = raw.astype(jnp.float32) * qscale * scales[:, 0][None, :]
+    else:
+        dn = (((1,), (1,)), ((), ()))
+        scores = (jax.lax.dot_general(
+                      q_lo.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+                      dimension_numbers=dn,
+                      preferred_element_type=jnp.float32)
+                  + jax.lax.dot_general(
+                      q_hi.astype(jnp.bfloat16), hi.astype(jnp.bfloat16),
+                      dimension_numbers=dn,
+                      preferred_element_type=jnp.float32))
+        scores = scores * scales[:, 0][None, :]
+    return _approx_topk_from_scores(scores, valid_count, k=k,
+                                    recall=recall, perm=perm,
+                                    prefix=prefix)
+
+
 # ---------------------------------------------------------------------------
 # Fused candidate scan — in-VMEM bucket selection, no [B, N] score matrix
 # ---------------------------------------------------------------------------
@@ -1323,6 +1391,148 @@ def _pallas_cand_scan_int8_prefix(codes: jax.Array, scales: jax.Array,
     return merge(bvals, bidxs, perm, fetch=fetch)
 
 
+def _cand_kernel_int4_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
+                             qscale_ref, vals_ref, idxs_ref, *,
+                             rounds: int, bucket: int, native: bool,
+                             orient: str):
+    """Int4 live-prefix candidate step: the packed ``[blk, D/2]`` block
+    is read from HBM at 0.5 B/element and unpacked IN VMEM into the two
+    split-halves code blocks; the score is two half-depth MXU dots (see
+    the int4 tier overview). Scale/orientation handling matches
+    :func:`_cand_kernel_int8_prefix`."""
+    valid = valid_ref[0]
+    blk = emb_ref.shape[0]
+    half = emb_ref.shape[1]
+    base = pl.program_id(0) * blk
+    lo, hi = _unpack_nibbles(emb_ref[:])
+    qt = qt_ref[:]                                       # [D, B]
+    q_lo, q_hi = qt[:half], qt[half:]
+    if orient == "col":
+        row_scale = scales_ref[0]                        # [blk, 1]
+        dn = (((1,), (0,)), ((), ()))
+        if native:
+            raw = (jax.lax.dot_general(
+                       lo, q_lo, dimension_numbers=dn,
+                       preferred_element_type=jnp.int32)
+                   + jax.lax.dot_general(
+                       hi, q_hi, dimension_numbers=dn,
+                       preferred_element_type=jnp.int32))  # [blk, B]
+            sc = raw.astype(jnp.float32) * row_scale * qscale_ref[:]
+        else:
+            raw = (jax.lax.dot_general(
+                       lo.astype(jnp.bfloat16),
+                       q_lo.astype(jnp.bfloat16), dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       hi.astype(jnp.bfloat16),
+                       q_hi.astype(jnp.bfloat16), dimension_numbers=dn,
+                       preferred_element_type=jnp.float32))
+            sc = raw * row_scale
+        _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+    else:
+        row_scale = scales_ref[0]                        # [1, blk]
+        dn = (((0,), (1,)), ((), ()))
+        if native:
+            raw = (jax.lax.dot_general(
+                       q_lo, lo, dimension_numbers=dn,
+                       preferred_element_type=jnp.int32)
+                   + jax.lax.dot_general(
+                       q_hi, hi, dimension_numbers=dn,
+                       preferred_element_type=jnp.int32))  # [B, blk]
+            sc = raw.astype(jnp.float32) * row_scale * qscale_ref[:]
+        else:
+            raw = (jax.lax.dot_general(
+                       q_lo.astype(jnp.bfloat16), lo.astype(jnp.bfloat16),
+                       dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       q_hi.astype(jnp.bfloat16), hi.astype(jnp.bfloat16),
+                       dimension_numbers=dn,
+                       preferred_element_type=jnp.float32))
+            sc = raw * row_scale
+        live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+                + base) < valid
+        _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
+                            rounds=rounds, bucket=bucket)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fetch", "rounds", "bucket", "native",
+                                    "orient", "interpret"))
+def _pallas_cand_scan_int4_prefix(packed: jax.Array, scales: jax.Array,
+                                  perm: jax.Array, queries: jax.Array,
+                                  valid_count: jax.Array, *, fetch: int,
+                                  rounds: int, bucket: int, native: bool,
+                                  orient: str, interpret: bool = False
+                                  ) -> Tuple[jax.Array, jax.Array]:
+    """Int4 twin of :func:`_pallas_cand_scan_int8_prefix` over the packed
+    split-halves mirror (``[N, D/2]`` int8 carrying two nibbles/byte)."""
+    n_pad, half = packed.shape
+    d = 2 * half
+    b = queries.shape[0]
+    n_blocks = n_pad // CAND_BLOCK_ROWS
+    w = rounds * (CAND_BLOCK_ROWS // bucket)
+    if native:
+        qabs = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+        qscale = (qabs / 127.0).astype(jnp.float32)
+        qsafe = jnp.where(qscale > 0, qscale, 1.0)
+        qt = jnp.clip(jnp.round(queries / qsafe), -127,
+                      127).astype(jnp.int8).T            # [D, B]
+        qs = qscale                                      # [B, 1]
+    else:
+        qt = queries.astype(jnp.bfloat16).T
+        qs = jnp.ones((b, 1), jnp.float32)
+    if orient == "col":
+        scales_op = scales[:, 0].reshape(n_blocks, CAND_BLOCK_ROWS, 1)
+        scales_spec = pl.BlockSpec((1, CAND_BLOCK_ROWS, 1),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        qs_op = qs.T                                     # [1, B]
+        qs_spec = pl.BlockSpec((1, b), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        scales_op = scales[:, 0].reshape(n_blocks, 1, CAND_BLOCK_ROWS)
+        scales_spec = pl.BlockSpec((1, 1, CAND_BLOCK_ROWS),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        qs_op = qs                                       # [B, 1]
+        qs_spec = pl.BlockSpec((b, 1), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
+    bvals, bidxs = pl.pallas_call(
+        functools.partial(_cand_kernel_int4_prefix, rounds=rounds,
+                          bucket=bucket, native=native, orient=orient),
+        out_shape=out_shapes,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((CAND_BLOCK_ROWS, half),
+                             lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                scales_spec,
+                pl.BlockSpec((d, b), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                qs_spec,
+            ],
+            out_specs=out_specs,
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * d * b,
+            bytes_accessed=n_pad * (half + 4) + d * b
+            + 2 * n_blocks * b * w * 4,
+            transcendentals=0,
+        ),
+    )(valid_count.reshape(1).astype(jnp.int32), packed, scales_op, qt,
+      qs_op)
+    merge = _cand_merge_cols if orient == "col" else _cand_merge
+    return merge(bvals, bidxs, perm, fetch=fetch)
+
+
 def _int8_native() -> bool:
     return _os.environ.get("VQT_INT8_MXU", "native") == "native"
 
@@ -1459,6 +1669,58 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
     return _approx_scan_int8(codes, scales, queries, valid_count, k=k,
                              recall=_approx_recall(), perm=perm,
                              native=_int8_native(), prefix=prefix)
+
+
+def candidate_stage_int4(packed: jax.Array, scales: jax.Array,
+                         queries: jax.Array, valid_count, *, k: int,
+                         perm=None, prefix: bool = False,
+                         live: int = None
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Int4 twin of :func:`candidate_stage_int8` over the packed
+    split-halves mirror. The fused kernel serves the live-PREFIX layout
+    (the only layout the int4 mirror uses — single-device tier); other
+    layouts take the portable approx scan."""
+    if queries.shape[0] > _cand_max_b():
+        return _chunked_stage(
+            lambda q: candidate_stage_int4(packed, scales, q, valid_count,
+                                           k=k, perm=perm, prefix=prefix,
+                                           live=live),
+            queries)
+    pallas = _pallas_mode()
+    if prefix and pallas != "off" and _candidate_mode() != "approx" \
+            and _fused_usable(packed.shape[0], k, queries.shape[0]) \
+            and (live is None or prefix_fused_ok(live, k)):
+        if perm is None:
+            perm = jnp.arange(packed.shape[0], dtype=jnp.int32)
+        return _pallas_cand_scan_int4_prefix(
+            packed, scales, perm, queries, valid_count, fetch=k,
+            rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+            native=_int8_native(), orient=_cand_orient(int8=True),
+            interpret=pallas == "interpret")
+    return _approx_scan_int4(packed, scales, queries, valid_count, k=k,
+                             recall=_approx_recall(), perm=perm,
+                             native=_int8_native(), prefix=prefix)
+
+
+def candidate_topk_int4(packed: jax.Array, scales: jax.Array,
+                        queries: jax.Array, valid_count, *, k: int,
+                        perm=None, prefix: bool = False,
+                        live: int = None) -> Tuple[jax.Array, jax.Array]:
+    """Top-k for the int4 candidate stage (:func:`candidate_topk`
+    interface). int4 has no exact Pallas fallback — the
+    ``VQT_CANDIDATE_TOPK=pallas`` escape hatch routes int4 mirrors to
+    the approx scan instead (the exact contract lives in the f32
+    re-rank either way)."""
+    if k <= 0 or k > APPROX_FETCH_CAP:
+        raise ValueError(f"k must be in [1, {APPROX_FETCH_CAP}], got {k}")
+    squeeze = queries.ndim == 1
+    if squeeze:
+        queries = queries[None, :]
+    vals, idxs = candidate_stage_int4(
+        packed, scales, jnp.asarray(queries, jnp.float32),
+        jnp.asarray(valid_count, jnp.int32), k=k, perm=perm,
+        prefix=prefix, live=live)
+    return (vals[0], idxs[0]) if squeeze else (vals, idxs)
 
 
 def _candidate_dispatch(exact_fn, stage_fn, queries, valid_count, k, perm):
