@@ -190,3 +190,70 @@ def test_deferred_selection_int8(rng, pallas_interpret, monkeypatch):
             # come from the oracle's over-fetched set with close scores
             assert set(idxs[row]) <= set(oi)
             np.testing.assert_allclose(vals[row], ov[:k], atol=3e-2)
+
+
+def test_packb2_two_level_matches_packb(rng, monkeypatch):
+    """Two-level 'packb2' selection (round-4 VERDICT item 1) against
+    'packb' on the same corpus: identical top-1, full top-10 overlap,
+    no dead rows emitted, matching scores on shared candidates. Both
+    modes feed the exact f32 re-rank, so near-tie order may differ at
+    the packing resolution — the sets are what matters."""
+    import os
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops import topk as T
+    n = T.CAND_BLOCK_ROWS * 2
+    emb = rng.standard_normal((n, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    e16 = jnp.asarray(emb, jnp.bfloat16)
+    q = emb[rng.integers(0, n - 200, 8)] \
+        + 1e-3 * rng.standard_normal((8, 512)).astype(np.float32)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    outs = {}
+    for mode in ("packb", "packb2"):
+        monkeypatch.setenv("VQT_CAND_SELECT", mode)
+        vals, idxs = T._pallas_cand_scan_prefix(
+            e16, perm, jnp.asarray(q), jnp.int32(n - 100), fetch=64,
+            rounds=T.CAND_ROUNDS, bucket=T.CAND_BUCKET, orient="col",
+            interpret=True)
+        outs[mode] = (np.asarray(vals), np.asarray(idxs))
+    (va, ia), (vb, ib) = outs["packb"], outs["packb2"]
+    assert (ia[:, 0] == ib[:, 0]).all()
+    for i in range(8):
+        assert ib[i][np.isfinite(vb[i])].max() < n - 100  # liveness
+        sa = set(ia[i, :10].tolist())
+        sb = set(ib[i, :10].tolist())
+        assert len(sa & sb) == 10
+        # shared live candidates score identically (same floor map)
+        da = dict(zip(ia[i].tolist(), va[i].tolist()))
+        for cid, v in zip(ib[i].tolist(), vb[i].tolist()):
+            if cid in da and np.isfinite(v):
+                assert abs(da[cid] - v) < 1e-6
+
+
+def test_packb2_int8_int4_kernels(rng, monkeypatch):
+    """packb2 through the int8 (col) and int4 prefix kernels."""
+    import jax.numpy as jnp
+    from video_quierer_tpu.ops import topk as T
+    from video_quierer_tpu.ops.quantize import (quantize_rows_int4_np)
+    n = T.CAND_BLOCK_ROWS
+    emb = rng.standard_normal((n, 512)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    absmax = np.abs(emb).max(axis=-1, keepdims=True)
+    scales = absmax * np.float32(1.0 / 127.0)
+    codes = np.clip(np.round(emb / scales), -127, 127).astype(np.int8)
+    p4, s4 = quantize_rows_int4_np(emb)
+    q = emb[rng.integers(0, n, 8)] \
+        + 1e-3 * rng.standard_normal((8, 512)).astype(np.float32)
+    perm = jnp.arange(n, dtype=jnp.int32)
+    monkeypatch.setenv("VQT_CAND_SELECT", "packb2")
+    _, i8 = T._pallas_cand_scan_int8_prefix(
+        jnp.asarray(codes), jnp.asarray(scales), perm, jnp.asarray(q),
+        jnp.int32(n), fetch=64, rounds=T.CAND_ROUNDS,
+        bucket=T.CAND_BUCKET, native=True, orient="col", interpret=True)
+    _, i4 = T._pallas_cand_scan_int4_prefix(
+        jnp.asarray(p4), jnp.asarray(s4), perm, jnp.asarray(q),
+        jnp.int32(n), fetch=64, rounds=T.CAND_ROUNDS,
+        bucket=T.CAND_BUCKET, native=True, orient="col", interpret=True)
+    truth = np.argmax(emb @ q.T, axis=0)
+    assert (np.asarray(i8)[:, 0] == truth).all()
+    assert (np.asarray(i4)[:, 0] == truth).all()

@@ -752,6 +752,12 @@ def _approx_scan_int4(packed: jax.Array, scales: jax.Array,
 #       bf16 scan 8.94 → 5.10 ms/batch, int8 7.69 → 3.94.
 #   "iter" — the two-phase max / masked-iota-argmin rounds (~6 VPU
 #       reduce passes per element vs pack's ~2); the portable fallback.
+#   "packb2" — two-level packb (col orientation only): one pass folds
+#       8-sublane groups (in-group position in the low 3 key bits), the
+#       bucket rounds then run on the 8x smaller group surface with the
+#       group position packed at bits 3..9 — same 10-bit floor as
+#       packb, ~1/8 the selection passes (_bucket_select_cols2).
+#       Row-orientation callers fall back to packb keys.
 def _cand_select() -> str:
     return _os.environ.get("VQT_CAND_SELECT", "packb")
 
@@ -795,6 +801,8 @@ def _bucket_select_rows(sc, live, base, vals_ref, idxs_ref, *,
     nb = blk // bucket
     w = rounds * nb
     mode = _cand_select()
+    if mode == "packb2":
+        mode = "packb"   # two-level is col-orientation only (see doc)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
     vals = jnp.full((b, w), NEG_INF, jnp.float32)
     idxs = jnp.full((b, w), jnp.int32(_IMAX), jnp.int32)
@@ -856,6 +864,89 @@ def _bucket_select_rows(sc, live, base, vals_ref, idxs_ref, *,
                 idxs = jnp.where(sel, base + j * bucket + ap, idxs)
                 if r + 1 < rounds:
                     sj = jnp.where(pos == ap, NEG_INF, sj)
+    vals_ref[0] = vals
+    idxs_ref[0] = idxs
+
+
+# Two-level selection group: one native f32 sublane tile. 8 rows fold
+# into one in a single pass, so the per-bucket max/mask rounds run on an
+# 8x smaller surface.
+_GROUP = 8
+
+
+def _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref, *,
+                         rounds: int, bucket: int):
+    """Two-level ``packb2`` selection (round-4 VERDICT item 1): the
+    selection residual of the candidate scan is VPU passes over the
+    whole ``[blk, B]`` score surface (bias/bitcast + per-bucket
+    key-adjust + per-round max/mask). Here ONE full-surface pass packs
+    the within-group-of-8 position into the low 3 key bits and folds
+    each 8-sublane group to its max; every later pass (key-adjust,
+    ``rounds`` maxes, the round-1 winner re-mask) runs on the 8×
+    smaller ``[blk/8, B]`` group surface with the group position packed
+    at bits 3..9.
+
+    Key layout (bucket=1024): ``[score bits 31..10][group pos 9..3]
+    [in-group pos 2..0]`` — the same 10 low mantissa bits ``packb``
+    floors, so selection RESOLUTION is unchanged. Semantics deltas vs
+    ``packb``, both confined to ~1e-4 near-ties that the exact f32
+    re-rank reorders anyway: round 2 returns the second-best GROUP
+    winner (misses a same-group-of-8 runner-up: ~(r-1)·8/N adversarial
+    tail under the permuted mirror, ≈4e-6/rank at 2M rows — same order
+    as packb's bucket-collision tail), and level 1 compares at 8-ulp
+    resolution before the pbits floor, so the floored-tie winner is the
+    lowest GROUP rather than the globally lowest position.
+    """
+    blk, b = sc.shape
+    G = _GROUP
+    ng = blk // G
+    nb = blk // bucket
+    gpb = bucket // G
+    w = rounds * nb
+    pbits = max((bucket - 1).bit_length(), 1)
+    gbits = (G - 1).bit_length()
+    hbits = pbits - gbits
+    glow = (1 << gbits) - 1
+    hmask = ((1 << hbits) - 1) << gbits
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (w, b), 0)
+    vals = jnp.full((w, b), NEG_INF, jnp.float32)
+    idxs = jnp.full((w, b), jnp.int32(_IMAX), jnp.int32)
+    live = (jax.lax.broadcasted_iota(jnp.int32, (blk, b), 0)
+            + base) < valid
+    keys = jnp.where(
+        live,
+        jax.lax.bitcast_convert_type(sc + jnp.float32(_KEY_BIAS),
+                                     jnp.int32),
+        jnp.int32(0))                                    # [blk, B] i32
+    # level 1: pack in-group position, fold groups of 8 sublanes
+    k3 = keys.reshape(ng, G, b)
+    posg = jax.lax.broadcasted_iota(jnp.int32, (ng, G, b), 1)
+    k3 = (k3 & jnp.int32(~glow)) | (jnp.int32(glow) - posg)
+    g = k3[:, 0, :]
+    for i in range(1, G):                                # static unroll
+        g = jnp.maximum(g, k3[:, i, :])                  # [ng, B]
+    # level 2: bucket rounds over the group surface
+    for j in range(nb):                                  # static, small
+        gj = g[j * gpb:(j + 1) * gpb, :]
+        gpos = jax.lax.broadcasted_iota(jnp.int32, (gpb, b), 0)
+        gj = (gj & jnp.int32(~hmask)) \
+            | ((jnp.int32(gpb - 1) - gpos) << gbits)
+        for r in range(rounds):
+            wk = jnp.max(gj, axis=0, keepdims=True)      # [1, B]
+            gsel = jnp.int32(gpb - 1) - ((wk >> gbits)
+                                         & jnp.int32((1 << hbits) - 1))
+            pin = jnp.int32(glow) - (wk & jnp.int32(glow))
+            vb = wk & jnp.int32(~((1 << pbits) - 1))
+            v = jnp.where(
+                vb == 0, NEG_INF,
+                jax.lax.bitcast_convert_type(vb, jnp.float32)
+                - jnp.float32(_KEY_BIAS))
+            sel = row_ids == (r * nb + j)
+            vals = jnp.where(sel, v, vals)
+            idxs = jnp.where(sel,
+                             base + j * bucket + gsel * G + pin, idxs)
+            if r + 1 < rounds:
+                gj = jnp.where(gj == wk, jnp.int32(-2**31), gj)
     vals_ref[0] = vals
     idxs_ref[0] = idxs
 
@@ -944,7 +1035,8 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
 def _cand_orient(int8: bool = False) -> str:
     default = "row" if int8 else "col"
     mode = _os.environ.get("VQT_CAND_ORIENT", default)
-    return mode if _cand_select() == "packb" else "row"
+    return mode if _cand_select() in ("packb", "packb2") \
+        else "row"
 
 
 def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
@@ -958,7 +1050,15 @@ def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
     Reductions run over the sublane axis with a size-1 keepdims result
     (``[1, B]``), broadcast back over offset-0 — the forms the hardware
     Mosaic lowering accepts (validated in benchmarks/tpu_smoke.py).
+
+    ``VQT_CAND_SELECT=packb2`` routes to the two-level variant
+    (:func:`_bucket_select_cols2`), which folds 8-sublane groups first
+    so the bucket rounds run on an 8× smaller surface.
     """
+    if (_cand_select() == "packb2" and bucket % _GROUP == 0
+            and sc.shape[0] % _GROUP == 0):
+        return _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref,
+                                    rounds=rounds, bucket=bucket)
     blk, b = sc.shape
     nb = blk // bucket
     w = rounds * nb
