@@ -70,8 +70,11 @@ def main() -> None:
         fused_batch_eligible, fused_vision_encode,
         fused_vision_tower_eligible)
     cfg = vit_b_32()
+    from video_quierer_tpu.ops.fused_layer import fused_vision_seq
     fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
-                and fused_batch_eligible(args.batch, cfg.vision.seq_len, dtype))
+                and fused_batch_eligible(
+                    args.batch, fused_vision_seq(cfg.vision.seq_len),
+                    dtype))
     log(f"fused vision tower: {fused_ok}")
 
     @jax.jit

@@ -81,9 +81,11 @@ def main() -> None:
                "l14": vit_l_14}[args.model]()
         model = CLIP(cfg, dtype=dtype)
         params = init_params(model, seed=0)
+        from video_quierer_tpu.ops.fused_layer import fused_vision_seq
         fused_ok = (fused_vision_tower_eligible(cfg.vision, dtype)
-                    and fused_batch_eligible(args.batch,
-                                             cfg.vision.seq_len, dtype))
+                    and fused_batch_eligible(
+                        args.batch, fused_vision_seq(cfg.vision.seq_len),
+                        dtype))
         print(f"fused vision tower: {fused_ok}", file=sys.stderr)
 
         @jax.jit

@@ -372,3 +372,40 @@ def test_embedder_uses_fused_path(rng, monkeypatch):
     ref = emb2.embed_texts(texts)
     cos = np.sum(fused * ref, axis=-1)
     assert cos.min() > 0.999
+
+
+def test_vision_pad_scheme_identical_outputs(rng, monkeypatch):
+    """Pad-token scheme (round-4 VERDICT item 2): padded fused vision
+    must produce outputs IDENTICAL to the unpadded fused run — masked
+    pad columns contribute exp(-inf)=0 to the f32 accumulate, and pads
+    attend only themselves (unique negative ids), so real-token rows
+    never see them."""
+    import video_quierer_tpu.ops.fused_layer as fl
+    cfg = _small_vision_cfg()          # seq 17: pads to 24
+    model = CLIP(cfg, dtype=jnp.float32)
+    params = init_params(model, seed=3)
+    pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
+                         .astype(np.float32))
+    monkeypatch.setenv("VQT_FUSED_VISION_PAD", "0")
+    assert fl.fused_vision_seq(17) == 17
+    unpadded = np.asarray(fl.fused_vision_encode(
+        params, pixels, cfg=cfg, dtype=jnp.float32))
+    monkeypatch.delenv("VQT_FUSED_VISION_PAD")
+    assert fl.fused_vision_seq(17) == 24
+    padded = np.asarray(fl.fused_vision_encode(
+        params, pixels, cfg=cfg, dtype=jnp.float32))
+    assert not np.isnan(padded).any()
+    np.testing.assert_allclose(padded, unpadded, rtol=1e-6, atol=1e-6)
+
+
+def test_vision_pad_unlocks_b16_tiling():
+    """s=197 (B/16) has no legal tile; padded to 200 it tiles at bt=2
+    (t=400) — the gate the embedder/benches now consult."""
+    from video_quierer_tpu.ops.fused_layer import (fused_batch_eligible,
+                                                   fused_vision_seq)
+    assert not fused_batch_eligible(256, 197)
+    assert fused_vision_seq(197) == 200
+    assert fused_batch_eligible(256, fused_vision_seq(197))
+    assert fused_vision_seq(50) == 56
+    assert fused_vision_seq(196) == 200
+    assert fused_vision_seq(64) == 64

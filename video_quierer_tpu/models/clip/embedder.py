@@ -222,7 +222,11 @@ class CLIPEmbedder:
             return pipelined_encode_image(
                 self.model, params, pixels, mesh=self._pipe_mesh,
                 n_microbatches=self._pipe_microbatches)
-        s = self.cfg.vision.seq_len
+        # eligibility is decided on the PADDED length — the pad-token
+        # scheme (ops/fused_layer.py:fused_vision_seq) makes non-aligned
+        # sequences (B/32 s=50, B/16 s=197) tile freely
+        from video_quierer_tpu.ops.fused_layer import fused_vision_seq
+        s = fused_vision_seq(self.cfg.vision.seq_len)
         if self._fused_vision:
             if self.mesh is None and fused_batch_eligible(
                     pixels.shape[0], s, self.model.dtype):

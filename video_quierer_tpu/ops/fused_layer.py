@@ -442,16 +442,43 @@ def _normalize_out(feats: jax.Array, dtype) -> jax.Array:
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
 
-def _item_ids(t: int, s: int) -> Tuple[jax.Array, jax.Array]:
+def _item_ids(t: int, s: int, s_live: int = None
+              ) -> Tuple[jax.Array, jax.Array]:
     """Local item-id operands for one tile: token j belongs to item
-    j // s — identical for every tile because t is a multiple of s."""
+    j // s — identical for every tile because t is a multiple of s.
+
+    ``s_live < s`` = pad-token scheme (round-4 VERDICT item 2): each
+    item's positions >= s_live are sequence PADDING carrying a UNIQUE
+    NEGATIVE id, so a pad attends only itself (no empty softmax rows →
+    no NaNs to contain) and never a real token — real-token outputs are
+    exactly those of the unpadded sequence (masked columns contribute
+    e = exp(-inf) = 0 to the f32 accumulate). Padding the sequence to a
+    sublane multiple frees the batch-per-tile choice from the
+    ``bt·s % 8`` constraint: at ViT-B/32's s=50 the smallest legal tile
+    was bt=8 (t=400, an 8×-redundant attention surface); padded to 56
+    bt=2 tiles (t=112) become legal, and B/16's s=197 (no legal tile at
+    all) unlocks at 200."""
     ids = np.arange(t, dtype=np.int32) // s
+    if s_live is not None and s_live < s:
+        pos = np.arange(t, dtype=np.int32) % s
+        ids = np.where(pos >= s_live,
+                       -(1 + np.arange(t, dtype=np.int32)), ids)
     return jnp.asarray(ids[:, None]), jnp.asarray(ids[None, :])
+
+
+def fused_vision_seq(s: int) -> int:
+    """Padded vision sequence length (pad-token scheme): the next
+    sublane multiple, unless disabled (``VQT_FUSED_VISION_PAD=0``) or
+    already aligned. Callers gate batch eligibility on THIS length."""
+    if s % 8 == 0 or _os.environ.get("VQT_FUSED_VISION_PAD") == "0":
+        return s
+    return s + (8 - s % 8)
 
 
 def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
                 eps: float, s: int, t: int, dtype, causal: bool,
-                mlp_ratio: int, act: str = "quick_gelu"):
+                mlp_ratio: int, act: str = "quick_gelu",
+                s_live: int = None):
     interpret = _pallas_mode() == "interpret"
     mode = _layer_mode(x2.shape[1], mlp_ratio, dtype)
     if not mode:
@@ -463,7 +490,7 @@ def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
             "VQT_FUSED_LAYER_BUDGET and VQT_FUSED_HALF_BUDGET; use the "
             "flax tower")
     call = _fused_layer_call if mode == "full" else _split_layer_call
-    idr, idc = _item_ids(t, s)
+    idr, idc = _item_ids(t, s, s_live)
     for i in range(num_layers):
         ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
                               dtype)
@@ -524,7 +551,8 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
     b = pixel_values.shape[0]
     d = c.hidden_size
     s = c.seq_len
-    t = _tile_tokens(b, s, jnp.dtype(dtype).itemsize)
+    s_pad = fused_vision_seq(s)
+    t = _tile_tokens(b, s_pad, jnp.dtype(dtype).itemsize)
     patches = jax.lax.conv_general_dilated(
         pixel_values.astype(dtype),
         vp["patch_embedding"]["kernel"].astype(dtype),
@@ -535,15 +563,21 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
     x = jnp.concatenate(
         [jnp.broadcast_to(cls, (b, 1, d)), patches], axis=1)
     x = x + vp["position_embedding"].astype(dtype)[None]
-    x2 = x.reshape(b * s, d)
+    if s_pad != s:
+        # pad-token scheme (see _item_ids): dead rows whose unique
+        # negative ids keep them out of every real token's attention;
+        # real-token outputs are bit-identical to the unpadded run
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    x2 = x.reshape(b * s_pad, d)
     pre = vp["pre_layernorm"]
     x2 = _ln_f32(x2, pre["scale"].astype(jnp.float32)[None],
                  pre["bias"].astype(jnp.float32)[None],
                  c.layer_norm_eps, dtype)
     x2 = _run_layers(x2, vp, num_layers=c.num_layers,
-                     heads=c.num_heads, eps=c.layer_norm_eps, s=s, t=t,
-                     dtype=dtype, causal=False, mlp_ratio=c.mlp_ratio)
-    pooled = x2[jnp.arange(b) * s]                       # CLS tokens
+                     heads=c.num_heads, eps=c.layer_norm_eps, s=s_pad,
+                     t=t, dtype=dtype, causal=False,
+                     mlp_ratio=c.mlp_ratio, s_live=s)
+    pooled = x2[jnp.arange(b) * s_pad]                   # CLS tokens
     post = vp["post_layernorm"]
     pooled = _ln_f32(pooled, post["scale"].astype(jnp.float32)[None],
                      post["bias"].astype(jnp.float32)[None],
