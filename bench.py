@@ -49,11 +49,13 @@ def main() -> None:
     from video_quierer_tpu.models.clip.config import vit_b_32
     from video_quierer_tpu.models.clip.model import CLIP, init_params
     from video_quierer_tpu.models.clip.tokenizer import load_tokenizer
-    from video_quierer_tpu.ops.quantize import quantize_rows
+    from video_quierer_tpu.ops.quantize import (quantize_rows,
+                                                quantize_rows_int4)
     from video_quierer_tpu.ops.topk import (
         BLOCK_ROWS,
         CAND_BLOCK_ROWS,
         candidate_topk,
+        candidate_topk_int4,
         candidate_topk_int8,
         cosine_topk,
     )
@@ -101,7 +103,11 @@ def main() -> None:
     codes = jnp.take(codes_h, perm, axis=0)
     scales = jnp.take(scales_h, perm, axis=0)
     del codes_h, scales_h, perm_live
-    for a in (emb16, codes, scales, perm):
+    codes4_h, scales4_h = quantize_rows_int4(emb)
+    codes4 = jnp.take(codes4_h, perm, axis=0)
+    scales4 = jnp.take(scales4_h, perm, axis=0)
+    del codes4_h, scales4_h
+    for a in (emb16, codes, scales, codes4, scales4, perm):
         a.block_until_ready()
     log(f"corpus ready in {time.time() - t0:.1f}s")
 
@@ -159,6 +165,13 @@ def main() -> None:
     def fused_int8(params, ids, codes, scales, perm, emb32, valid):
         q = _encode(params, ids)
         _, cand = candidate_topk_int8(codes, scales, q, valid, k=fetch,
+                                      perm=perm, prefix=True)
+        return _rerank(emb32, q, cand, valid)
+
+    @jax.jit
+    def fused_int4(params, ids, codes4, scales4, perm, emb32, valid):
+        q = _encode(params, ids)
+        _, cand = candidate_topk_int4(codes4, scales4, q, valid, k=fetch,
                                       perm=perm, prefix=True)
         return _rerank(emb32, q, cand, valid)
 
@@ -246,20 +259,30 @@ def main() -> None:
     w8_ms, w8_tput = run_mode(
         "int8+f32-rerank coalesced x256", lambda ids: fused_int8(
             params, ids, codes, scales, perm, emb, n_rows), wide_b, wide)
+    w4_ms, w4_tput = run_mode(
+        "int4+f32-rerank coalesced x256", lambda ids: fused_int4(
+            params, ids, codes4, scales4, perm, emb, n_rows), wide_b,
+        wide)
     v16_ms, v16_tput = run_mode(
         "bf16+f32-rerank coalesced x512", lambda ids: fused_bf16(
             params, ids, emb16, perm, emb, n_rows), w512_b, w512)
     v8_ms, v8_tput = run_mode(
         "int8+f32-rerank coalesced x512", lambda ids: fused_int8(
             params, ids, codes, scales, perm, emb, n_rows), w512_b, w512)
+    v4_ms, v4_tput = run_mode(
+        "int4+f32-rerank coalesced x512", lambda ids: fused_int4(
+            params, ids, codes4, scales4, perm, emb, n_rows), w512_b,
+        w512)
 
     modes = {"per-request bf16": bf16_tput, "per-request int8": i8_tput,
              f"{coalesce}-way coalesced bf16": co_tput,
              f"{coalesce}-way coalesced int8": co8_tput,
              f"{wide}-way coalesced bf16": w16_tput,
              f"{wide}-way coalesced int8": w8_tput,
+             f"{wide}-way coalesced int4": w4_tput,
              f"{w512}-way coalesced bf16": v16_tput,
-             f"{w512}-way coalesced int8": v8_tput}
+             f"{w512}-way coalesced int8": v8_tput,
+             f"{w512}-way coalesced int4": v4_tput}
     mode = max(modes, key=modes.get)
     best = modes[mode]
     print(json.dumps({

@@ -51,7 +51,7 @@ def main() -> None:
     emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
 
     idxs = {}
-    for mode in ("float32", "bfloat16", "int8"):
+    for mode in ("float32", "bfloat16", "int8", "int4"):
         idx = DeviceVideoIndex(device_dtype=mode)
         for v in range(n_videos):
             idx.add_batch(emb[v * per:(v + 1) * per], f"v{v}.mp4",
@@ -62,14 +62,14 @@ def main() -> None:
 
     want = idxs["float32"].search(q, k=8)
     assert want[0]["frame_id"] == 1234
-    for mode in ("bfloat16", "int8"):
+    for mode in ("bfloat16", "int8", "int4"):
         got = idxs[mode].search(q, k=8)
         assert [r["frame_id"] for r in got] == \
             [r["frame_id"] for r in want], (mode, got, want)
         print(f"[smoke] {mode} search == f32 search")
 
     vr_want = None
-    for mode in ("float32", "bfloat16", "int8"):
+    for mode in ("float32", "bfloat16", "int8", "int4"):
         vr = idxs[mode].search_videos(q, k=3)
         names = [r["video_name"] for r in vr]
         if vr_want is None:
@@ -107,7 +107,7 @@ def main() -> None:
     assert _fused_usable(n_big, 256, 8), "fused stage must engage here"
 
     big = {}
-    for mode in ("float32", "bfloat16", "int8"):
+    for mode in ("float32", "bfloat16", "int8", "int4"):
         idx = DeviceVideoIndex(device_dtype=mode)
         for lo in range(0, n_big, 8192):
             idx.add_batch(emb_big[lo:lo + 8192], f"big{lo}.mp4",
@@ -125,7 +125,7 @@ def main() -> None:
     saved_min_b = topk_mod.FUSED_MIN_B
     topk_mod.FUSED_MIN_B = 1
     try:
-        for mode in ("bfloat16", "int8"):
+        for mode in ("bfloat16", "int8", "int4"):
             assert big[mode]._mirror_layout() == "prefix", mode
             got1 = big[mode].search(qb[0], k=10)        # fused B=1
             assert big[mode]._mirror_layout_cur == "prefix", mode
@@ -144,7 +144,7 @@ def main() -> None:
         for orient in ("col", "row"):
             os.environ["VQT_CAND_ORIENT"] = orient
             try:
-                for mode in ("bfloat16", "int8"):
+                for mode in ("bfloat16", "int8", "int4"):
                     big[mode]._fused_jits.clear()
                     gotb = big[mode].search_batch(qb, k=10)
                     for wr, gr in zip(wantb, gotb):
@@ -153,6 +153,22 @@ def main() -> None:
                 print(f"[smoke] prefix kernels orient={orient} == exact")
             finally:
                 del os.environ["VQT_CAND_ORIENT"]
+        # two-level packb2 selection (round 4): col-orientation kernels
+        # for all three quantized dtypes vs the exact oracle
+        os.environ["VQT_CAND_SELECT"] = "packb2"
+        try:
+            for mode in ("bfloat16", "int8", "int4"):
+                big[mode]._fused_jits.clear()
+                gotb = big[mode].search_batch(qb, k=10)
+                for wr, gr in zip(wantb, gotb):
+                    assert [r["frame_id"] for r in wr] == \
+                        [r["frame_id"] for r in gr], (mode, "packb2")
+            print("[smoke] packb2 two-level selection == exact")
+        finally:
+            del os.environ["VQT_CAND_SELECT"]
+            for mode in ("bfloat16", "int8", "int4"):
+                big[mode]._fused_jits.clear()
+
         from video_quierer_tpu.ops.topk import (candidate_topk,
                                                 candidate_topk_int8)
         import jax.numpy as _jnp
@@ -186,7 +202,7 @@ def main() -> None:
 
     # serving policy's small-B path: approx scan over the SAME permuted
     # mirror (bf16 + native-int8 XLA contracts) == exact f32
-    for mode in ("bfloat16", "int8"):
+    for mode in ("bfloat16", "int8", "int4"):
         got1 = big[mode].search(qb[0], k=10)
         assert [r["frame_id"] for r in got1] == \
             [r["frame_id"] for r in want1], (mode, got1, want1)
@@ -204,7 +220,7 @@ def main() -> None:
         return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
     ids_b = rng.integers(0, 100, (8, 8)).astype(np.int32)
-    for mode in ("bfloat16", "int8"):
+    for mode in ("bfloat16", "int8", "int4"):
         os.environ["VQT_DEVICE_RERANK"] = "off"
         try:
             host_rows = big[mode].search_batch_fused(
@@ -312,6 +328,42 @@ def main() -> None:
     assert cos.min() > 0.999, cos.min()
     print(f"[smoke] fused-layer vision tower (split mode) == flax tower "
           f"(min cos {cos.min():.6f})")
+
+    # pad-token scheme (round 4): padded fused vision (s=50 → 56,
+    # dead tokens w/ unique negative item ids) must equal the unpadded
+    # fused run EXACTLY on hardware Mosaic
+    import os as _os_pad
+    from video_quierer_tpu.ops.fused_layer import fused_vision_seq
+    assert fused_vision_seq(cfg.vision.seq_len) == 56
+    _os_pad.environ["VQT_FUSED_VISION_PAD"] = "0"
+    try:
+        unpadded = np.asarray(fused_vision_encode(params, pix, cfg=cfg,
+                                                  dtype=jnp.bfloat16))
+    finally:
+        del _os_pad.environ["VQT_FUSED_VISION_PAD"]
+    np.testing.assert_allclose(got, unpadded, rtol=1e-6, atol=1e-6)
+    print("[smoke] padded fused vision == unpadded fused vision")
+
+    # device-resident streamed appends (round 4): add_batch_device on
+    # hardware (on-device quantize + Fisher-Yates relocate/scatter)
+    # must serve identically to the lazy host-synced build
+    for mode in ("bfloat16", "int8", "int4"):
+        streamed = DeviceVideoIndex(device_dtype=mode)
+        for lo in range(0, 8192, 2048):
+            streamed.add_batch_device(
+                jnp.asarray(emb[lo:lo + 2048]), f"s{lo}.mp4",
+                np.arange(2048, dtype=float))
+        assert streamed._device_rows == streamed._count == 8192
+        lazy = DeviceVideoIndex(device_dtype=mode)
+        for lo in range(0, 8192, 2048):
+            lazy.add_batch(emb[lo:lo + 2048], f"s{lo}.mp4",
+                           np.arange(2048, dtype=float))
+        got_s = streamed.search_batch(qs, k=8)
+        got_l = lazy.search_batch(qs, k=8)
+        for gr, lr in zip(got_s, got_l):
+            assert [r["frame_id"] for r in gr] == \
+                [r["frame_id"] for r in lr], (mode, gr, lr)
+        print(f"[smoke] streamed device append {mode} == lazy build")
 
     # mesh-serving path: the fused encode under shard_map (params
     # replicated, batch sharded over the data axis) — one real device
