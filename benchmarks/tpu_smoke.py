@@ -341,23 +341,31 @@ def main() -> None:
                                                   dtype=jnp.bfloat16))
     finally:
         del _os_pad.environ["VQT_FUSED_VISION_PAD"]
-    np.testing.assert_allclose(got, unpadded, rtol=1e-6, atol=1e-6)
-    print("[smoke] padded fused vision == unpadded fused vision")
+    # exact-arithmetic identity is pinned by the f32 CPU test
+    # (test_fused_layer.py); on hardware the pad changes the tile size
+    # (t=400 → 448), and Mosaic's bf16 matmul strategy differs per tile
+    # shape — measured ~2e-3 rounding spread, the same order as the
+    # tower's own bf16 noise vs flax
+    cosp = np.sum(got * unpadded, axis=-1)
+    assert cosp.min() > 0.9999, cosp.min()
+    np.testing.assert_allclose(got, unpadded, atol=5e-3)
+    print(f"[smoke] padded fused vision == unpadded (bf16 tile-shape "
+          f"tolerance; min cos {cosp.min():.6f})")
 
     # device-resident streamed appends (round 4): add_batch_device on
     # hardware (on-device quantize + Fisher-Yates relocate/scatter)
     # must serve identically to the lazy host-synced build
     for mode in ("bfloat16", "int8", "int4"):
         streamed = DeviceVideoIndex(device_dtype=mode)
-        for lo in range(0, 8192, 2048):
+        for lo in range(0, 6000, 1500):
             streamed.add_batch_device(
-                jnp.asarray(emb[lo:lo + 2048]), f"s{lo}.mp4",
-                np.arange(2048, dtype=float))
-        assert streamed._device_rows == streamed._count == 8192
+                jnp.asarray(emb[lo:lo + 1500]), f"s{lo}.mp4",
+                np.arange(1500, dtype=float))
+        assert streamed._device_rows == streamed._count == 6000
         lazy = DeviceVideoIndex(device_dtype=mode)
-        for lo in range(0, 8192, 2048):
-            lazy.add_batch(emb[lo:lo + 2048], f"s{lo}.mp4",
-                           np.arange(2048, dtype=float))
+        for lo in range(0, 6000, 1500):
+            lazy.add_batch(emb[lo:lo + 1500], f"s{lo}.mp4",
+                           np.arange(1500, dtype=float))
         got_s = streamed.search_batch(qs, k=8)
         got_l = lazy.search_batch(qs, k=8)
         for gr, lr in zip(got_s, got_l):

@@ -409,3 +409,20 @@ def test_vision_pad_unlocks_b16_tiling():
     assert fused_vision_seq(50) == 56
     assert fused_vision_seq(196) == 200
     assert fused_vision_seq(64) == 64
+
+
+def test_min_tokens_policy():
+    """Round-4 VERDICT item 6: the B=1 fused-text split is ONE policy —
+    the MIN_TOKENS gate (fused_layer.py documents the measured
+    crossover and why no small-batch kernel variant can win). This pins
+    both sides of the boundary: singles at every text bucket route to
+    the flax tower; serving batches route fused."""
+    from video_quierer_tpu.ops.fused_layer import (MIN_TOKENS,
+                                                   fused_batch_eligible)
+    assert MIN_TOKENS == 256           # the measured crossover knob
+    for s in (8, 16, 32):              # text seq buckets
+        assert not fused_batch_eligible(1, s)      # singles → flax
+        assert fused_batch_eligible(MIN_TOKENS // s, s)   # batch → fused
+    # boundary exactness: one token short of the gate stays flax
+    assert not fused_batch_eligible(15, 16)
+    assert fused_batch_eligible(16, 16)

@@ -80,9 +80,21 @@ WEIGHT_BUDGET = int(_os.environ.get("VQT_FUSED_LAYER_BUDGET",
 # in bf16 (4.7 / 9.4 MB halves).
 HALF_BUDGET = int(_os.environ.get("VQT_FUSED_HALF_BUDGET",
                                   str(12 * 2 ** 20)))
-# Minimum tokens (B·S) for the fused towers: at tiny batches the
-# per-pallas_call overhead loses to XLA's single fused executable
-# (measured bench.py singles: bf16 3.54 → 4.44 ms/q fused at B=1).
+# Minimum tokens (B·S) for the fused towers — THE single-batch policy
+# (round-4 VERDICT item 6, resolved as a documented gate rather than a
+# small-batch kernel variant):
+# - measured crossover: fused loses at B=1 (bench.py singles bf16 3.54
+#   → 4.44 ms/q; 12 pallas_call launches can't amortize over 16
+#   tokens) and wins from B·S ≈ 256 up (3.99 → 3.19 ms/256-batch at
+#   s16, decomp_bench 2026-08-19);
+# - a dedicated small-batch tile variant cannot win here: B=1 latency
+#   on this class of deployment is DISPATCH-bound (~2 ms per-dispatch
+#   floor, CLAUDE.md) and a 16-token tile leaves the MXU idle — there
+#   is no kernel shape that beats XLA's single fused executable at
+#   B=1, so the flax tower (which must exist anyway for training and
+#   ineligible shapes) serves singles by design;
+# - tests/test_fused_layer.py:test_min_tokens_policy pins both sides
+#   of the boundary so a knob change can't silently re-route singles.
 MIN_TOKENS = int(_os.environ.get("VQT_FUSED_LAYER_MIN_TOKENS", "256"))
 # Target tokens per grid step (tile = largest bt·S <= target with bt a
 # divisor of B and bt·S a sublane multiple): balances MXU tile size and
@@ -565,8 +577,11 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
     x = x + vp["position_embedding"].astype(dtype)[None]
     if s_pad != s:
         # pad-token scheme (see _item_ids): dead rows whose unique
-        # negative ids keep them out of every real token's attention;
-        # real-token outputs are bit-identical to the unpadded run
+        # negative ids keep them out of every real token's attention.
+        # Real-token outputs are identical in exact arithmetic (pinned
+        # by the f32 CPU parity test); on hardware bf16 the changed
+        # TILE SIZE alters Mosaic's matmul strategy, giving ~2e-3
+        # rounding spread vs the unpadded run (tpu_smoke pins the bar)
         x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
     x2 = x.reshape(b * s_pad, d)
     pre = vp["pre_layernorm"]

@@ -676,9 +676,12 @@ def _approx_scan_int8(emb_i8: jax.Array, scales: jax.Array,
 def _unpack_nibbles(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """``[..., D/2] int8`` packed → ``(lo, hi)`` int8 nibbles, sign
     extended via arithmetic shifts (values in [-8, 7]; the quantizer
-    only emits [-7, 7])."""
-    lo = (packed << jnp.int8(4)) >> jnp.int8(4)
-    hi = packed >> jnp.int8(4)
+    only emits [-7, 7]). Shifts run in int32: hardware Mosaic does not
+    legalize ``arith.shli`` on int8 vectors (measured round 4 — the
+    interpreter accepts it)."""
+    x = packed.astype(jnp.int32)
+    lo = ((x << 28) >> 28).astype(jnp.int8)
+    hi = (x >> 4).astype(jnp.int8)
     return lo, hi
 
 
