@@ -755,12 +755,25 @@ def _approx_scan_int4(packed: jax.Array, scales: jax.Array,
 #       bf16 scan 8.94 → 5.10 ms/batch, int8 7.69 → 3.94.
 #   "iter" — the two-phase max / masked-iota-argmin rounds (~6 VPU
 #       reduce passes per element vs pack's ~2); the portable fallback.
-#   "packb2" — two-level packb (col orientation only): one pass folds
-#       8-sublane groups (in-group position in the low 3 key bits), the
-#       bucket rounds then run on the 8x smaller group surface with the
-#       group position packed at bits 3..9 — same 10-bit floor as
-#       packb, ~1/8 the selection passes (_bucket_select_cols2).
-#       Row-orientation callers fall back to packb keys.
+#   "packb2" (opt-in SPEED knob) — two-level packb (col orientation
+#       only): a
+#       progressive contiguous-half fold collapses groups of 8 rows to
+#       one (in-group position packed into the low 3 key bits during
+#       the fold — no iota operand), and the bucket key-adjust/max/mask
+#       rounds then run on the 8x smaller group surface with the group
+#       position at bits 3..9 — same 10-bit floor as packb. Measured
+#       same-window A/B on v5e (2026-08-20 ~14:10-14:28, 2M x 256):
+#       bf16@col 5.14 vs packb 5.36 ms/batch, int4@col 6.10 vs 6.57.
+#       Row-orientation callers and non-pow2 block/bucket shapes fall
+#       back to packb keys (_bucket_select_cols2 preconditions).
+#       NOT the default: the group fold discards a same-group-of-8
+#       runner-up BEFORE the rounds, weakening the adversarial
+#       exactness tail to ~1.5e-4 lost-row probability per top-10
+#       query at 2M rows (vs packb's ~1e-6 double-collision tail) —
+#       one imperfect top-10 per ~6,600 queries in exchange for ~4%
+#       scan time. Operators who want that trade set
+#       VQT_CAND_SELECT=packb2; the default keeps the stronger
+#       contract (toy-scale pins: tests/test_permuted_mirror.py).
 def _cand_select() -> str:
     return _os.environ.get("VQT_CAND_SELECT", "packb")
 
@@ -891,14 +904,18 @@ def _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref, *,
 
     Key layout (bucket=1024): ``[score bits 31..10][group pos 9..3]
     [in-group pos 2..0]`` — the same 10 low mantissa bits ``packb``
-    floors, so selection RESOLUTION is unchanged. Semantics deltas vs
-    ``packb``, both confined to ~1e-4 near-ties that the exact f32
-    re-rank reorders anyway: round 2 returns the second-best GROUP
-    winner (misses a same-group-of-8 runner-up: ~(r-1)·8/N adversarial
-    tail under the permuted mirror, ≈4e-6/rank at 2M rows — same order
-    as packb's bucket-collision tail), and level 1 compares at 8-ulp
-    resolution before the pbits floor, so the floored-tie winner is the
-    lowest GROUP rather than the globally lowest position.
+    floors, so selection RESOLUTION is unchanged. A "group" is the 8
+    rows ``{p + j·blk/8}`` (spaced, from the contiguous-half fold —
+    see level 1 below); under the uniformly shuffled mirror any fixed
+    equal-size partition is statistically equivalent, so the recall
+    math is the adjacent-group one. Semantics deltas vs ``packb``,
+    both confined to ~1e-4 near-ties that the exact f32 re-rank
+    reorders anyway: round 2 returns the second-best GROUP winner
+    (misses a same-group-of-8 runner-up: ~(r-1)·8/N adversarial tail
+    under the permuted mirror, ≈4e-6/rank at 2M rows — same order as
+    packb's bucket-collision tail), and ties floored to the pbits
+    resolution break by (in-level-1 fine score, group pos, in-group
+    pos) rather than globally lowest position.
     """
     blk, b = sc.shape
     G = _GROUP
@@ -921,13 +938,24 @@ def _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref, *,
         jax.lax.bitcast_convert_type(sc + jnp.float32(_KEY_BIAS),
                                      jnp.int32),
         jnp.int32(0))                                    # [blk, B] i32
-    # level 1: pack in-group position, fold groups of 8 sublanes
-    k3 = keys.reshape(ng, G, b)
-    posg = jax.lax.broadcasted_iota(jnp.int32, (ng, G, b), 1)
-    k3 = (k3 & jnp.int32(~glow)) | (jnp.int32(glow) - posg)
-    g = k3[:, 0, :]
-    for i in range(1, G):                                # static unroll
-        g = jnp.maximum(g, k3[:, i, :])                  # [ng, B]
+    # level 1: pack in-group position, fold to the [blk/8, B] group
+    # surface by CONTIGUOUS-HALF maxima (3 halvings: 2048+1024+512 rows
+    # touched ≈ 0.9 of one full pass). Groups are therefore rows spaced
+    # ng apart ({p + j·ng}), not adjacent rows — statistically
+    # equivalent partitions under the uniformly shuffled mirror, and
+    # the only forms hardware Mosaic lowers cheaply (a reshape-to-3D
+    # fold measured 6.00 vs packb's 5.28 ms/256-batch; [i::8] strided
+    # slices lower to rejected gathers / extract_strided_slice).
+    # The in-group index j = row // ng packs PROGRESSIVELY during the
+    # fold — the bottom half of each halving holds rows whose j is
+    # larger by h/ng, so subtracting that delta from its packed low
+    # bits (initialized to glow, so no borrow is possible) encodes j
+    # without materializing a [blk, B] iota (which blew scoped VMEM by
+    # 80 KB at 4096×256).
+    g = (keys & jnp.int32(~glow)) | jnp.int32(glow)
+    while g.shape[0] > ng:
+        h = g.shape[0] // 2
+        g = jnp.maximum(g[:h], g[h:] - jnp.int32(h // ng))  # → [ng, B]
     # level 2: bucket rounds over the group surface
     for j in range(nb):                                  # static, small
         gj = g[j * gpb:(j + 1) * gpb, :]
@@ -946,8 +974,10 @@ def _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref, *,
                 - jnp.float32(_KEY_BIAS))
             sel = row_ids == (r * nb + j)
             vals = jnp.where(sel, v, vals)
+            # group entry e = j·gpb + gsel holds rows {e + j'·ng}; the
+            # winner's in-group index rides the low bits
             idxs = jnp.where(sel,
-                             base + j * bucket + gsel * G + pin, idxs)
+                             base + j * gpb + gsel + pin * ng, idxs)
             if r + 1 < rounds:
                 gj = jnp.where(gj == wk, jnp.int32(-2**31), gj)
     vals_ref[0] = vals
@@ -1058,8 +1088,11 @@ def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
     (:func:`_bucket_select_cols2`), which folds 8-sublane groups first
     so the bucket rounds run on an 8× smaller surface.
     """
+    blk0 = sc.shape[0]
     if (_cand_select() == "packb2" and bucket % _GROUP == 0
-            and sc.shape[0] % _GROUP == 0):
+            and blk0 % _GROUP == 0
+            and blk0 & (blk0 - 1) == 0
+            and bucket & (bucket - 1) == 0):
         return _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref,
                                     rounds=rounds, bucket=bucket)
     blk, b = sc.shape
