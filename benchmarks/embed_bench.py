@@ -48,32 +48,21 @@ def main() -> None:
     if args.model == "siglip":
         # second family (models/siglip): 196-patch tower + MAP head,
         # SigLIP's [-1, 1] normalize
-        from video_quierer_tpu.models.siglip.fused import \
-            fused_siglip_vision_encode
         from video_quierer_tpu.models.siglip.model import (
             SigLIP, siglip_base_patch16, siglip_init_params)
         from video_quierer_tpu.ops.preprocess import (SIGLIP_MEAN,
                                                       SIGLIP_STD)
-        from video_quierer_tpu.models.siglip.fused import \
-            siglip_fused_vision_enabled
         cfg = siglip_base_patch16()
         model = SigLIP(cfg, dtype=dtype)
         params = siglip_init_params(model, seed=0)
-        # engine-true: SigLIP serving defaults the fused vision tower
-        # OFF (measured slower; VQT_SIGLIP_FUSED_VISION=1 opts in)
-        fused_ok = (siglip_fused_vision_enabled()
-                    and fused_vision_tower_eligible(cfg.vision, dtype)
-                    and fused_batch_eligible(args.batch,
-                                             cfg.vision.num_patches, dtype))
-        print(f"fused vision tower: {fused_ok}", file=sys.stderr)
+        # engine-true: SigLIP vision serves on the flax tower (the
+        # fused vision twin measured slower everywhere and was deleted
+        # in round 4 — models/siglip/fused.py)
 
         @jax.jit
         def forward(params, frames_u8):
             pixels = normalize_images(frames_u8, dtype=dtype,
                                       mean=SIGLIP_MEAN, std=SIGLIP_STD)
-            if fused_ok:
-                return fused_siglip_vision_encode(params, pixels,
-                                                  cfg=cfg, dtype=dtype)
             return model.apply({"params": params}, pixels,
                                method=SigLIP.encode_image)
     else:

@@ -334,21 +334,23 @@ def main() -> None:
     # fused run EXACTLY on hardware Mosaic
     import os as _os_pad
     from video_quierer_tpu.ops.fused_layer import fused_vision_seq
-    assert fused_vision_seq(cfg.vision.seq_len) == 56
-    _os_pad.environ["VQT_FUSED_VISION_PAD"] = "0"
+    assert fused_vision_seq(cfg.vision.seq_len) == 50  # pad is opt-in
+    _os_pad.environ["VQT_FUSED_VISION_PAD"] = "1"
     try:
-        unpadded = np.asarray(fused_vision_encode(params, pix, cfg=cfg,
-                                                  dtype=jnp.bfloat16))
+        assert fused_vision_seq(cfg.vision.seq_len) == 56
+        padded = np.asarray(fused_vision_encode(params, pix, cfg=cfg,
+                                                dtype=jnp.bfloat16))
     finally:
         del _os_pad.environ["VQT_FUSED_VISION_PAD"]
+    unpadded = got
     # exact-arithmetic identity is pinned by the f32 CPU test
     # (test_fused_layer.py); on hardware the pad changes the tile size
     # (t=400 → 448), and Mosaic's bf16 matmul strategy differs per tile
     # shape — measured ~2e-3 rounding spread, the same order as the
     # tower's own bf16 noise vs flax
-    cosp = np.sum(got * unpadded, axis=-1)
+    cosp = np.sum(padded * unpadded, axis=-1)
     assert cosp.min() > 0.9999, cosp.min()
-    np.testing.assert_allclose(got, unpadded, atol=5e-3)
+    np.testing.assert_allclose(padded, unpadded, atol=5e-3)
     print(f"[smoke] padded fused vision == unpadded (bf16 tile-shape "
           f"tolerance; min cos {cosp.min():.6f})")
 
@@ -395,7 +397,7 @@ def main() -> None:
     # fused SigLIP towers (second family: 768-wide split kernels,
     # gelu_tanh explicit-exp activation, non-causal text) vs flax
     from video_quierer_tpu.models.siglip.fused import (
-        fused_siglip_text_encode, fused_siglip_vision_encode)
+        fused_siglip_text_encode)
     from video_quierer_tpu.models.siglip.model import (
         SigLIP, siglip_base_patch16, siglip_init_params)
     scfg = siglip_base_patch16()
@@ -414,16 +416,6 @@ def main() -> None:
     cos = np.sum(got * ref, axis=-1)
     assert not np.isnan(got).any() and cos.min() > 0.999, cos.min()
     print(f"[smoke] fused SigLIP text tower == flax "
-          f"(min cos {cos.min():.6f})")
-    spix = jnp.asarray(rng.standard_normal((8, 224, 224, 3))
-                       .astype(np.float32))
-    ref = np.asarray(smodel.apply({"params": sparams}, spix,
-                                  method=SigLIP.encode_image))
-    got = np.asarray(fused_siglip_vision_encode(sparams, spix, cfg=scfg,
-                                                dtype=jnp.bfloat16))
-    cos = np.sum(got * ref, axis=-1)
-    assert not np.isnan(got).any() and cos.min() > 0.999, cos.min()
-    print(f"[smoke] fused SigLIP vision tower == flax "
           f"(min cos {cos.min():.6f})")
 
     print(f"ALL ENGINE DEVICE SURFACES OK on {jax.default_backend()}")

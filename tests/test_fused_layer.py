@@ -234,10 +234,12 @@ def _small_siglip_cfg():
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_fused_siglip_matches_flax(rng, dtype):
-    """Both SigLIP towers (non-causal, gelu_tanh, last-token / MAP-head
-    pooling) through the fused-layer kernels vs the flax oracle."""
+    """The SigLIP TEXT tower (non-causal, gelu_tanh, last-token
+    pooling) through the fused-layer kernels vs the flax oracle. The
+    fused VISION twin was deleted in round 4 — measured slower than
+    flax in every configuration (models/siglip/fused.py)."""
     from video_quierer_tpu.models.siglip.fused import (
-        fused_siglip_text_encode, fused_siglip_vision_encode)
+        fused_siglip_text_encode)
     from video_quierer_tpu.models.siglip.model import (
         SigLIP, siglip_init_params)
     cfg = _small_siglip_cfg()
@@ -250,24 +252,17 @@ def test_fused_siglip_matches_flax(rng, dtype):
     ids = jnp.asarray(
         rng.integers(1, cfg.text.vocab_size - 1,
                      size=(8, cfg.text.context_length)).astype(np.int32))
-    ref_t = np.asarray(model.apply({"params": params}, ids,
-                                   method=SigLIP.encode_text))
-    got_t = np.asarray(fused_siglip_text_encode(params, ids, cfg=cfg,
-                                                dtype=dtype))
-    pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
-                         .astype(np.float32))
-    ref_v = np.asarray(model.apply({"params": params}, pixels,
-                                   method=SigLIP.encode_image))
-    got_v = np.asarray(fused_siglip_vision_encode(params, pixels,
-                                                  cfg=cfg, dtype=dtype))
-    for got, ref in ((got_t, ref_t), (got_v, ref_v)):
-        assert got.shape == ref.shape and not np.isnan(got).any()
-        if dtype == jnp.float32:
-            np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
-        else:
-            assert np.sum(got * ref, axis=-1).min() > 0.999
-        np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
-                                   rtol=1e-5)
+    ref = np.asarray(model.apply({"params": params}, ids,
+                                 method=SigLIP.encode_text))
+    got = np.asarray(fused_siglip_text_encode(params, ids, cfg=cfg,
+                                              dtype=dtype))
+    assert got.shape == ref.shape and not np.isnan(got).any()
+    if dtype == jnp.float32:
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+    else:
+        assert np.sum(got * ref, axis=-1).min() > 0.999
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0,
+                               rtol=1e-5)
 
 
 def test_siglip_real_width_split_eligible():
@@ -386,11 +381,11 @@ def test_vision_pad_scheme_identical_outputs(rng, monkeypatch):
     params = init_params(model, seed=3)
     pixels = jnp.asarray(rng.standard_normal((8, 32, 32, 3))
                          .astype(np.float32))
-    monkeypatch.setenv("VQT_FUSED_VISION_PAD", "0")
-    assert fl.fused_vision_seq(17) == 17
+    monkeypatch.delenv("VQT_FUSED_VISION_PAD", raising=False)
+    assert fl.fused_vision_seq(17) == 17   # pad is opt-in (measured)
     unpadded = np.asarray(fl.fused_vision_encode(
         params, pixels, cfg=cfg, dtype=jnp.float32))
-    monkeypatch.delenv("VQT_FUSED_VISION_PAD")
+    monkeypatch.setenv("VQT_FUSED_VISION_PAD", "1")
     assert fl.fused_vision_seq(17) == 24
     padded = np.asarray(fl.fused_vision_encode(
         params, pixels, cfg=cfg, dtype=jnp.float32))
@@ -398,17 +393,23 @@ def test_vision_pad_scheme_identical_outputs(rng, monkeypatch):
     np.testing.assert_allclose(padded, unpadded, rtol=1e-6, atol=1e-6)
 
 
-def test_vision_pad_unlocks_b16_tiling():
-    """s=197 (B/16) has no legal tile; padded to 200 it tiles at bt=2
-    (t=400) — the gate the embedder/benches now consult."""
+def test_vision_pad_policy(monkeypatch):
+    """Padding is OPT-IN (measured losing/even where it changes the
+    tile — fused_vision_seq docstring records the same-session A/B):
+    default keeps the raw sequence; VQT_FUSED_VISION_PAD=1 pads to the
+    next sublane multiple, which legalizes tiles s=197 lacks."""
     from video_quierer_tpu.ops.fused_layer import (fused_batch_eligible,
                                                    fused_vision_seq)
+    monkeypatch.delenv("VQT_FUSED_VISION_PAD", raising=False)
+    assert fused_vision_seq(197) == 197    # default: no pad
+    assert fused_vision_seq(50) == 50
     assert not fused_batch_eligible(256, 197)
+    monkeypatch.setenv("VQT_FUSED_VISION_PAD", "1")
     assert fused_vision_seq(197) == 200
     assert fused_batch_eligible(256, fused_vision_seq(197))
     assert fused_vision_seq(50) == 56
     assert fused_vision_seq(196) == 200
-    assert fused_vision_seq(64) == 64
+    assert fused_vision_seq(64) == 64      # aligned: never padded
 
 
 def test_min_tokens_policy():

@@ -30,8 +30,6 @@ from video_quierer_tpu.models.clip.embedder import (
 from video_quierer_tpu.models.clip.tokenizer import HashTokenizer
 from video_quierer_tpu.models.siglip.fused import (
     fused_siglip_text_encode,
-    fused_siglip_vision_encode,
-    siglip_fused_vision_enabled,
 )
 from video_quierer_tpu.models.siglip.model import (
     SigLIP,
@@ -41,7 +39,6 @@ from video_quierer_tpu.models.siglip.model import (
 from video_quierer_tpu.ops.fused_layer import (
     fused_batch_eligible,
     fused_text_tower_eligible,
-    fused_vision_tower_eligible,
 )
 from video_quierer_tpu.ops.preprocess import (
     SIGLIP_MEAN,
@@ -104,14 +101,13 @@ class SigLIPEmbedder:
             self.params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16)
                 if a.dtype == jnp.float32 else a, self.params)
-        # fused-layer towers (ops/fused_layer.py via models/siglip/fused
+        # fused-layer tower (ops/fused_layer.py via models/siglip/fused
         # — SPLIT attn/MLP kernels at SigLIP's 768 width, gelu_tanh):
-        # same serving-only routing as CLIPEmbedder, per-call batch gate
+        # same serving-only routing as CLIPEmbedder, per-call batch
+        # gate. TEXT only: the fused vision twin measured slower than
+        # flax in every configuration and was deleted in round 4
+        # (models/siglip/fused.py docstring records the evidence)
         self._fused_text = fused_text_tower_eligible(self.cfg.text, dtype)
-        # vision: measured slower fused (see siglip_fused_vision_enabled)
-        self._fused_vision = (siglip_fused_vision_enabled()
-                              and fused_vision_tower_eligible(
-                                  self.cfg.vision, dtype))
         self._image_jit = jax.jit(self._encode_image)
         self._text_jit = jax.jit(self._encode_text)
         # stable identity for fused-executable caches (see CLIPEmbedder)
@@ -124,12 +120,6 @@ class SigLIPEmbedder:
     def _encode_image(self, params, frames_u8):
         pixels = normalize_images(frames_u8, dtype=self.model.dtype,
                                   mean=SIGLIP_MEAN, std=SIGLIP_STD)
-        if self._fused_vision and fused_batch_eligible(
-                pixels.shape[0], self.cfg.vision.num_patches,
-                self.model.dtype):
-            return fused_siglip_vision_encode(params, pixels,
-                                              cfg=self.cfg,
-                                              dtype=self.model.dtype)
         return self.model.apply({"params": params}, pixels,
                                 method=SigLIP.encode_image)
 

@@ -479,10 +479,20 @@ def _item_ids(t: int, s: int, s_live: int = None
 
 
 def fused_vision_seq(s: int) -> int:
-    """Padded vision sequence length (pad-token scheme): the next
-    sublane multiple, unless disabled (``VQT_FUSED_VISION_PAD=0``) or
-    already aligned. Callers gate batch eligibility on THIS length."""
-    if s % 8 == 0 or _os.environ.get("VQT_FUSED_VISION_PAD") == "0":
+    """Vision sequence length the fused tower will run (pad-token
+    scheme, ``VQT_FUSED_VISION_PAD=1`` opts in): the next sublane
+    multiple. OPT-IN by measurement (same-session v5e A/B 2026-08-20
+    ~14:36-14:54, B=256 bf16): padding B/32 to s'=56 reads 13,231 f/s
+    at the default tile (pad flops, bt unchanged) and 14,354 at bt=4 —
+    statistically the same as the unpadded t=400 config's 14,260 — so
+    padding buys nothing where a natural tile exists. Where it would
+    unlock a tile (B/16 s=197 → 200), the fused tower LOSES outright
+    (3,833 vs 4,031 flax f/s, same session): long-seq 768-wide towers
+    amortize XLA's per-op overhead on their own, and split-mode's HBM
+    round-trips + cross-item redundancy then cost more than fusion
+    saves — the same shape of result as SigLIP vision (round 3).
+    Callers gate batch eligibility on THIS length."""
+    if s % 8 == 0 or _os.environ.get("VQT_FUSED_VISION_PAD") != "1":
         return s
     return s + (8 - s % 8)
 
