@@ -168,11 +168,16 @@ def main() -> None:
                                       perm=perm, prefix=True)
         return _rerank(emb32, q, cand, valid)
 
+    # int4 serves at a DOUBLED fetch (DeviceVideoIndex._rerank_fetch:
+    # its candidate noise band is ~2x int8's; recall_bench pins
+    # clustered recall@10 = 1.000 at 512)
+    fetch4 = min(2 * fetch, 1024)
+
     @jax.jit
     def fused_int4(params, ids, codes4, scales4, perm, emb32, valid):
         q = _encode(params, ids)
-        _, cand = candidate_topk_int4(codes4, scales4, q, valid, k=fetch,
-                                      perm=perm, prefix=True)
+        _, cand = candidate_topk_int4(codes4, scales4, q, valid,
+                                      k=fetch4, perm=perm, prefix=True)
         return _rerank(emb32, q, cand, valid)
 
     @jax.jit

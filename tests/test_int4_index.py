@@ -165,3 +165,11 @@ def test_config_validation():
     cfg.index.corpus_shards = 4
     with pytest.raises(ValueError, match="single-device"):
         cfg.validate()
+
+
+def test_int4_fetch_doubles():
+    """int4's default candidate fetch is 2x the int8/bf16 fetch
+    (measured recall bar — device_index._rerank_fetch)."""
+    i8 = DeviceVideoIndex(device_dtype="int8")
+    i4 = DeviceVideoIndex(device_dtype="int4")
+    assert i4._rerank_fetch(10) == min(2 * i8._rerank_fetch(10), 1024)

@@ -1162,7 +1162,16 @@ class DeviceVideoIndex:
         from video_quierer_tpu.ops.topk import (APPROX_FETCH_CAP,
                                                 _approx_fetch)
         if self._candidate_impl() == "cand":
-            return min(_approx_fetch(k), APPROX_FETCH_CAP)
+            fetch = min(_approx_fetch(k), APPROX_FETCH_CAP)
+            if self.device_dtype == "int4":
+                # int4's candidate noise band is ~2× int8's (step
+                # absmax/7 vs /127), so dense near-tie clusters shuffle
+                # candidate ranks over a wider window: fetch doubles.
+                # Measured (recall_bench, v5e 2026-08-20): clustered
+                # recall@10 0.990 at fetch 256 → 1.000 at 512, at
+                # +0.3 ms/query re-rank cost.
+                fetch = min(2 * fetch, APPROX_FETCH_CAP)
+            return fetch
         return min(max(4 * k, k + 16), MAX_K)
 
     @staticmethod
