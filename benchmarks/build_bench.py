@@ -118,19 +118,18 @@ def main() -> None:
         # segment this batch's rows into their videos (a video can span
         # batch boundaries; appends per video-segment, like the engine)
         pos = 0
+        lo0 = idx.count
         while pos < b and start + pos < n_total:
             g = start + pos
             v, in_v = g // fpv, g % fpv
             n = min(fpv - in_v, b - pos, n_total - g)
             stamps = ((in_v + np.arange(n)) / 30.0).tolist()
-            if args.stream == "device":
-                idx.add_batch_device(feats_dev, f"v{v}.mp4", stamps,
-                                     offset=pos, feats_np=fetched)
-            else:
-                idx.add_batch(fetched[pos: pos + n], f"v{v}.mp4",
-                              stamps)
+            idx.add_batch(fetched[pos: pos + n], f"v{v}.mp4", stamps)
             pos += n
-        if args.stream == "host":
+        if args.stream == "device":
+            # one fused dispatch per embed batch (engine pattern)
+            idx.stream_rows_device(feats_dev, offset=0, n=pos, lo=lo0)
+        elif args.stream == "host":
             idx.sync_mirror()
         last_q = fetched[-1]
         vids = done // fpv

@@ -340,21 +340,21 @@ class VideoSearchEngine:
                     else:
                         feats = self.embed_frames(batch.frames)
                 pos = 0
+                lo0 = len(self.index)
                 for vidx, frames, stamps in group_by_video(batch):
                     n = frames.shape[0]
-                    if feats_dev is not None:
-                        # device-resident append: the mirror is fed by
-                        # on-device scatters straight from the embed
-                        # output — the features never re-cross the
-                        # host↔device link
-                        self.index.add_batch_device(
-                            feats_dev, Path(videos[vidx]).name, stamps,
-                            offset=pos, feats_np=feats)
-                    else:
-                        self.index.add_batch(feats[pos: pos + n],
-                                             Path(videos[vidx]).name,
-                                             stamps)
+                    self.index.add_batch(feats[pos: pos + n],
+                                         Path(videos[vidx]).name,
+                                         stamps)
                     pos += n
+                if feats_dev is not None:
+                    # device-resident streaming, flushed ONCE per embed
+                    # batch: the mirrors are fed by on-device scatters
+                    # straight from the embed output — the features
+                    # never re-cross the host↔device link, and the
+                    # whole batch costs one dispatch
+                    self.index.stream_rows_device(feats_dev, offset=0,
+                                                  n=pos, lo=lo0)
                 added += len(batch)
                 if ing.stream_mirror and feats_dev is None:
                     # host-path streaming: still per-batch, so the first

@@ -517,7 +517,7 @@ class DeviceVideoIndex:
 
     def _quantize_host(self, rows: np.ndarray):
         """Host-side per-row quantization for the active codes dtype —
-        bit-identical to the on-device quantizers (_stream_int8/_int4)."""
+        bit-identical to the on-device quantizer (_stream_kernel)."""
         if self.device_dtype == "int4":
             from video_quierer_tpu.ops.quantize import (
                 quantize_rows_int4_np)
@@ -911,75 +911,60 @@ class DeviceVideoIndex:
         return dev.at[dst].set(rows, mode="drop")
 
     @staticmethod
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def _stream_bf16(dev, perm_col, feats, old_src, old_dst, old_ids,
-                     new_src, new_dst, new_ids):
-        """Device-resident bf16 prefix append: relocate the rows this
-        batch's Fisher–Yates inserts displaced (gather against the
-        pre-batch buffer) and cast+scatter the new rows straight from
-        the embedder's device output. All positions host-computed
-        (``_extend_perm_to``), all bulk data device-resident."""
+    @functools.partial(jax.jit, static_argnames=("mode", "with_f32"),
+                       donate_argnums=(0, 1, 2, 3))
+    def _stream_kernel(dev, scales, perm_col, f32s, feats, old_src,
+                       old_dst, old_ids, new_src, new_dst, new_ids,
+                       f32_dst, *, mode: str, with_f32: bool):
+        """Device-resident prefix append, ONE dispatch for every
+        mirror: relocate the rows this batch's Fisher–Yates inserts
+        displaced (gather against the pre-batch buffer),
+        cast/quantize+scatter the new rows straight from the embedder's
+        device output, update the perm column, and (``with_f32``)
+        append the identity-layout f32 re-rank store — fused because
+        each extra dispatch pays the transport's ~2 ms floor, which
+        measured ~35%% of 10k-build throughput when streamed
+        per-append (build_bench --stream A/B 2026-08-20). All
+        positions host-computed (``_extend_perm_to``); quantization is
+        bit-parity with ``_quantize_host`` (same f32 reciprocal
+        multiply, round-half-even). ``mode``: "bf16" (``scales``
+        is a dummy), "int8", or "int4" (split-halves nibble pack,
+        ops/quantize.py)."""
         cap = dev.shape[0]
-        moved = jnp.take(dev, jnp.clip(old_src, 0, cap - 1), axis=0)
-        dev = dev.at[old_dst].set(moved, mode="drop")
-        rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
-                        axis=0).astype(dev.dtype)
-        dev = dev.at[new_dst].set(rows, mode="drop")
-        perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
-        perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
-        return dev, perm_col
-
-    @staticmethod
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def _stream_int8(codes, scales, perm_col, feats, old_src, old_dst,
-                     old_ids, new_src, new_dst, new_ids):
-        """int8 twin of :meth:`_stream_bf16`: quantization happens ON
-        DEVICE (bit-parity with the host path — both divide in f32)."""
-        cap = codes.shape[0]
         osrc = jnp.clip(old_src, 0, cap - 1)
-        codes = codes.at[old_dst].set(jnp.take(codes, osrc, axis=0),
-                                      mode="drop")
-        scales = scales.at[old_dst].set(jnp.take(scales, osrc, axis=0),
-                                        mode="drop")
+        dev = dev.at[old_dst].set(jnp.take(dev, osrc, axis=0),
+                                  mode="drop")
         rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
-                        axis=0).astype(jnp.float32)
-        absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
-        scl = absmax * jnp.float32(1.0 / 127.0)
-        safe = jnp.where(scl > 0, scl, 1.0)
-        q = jnp.clip(jnp.round(rows / safe), -127, 127).astype(jnp.int8)
-        codes = codes.at[new_dst].set(q, mode="drop")
-        scales = scales.at[new_dst].set(scl, mode="drop")
+                        axis=0)
+        if mode == "bf16":
+            dev = dev.at[new_dst].set(rows.astype(dev.dtype),
+                                      mode="drop")
+        else:
+            rf = rows.astype(jnp.float32)
+            scales = scales.at[old_dst].set(
+                jnp.take(scales, osrc, axis=0), mode="drop")
+            absmax = jnp.max(jnp.abs(rf), axis=-1, keepdims=True)
+            if mode == "int8":
+                scl = absmax * jnp.float32(1.0 / 127.0)
+                safe = jnp.where(scl > 0, scl, 1.0)
+                q = jnp.clip(jnp.round(rf / safe), -127,
+                             127).astype(jnp.int8)
+            else:
+                d = rf.shape[-1]
+                scl = absmax * jnp.float32(1.0 / 7.0)
+                safe = jnp.where(scl > 0, scl, 1.0)
+                q4 = jnp.clip(jnp.round(rf / safe), -7,
+                              7).astype(jnp.int8)
+                q = ((q4[:, d // 2:] << jnp.int8(4))
+                     | (q4[:, : d // 2] & jnp.int8(0xF)))
+            dev = dev.at[new_dst].set(q, mode="drop")
+            scales = scales.at[new_dst].set(scl, mode="drop")
         perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
         perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
-        return codes, scales, perm_col
-
-    @staticmethod
-    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def _stream_int4(codes, scales, perm_col, feats, old_src, old_dst,
-                     old_ids, new_src, new_dst, new_ids):
-        """int4 twin of :meth:`_stream_int8`: on-device quantize + the
-        split-halves nibble pack (ops/quantize.py:quantize_rows_int4,
-        bit-parity with the host path)."""
-        cap = codes.shape[0]
-        osrc = jnp.clip(old_src, 0, cap - 1)
-        codes = codes.at[old_dst].set(jnp.take(codes, osrc, axis=0),
-                                      mode="drop")
-        scales = scales.at[old_dst].set(jnp.take(scales, osrc, axis=0),
+        if with_f32:
+            f32s = f32s.at[f32_dst].set(rows.astype(jnp.float32),
                                         mode="drop")
-        rows = jnp.take(feats, jnp.clip(new_src, 0, feats.shape[0] - 1),
-                        axis=0).astype(jnp.float32)
-        d = rows.shape[-1]
-        absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
-        scl = absmax * jnp.float32(1.0 / 7.0)
-        safe = jnp.where(scl > 0, scl, 1.0)
-        q = jnp.clip(jnp.round(rows / safe), -7, 7).astype(jnp.int8)
-        packed = ((q[:, d // 2:] << jnp.int8(4))
-                  | (q[:, : d // 2] & jnp.int8(0xF)))
-        codes = codes.at[new_dst].set(packed, mode="drop")
-        scales = scales.at[new_dst].set(scl, mode="drop")
-        perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
-        perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
-        return codes, scales, perm_col
+        return dev, scales, perm_col, f32s
 
     def add_batch_device(self, feats, video_name: str,
                          timestamps: Sequence[float], *,
@@ -1012,6 +997,21 @@ class DeviceVideoIndex:
         feats_np = np.asarray(feats_np[offset: offset + n], np.float32)
         lo = self._count
         self.add_batch(feats_np, video_name, timestamps)
+        self.stream_rows_device(feats, offset=offset, n=n, lo=lo)
+
+    def stream_rows_device(self, feats, *, offset: int, n: int,
+                           lo: int) -> None:
+        """Stream rows [lo, lo+n) — already appended to the HOST store
+        — into the device mirrors from the device array ``feats`` (rows
+        ``offset..offset+n``). Callers that append several per-video
+        segments from ONE embed batch (the engine's ingest loop) append
+        host-side first and flush the device stream once per batch:
+        per-append flushes cost one dispatch floor each (~2 ms through
+        this environment's tunnel), which measured ~35%% of build
+        throughput at the 10k-video scale (build_bench --stream A/B,
+        2026-08-20)."""
+        if n == 0:
+            return
         with self._sync_lock:
             self._stream_append_device_locked(feats, offset, n, lo)
 
@@ -1076,6 +1076,24 @@ class DeviceVideoIndex:
                 if changed is None or self._perm_dev is None:
                     host_fallback()
                 else:
+                    # ready the f32 re-rank store FIRST so its append
+                    # fuses into the same single dispatch
+                    want_f32 = quantized and self._device_rerank_active()
+                    if want_f32:
+                        if self._device_f32 is None and lo == 0:
+                            self._device_f32 = jnp.zeros(
+                                (cap, self.dim), jnp.float32)
+                            self._f32_cap = cap
+                            self._f32_rows = 0
+                        if (self._device_f32 is not None
+                                and cap > self._f32_cap
+                                and self._f32_rows <= self._count):
+                            self._device_f32 = self._grow_rows(
+                                self._device_f32, new_rows=cap)
+                            self._f32_cap = cap
+                    with_f32 = (want_f32 and self._device_f32 is not None
+                                and self._f32_cap == cap
+                                and self._f32_rows == lo)
                     origin = self._fy_origin
                     m = len(origin)
                     old_ids = np.fromiter(origin.keys(), np.int32,
@@ -1094,24 +1112,34 @@ class DeviceVideoIndex:
                     new_src[:n] = offset + np.arange(n, dtype=np.int32)
                     new_ids_b = np.full(bkt, cap, np.int32)
                     new_ids_b[:n] = new_ids
-                    args = (feats, jnp.asarray(old_src),
-                            jnp.asarray(old_dst), jnp.asarray(old_ids_b),
-                            jnp.asarray(new_src), jnp.asarray(new_dst),
-                            jnp.asarray(new_ids_b))
+                    f32_dst = np.full(bkt, cap, np.int32)
+                    if with_f32:
+                        f32_dst[:n] = new_ids
+                    mode = {"bfloat16": "bf16", "int8": "int8",
+                            "int4": "int4"}[self.device_dtype]
+                    dummy = jnp.zeros((1, 1), jnp.float32)
+                    scales_op = (self._device_scales if self._codes
+                                 else dummy)
+                    f32_op = self._device_f32 if with_f32 else dummy
+                    (self._device_emb, scales_out, self._perm_dev,
+                     f32_out) = self._stream_kernel(
+                        self._device_emb, scales_op, self._perm_dev,
+                        f32_op, feats, jnp.asarray(old_src),
+                        jnp.asarray(old_dst), jnp.asarray(old_ids_b),
+                        jnp.asarray(new_src), jnp.asarray(new_dst),
+                        jnp.asarray(new_ids_b), jnp.asarray(f32_dst),
+                        mode=mode, with_f32=with_f32)
                     if self._codes:
-                        stream = (self._stream_int4
-                                  if self.device_dtype == "int4"
-                                  else self._stream_int8)
-                        (self._device_emb, self._device_scales,
-                         self._perm_dev) = stream(
-                            self._device_emb, self._device_scales,
-                            self._perm_dev, *args)
-                    else:
-                        self._device_emb, self._perm_dev = \
-                            self._stream_bf16(self._device_emb,
-                                              self._perm_dev, *args)
+                        self._device_scales = scales_out
+                    if with_f32:
+                        self._device_f32 = f32_out
+                        self._f32_rows = lo + n
                     self._device_rows = lo + n
-        # identity-layout f32 re-rank store rides the same device rows
+                    if with_f32 or not want_f32:
+                        return
+        # f32 re-rank store for the paths that didn't fuse it above
+        # ("id"-layout scatters, host fallbacks, store created
+        # mid-corpus): same incremental discipline, separate dispatch
         if quantized and self._device_rerank_active():
             if self._device_f32 is None and lo == 0:
                 self._device_f32 = jnp.zeros((cap, self.dim),
