@@ -1117,10 +1117,11 @@ class DeviceVideoIndex:
                         f32_dst[:n] = new_ids
                     mode = {"bfloat16": "bf16", "int8": "int8",
                             "int4": "int4"}[self.device_dtype]
-                    dummy = jnp.zeros((1, 1), jnp.float32)
+                    # distinct dummies: donated operands must not alias
                     scales_op = (self._device_scales if self._codes
-                                 else dummy)
-                    f32_op = self._device_f32 if with_f32 else dummy
+                                 else jnp.zeros((1, 1), jnp.float32))
+                    f32_op = (self._device_f32 if with_f32
+                              else jnp.zeros((1, 1), jnp.float32))
                     (self._device_emb, scales_out, self._perm_dev,
                      f32_out) = self._stream_kernel(
                         self._device_emb, scales_op, self._perm_dev,
