@@ -173,3 +173,14 @@ def test_int4_fetch_doubles():
     i8 = DeviceVideoIndex(device_dtype="int8")
     i4 = DeviceVideoIndex(device_dtype="int4")
     assert i4._rerank_fetch(10) == min(2 * i8._rerank_fetch(10), 1024)
+
+
+def test_int4_fused_at_b1(monkeypatch):
+    """int4 routes to the FUSED kernel at every width (min_b=1): its
+    approx path materializes the nibble unpack, and the same-window
+    hardware probe read fused 1.71 vs approx 2.73 ms/q at B=1
+    (ops/topk.py:_fused_usable)."""
+    from video_quierer_tpu.ops import topk as T
+    n = T.CAND_BLOCK_ROWS * 64          # clears prefix_fused_ok @ 256
+    assert T._fused_usable(n, 256, 1, min_b=1)
+    assert not T._fused_usable(n, 256, 1)       # int8/bf16 keep the gate

@@ -1682,13 +1682,20 @@ def _int8_native() -> bool:
 FUSED_MIN_B = int(_os.environ.get("VQT_FUSED_MIN_B", "8"))
 
 
-def _fused_usable(n_pad: int, fetch: int, b: int) -> bool:
+def _fused_usable(n_pad: int, fetch: int, b: int,
+                  min_b: int = None) -> bool:
     """The fused kernel engages for batched queries (``b >= FUSED_MIN_B``
     — see above) when the Pallas path is on, blocks and buckets divide
     evenly, and the bucket-winner list is at least as deep as the fetch
     (tiny corpora fall back to the approx scan, which is cheap at that
-    size)."""
-    if b < FUSED_MIN_B:
+    size). ``min_b`` overrides the batch gate: int4 passes 1 — its
+    approx path MATERIALIZES the nibble unpack (two [N, D/2] int8
+    temps ≈ 2× the packed read at 2M rows), so the fused kernel wins
+    at every width (same-window B=1 probe 2026-08-20 ~17:15: fused
+    1.71 vs approx 2.73 ms/q; int8 read fused 2.13 vs approx 2.58 in
+    that window too — conflicting with the round-3 record, left on the
+    approx default pending a re-probe)."""
+    if b < (FUSED_MIN_B if min_b is None else min_b):
         return False
     if n_pad <= 0 or n_pad % CAND_BLOCK_ROWS:
         return False
@@ -1824,7 +1831,8 @@ def candidate_stage_int4(packed: jax.Array, scales: jax.Array,
             queries)
     pallas = _pallas_mode()
     if prefix and pallas != "off" and _candidate_mode() != "approx" \
-            and _fused_usable(packed.shape[0], k, queries.shape[0]) \
+            and _fused_usable(packed.shape[0], k, queries.shape[0],
+                              min_b=1) \
             and (live is None or prefix_fused_ok(live, k)):
         if perm is None:
             perm = jnp.arange(packed.shape[0], dtype=jnp.int32)
