@@ -176,11 +176,14 @@ def test_int4_fetch_doubles():
 
 
 def test_int4_fused_at_b1(monkeypatch):
-    """int4 routes to the FUSED kernel at every width (min_b=1): its
-    approx path materializes the nibble unpack, and the same-window
-    hardware probe read fused 1.71 vs approx 2.73 ms/q at B=1
-    (ops/topk.py:_fused_usable)."""
+    """int4 routes to the FUSED kernel at every width (min_b=1) even
+    when an operator restores the old approx routing for the other
+    dtypes (VQT_FUSED_MIN_B=8): its approx path materializes the
+    nibble unpack, and the same-window hardware probe read fused 1.71
+    vs approx 2.73 ms/q at B=1 (ops/topk.py:_fused_usable)."""
     from video_quierer_tpu.ops import topk as T
     n = T.CAND_BLOCK_ROWS * 64          # clears prefix_fused_ok @ 256
-    assert T._fused_usable(n, 256, 1, min_b=1)
-    assert not T._fused_usable(n, 256, 1)       # int8/bf16 keep the gate
+    assert T._fused_usable(n, 256, 1)   # round-4 default: fused at B=1
+    monkeypatch.setattr(T, "FUSED_MIN_B", 8)
+    assert T._fused_usable(n, 256, 1, min_b=1)   # int4 override
+    assert not T._fused_usable(n, 256, 1)        # operator's gate

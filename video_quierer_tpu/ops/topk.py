@@ -1673,13 +1673,18 @@ def _int8_native() -> bool:
     return _os.environ.get("VQT_INT8_MXU", "native") == "native"
 
 
-# Minimum query batch for the fused kernel. Measured at 2M×512 on v5e
-# (scan_bench): at B=1 the approx scan's [1, N] score matrix is 8 MB —
-# noise — and approx wins (bf16 3.7 vs 4.0 ms; int8 2.4 vs 3.0); at
-# B=64 the [64, N] materialization makes approx ~11 ms/batch vs the
-# fused kernel's ~5 ms. Both stages run over the SAME permuted mirror,
-# so the recall contract is identical either way.
-FUSED_MIN_B = int(_os.environ.get("VQT_FUSED_MIN_B", "8"))
+# Minimum query batch for the fused kernel. Round 4 default: 1 — two
+# consecutive same-window B=1 A/Bs (2026-08-20 ~17:15 and ~17:29, 2M
+# rows, stacked-jit) read the FUSED kernel ahead at every dtype (bf16
+# 3.49 vs approx 4.20 ms/q; int8 2.14 vs 2.44; int4 1.71 vs 2.73),
+# reversing the round-3 record (approx 2.54 vs fused 5.18), whose
+# probe window ROADMAP itself flagged as heavily contended. At B>=64
+# the fused kernel wins by ~2x (the approx [B, N] score matrix
+# materializes), so the gate now only guards environments where an
+# operator re-measures the other way (VQT_FUSED_MIN_B=8 restores the
+# old routing). Both stages run over the SAME permuted mirror, so the
+# recall contract is identical either way.
+FUSED_MIN_B = int(_os.environ.get("VQT_FUSED_MIN_B", "1"))
 
 
 def _fused_usable(n_pad: int, fetch: int, b: int,
