@@ -248,6 +248,9 @@ def main() -> None:
     i8_ms, i8_tput = run_mode(
         "int8+f32-rerank single", lambda ids: fused_int8(
             params, ids, codes, scales, perm, emb, n_rows), all_ids, 1)
+    i4_ms, i4_tput = run_mode(
+        "int4+f32-rerank single", lambda ids: fused_int4(
+            params, ids, codes4, scales4, perm, emb, n_rows), all_ids, 1)
     f32_ms, f32_tput = run_mode(
         "exact-f32 single", lambda ids: fused_f32(
             params, ids, emb, n_rows), all_ids, 1)
@@ -280,6 +283,7 @@ def main() -> None:
         w512)
 
     modes = {"per-request bf16": bf16_tput, "per-request int8": i8_tput,
+             "per-request int4": i4_tput,
              f"{coalesce}-way coalesced bf16": co_tput,
              f"{coalesce}-way coalesced int8": co8_tput,
              f"{wide}-way coalesced bf16": w16_tput,
@@ -297,7 +301,8 @@ def main() -> None:
                 "candidate scan over the live-prefix mirror + exact f32 "
                 "re-rank per dispatch - f32-scored results; 1 chip, "
                 f"completion-forced; best mode: {mode}; per-query "
-                f"bf16 {bf16_ms:.2f} / int8 {i8_ms:.2f} ms pipelined, "
+                f"bf16 {bf16_ms:.2f} / int8 {i8_ms:.2f} / "
+                f"int4 {i4_ms:.2f} ms pipelined, "
                 f"exact-f32 scan {f32_ms:.2f} ms)",
         "vs_baseline": round(best / 100.0, 2),
     }))
