@@ -231,6 +231,53 @@ def test_device_append_after_search_and_remove(rng):
     assert res[0]["timestamp"] == 9.0
 
 
+def test_stream_codes_id_layout_falls_back(rng, monkeypatch):
+    """int8 under the exact-candidate escape hatch (identity layout) has
+    no streaming kernel: device appends must route through the host
+    quantize path, never materialize a FLOAT mirror that the int8 sync's
+    clean-check would then serve as codes (ADVICE r4 #1)."""
+    import jax.numpy as jnp
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VQT_CANDIDATE_TOPK", "pallas")
+    idx = DeviceVideoIndex(device_dtype="int8")
+    assert idx._mirror_layout() == "id"
+    rows = _rows(rng, 300)
+    idx.add_batch_device(jnp.asarray(rows), "a.mp4",
+                         np.arange(300, dtype=float))
+    assert idx._device_emb.dtype == jnp.int8
+    assert idx._device_scales is not None
+    lazy = DeviceVideoIndex(device_dtype="int8")
+    lazy.add_batch(rows, "a.mp4", np.arange(300, dtype=float))
+    q = _rows(rng, 2)
+    _results_equal(idx.search_batch(q, k=10), lazy.search_batch(q, k=10))
+
+
+def test_remove_then_append_past_old_marks(rng):
+    """remove_video compaction must invalidate the arrangement and the
+    f32 re-rank store: appends that push the row count back past the
+    pre-compaction high-water marks would otherwise make the incremental
+    syncs cover only the new tail, leaving stale device bytes on every
+    compaction-shifted row (ADVICE r4 #2)."""
+    idx = DeviceVideoIndex(device_dtype="int8", device_rerank="on")
+    a, b, c = _rows(rng, 600), _rows(rng, 600), _rows(rng, 700)
+    idx.add_batch(a, "a.mp4", np.arange(600, dtype=float))
+    idx.add_batch(b, "b.mp4", np.arange(600, dtype=float))
+    idx.sync_mirror()                       # marks at 1200
+    idx.remove_video("a.mp4")               # count 600, rows shifted
+    idx.add_batch(c, "c.mp4", np.arange(700, dtype=float))
+    idx.sync_mirror()                       # count 1300 > old marks
+    n = idx._count
+    perm = idx._perm
+    host = idx._emb[perm[:n]]
+    codes, scales = idx._quantize_host(host)
+    np.testing.assert_array_equal(np.asarray(idx._device_emb)[:n], codes)
+    np.testing.assert_array_equal(
+        np.asarray(idx._device_scales)[:n], scales)
+    np.testing.assert_array_equal(np.asarray(idx._device_f32)[:n],
+                                  idx._emb[:n])
+    assert idx._f32_rows == n
+
+
 def test_streamed_oversized_batch_falls_back(rng):
     """An append batch larger than the biggest update bucket full-places
     the mirror but stays correct."""

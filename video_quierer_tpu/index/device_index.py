@@ -421,6 +421,17 @@ class DeviceVideoIndex:
                 arr[:n] = arr[: self._count][keep]
             self._count = n
             self._device_rows = 0  # force a refresh of the mirror
+            # Compaction shifted every surviving row: the incremental
+            # sync paths only cover rows past their high-water marks, so
+            # a stale arrangement or f32 store would keep pre-compaction
+            # device bytes for the shifted rows if appends push _count
+            # back past those marks before the next sync (ADVICE r4 #2).
+            # Dropping them forces the full re-place path.
+            self._perm = None
+            self._perm_dev = None
+            self._device_f32 = None
+            self._f32_rows = 0
+            self._f32_cap = 0
             self._video_sums[vid] = 0.0
             self._video_counts[vid] = 0
             self._video_rev += 1
@@ -1034,7 +1045,13 @@ class DeviceVideoIndex:
             else:
                 self._sync_device_locked()
 
-        if bkt is None:
+        # Codes dtypes under the identity layout (int8 + the
+        # VQT_CANDIDATE_TOPK=pallas escape hatch) have no streaming
+        # kernel: the fresh-build/scatter branches below would
+        # materialize a FLOAT mirror with no scales, which the int8
+        # sync's clean-check then serves as codes (ADVICE r4 #1). The
+        # host path quantizes correctly for that layout.
+        if bkt is None or (self._codes and layout == "id"):
             host_fallback()
         else:
             if self._device_emb is None and lo == 0:

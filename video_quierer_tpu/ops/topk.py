@@ -1693,13 +1693,13 @@ def _fused_usable(n_pad: int, fetch: int, b: int,
     — see above) when the Pallas path is on, blocks and buckets divide
     evenly, and the bucket-winner list is at least as deep as the fetch
     (tiny corpora fall back to the approx scan, which is cheap at that
-    size). ``min_b`` overrides the batch gate: int4 passes 1 — its
-    approx path MATERIALIZES the nibble unpack (two [N, D/2] int8
-    temps ≈ 2× the packed read at 2M rows), so the fused kernel wins
-    at every width (same-window B=1 probe 2026-08-20 ~17:15: fused
-    1.71 vs approx 2.73 ms/q; int8 read fused 2.13 vs approx 2.58 in
-    that window too — conflicting with the round-3 record, left on the
-    approx default pending a re-probe)."""
+    size). All dtypes now default to fused at every width
+    (``FUSED_MIN_B = 1`` — the round-4 same-window B=1 A/Bs above).
+    ``min_b=1`` (int4) pins that routing even when an operator raises
+    ``VQT_FUSED_MIN_B``: int4's approx path MATERIALIZES the nibble
+    unpack (two [N, D/2] int8 temps ≈ 2× the packed read at 2M rows),
+    so the fused kernel wins there unconditionally (B=1 probe
+    2026-08-20 ~17:15: fused 1.71 vs approx 2.73 ms/q)."""
     if b < (FUSED_MIN_B if min_b is None else min_b):
         return False
     if n_pad <= 0 or n_pad % CAND_BLOCK_ROWS:
