@@ -175,3 +175,81 @@ def test_cache_reload_resets_f32_store(dtype, monkeypatch, rng):
         assert [r["frame_id"] for r in g] == [r["frame_id"] for r in w]
         np.testing.assert_allclose([r["score"] for r in g],
                                    [r["score"] for r in w], rtol=1e-6)
+
+
+# -- bf16 re-rank store (the at-scale policy, round-5) ---------------------
+
+@pytest.mark.parametrize("dtype", ["int4", "int8"])
+def test_bf16_store_matches_host_order(dtype, monkeypatch, rng):
+    """rerank_store_dtype='bfloat16' halves the store HBM; on a corpus
+    without sub-1e-3 near-ties the returned ids/order must still equal
+    the f32-exact host re-rank, with scores within bf16 rounding."""
+    params, encode_fn = _toy_encoder()
+    ids = rng.integers(0, 100, (8, 8)).astype(np.int32)
+    host = _filled_index(np.random.default_rng(7), device_dtype=dtype,
+                         device_rerank="off", near_ties=False)
+    dev = _filled_index(np.random.default_rng(7), device_dtype=dtype,
+                        device_rerank="on", near_ties=False,
+                        rerank_store_dtype="bfloat16")
+    assert dev._device_rerank_active()
+    assert dev.rerank_store_dtype == "bfloat16"
+    got_h = host.search_batch_fused(encode_fn, params, ids, k=6)
+    got_d = dev.search_batch_fused(encode_fn, params, ids, k=6)
+    assert dev._device_f32.dtype == jnp.bfloat16
+    for h, d in zip(got_h, got_d):
+        assert [r["frame_id"] for r in h] == [r["frame_id"] for r in d]
+        np.testing.assert_allclose([r["score"] for r in h],
+                                   [r["score"] for r in d],
+                                   rtol=0, atol=5e-3)
+
+
+def test_bf16_store_budget_math(monkeypatch, rng):
+    """auto-mode fits a bf16 store in half the budget an f32 store
+    needs: at a budget between the two, bf16 activates where f32
+    doesn't."""
+    f32 = _filled_index(rng, device_dtype="int8", device_rerank="auto")
+    b16 = _filled_index(np.random.default_rng(3), device_dtype="int8",
+                        device_rerank="auto",
+                        rerank_store_dtype="bfloat16")
+    cap, dim = f32._emb.shape
+    # budget that admits store*2 + mirror but not store*4 + mirror
+    mid_gb = (cap * dim * 3 + cap * (dim + 4)) / 1e9
+    monkeypatch.setenv("VQT_DEVICE_RERANK_BUDGET_GB", f"{mid_gb}")
+    assert not f32._device_rerank_active()
+    assert b16._device_rerank_active()
+
+
+def test_bf16_store_streams_on_device(rng):
+    """Device-resident appends feed the bf16 store in the same fused
+    dispatch; bytes must equal the host rows cast to bf16."""
+    idx = DeviceVideoIndex(dim=64, device_dtype="int4",
+                           device_rerank="on",
+                           rerank_store_dtype="bfloat16")
+    emb = rng.standard_normal((200, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    idx.add_batch_device(jnp.asarray(emb), "a.mp4",
+                         np.arange(200, dtype=float))
+    assert idx._device_f32 is not None
+    assert idx._device_f32.dtype == jnp.bfloat16
+    assert idx._f32_rows == 200
+    np.testing.assert_array_equal(
+        np.asarray(idx._device_f32)[:200],
+        emb.astype(jnp.bfloat16))
+
+
+def test_bf16_store_video_search_stays_on_host(rng):
+    """Video-level ranking must not run over a bf16 store (best frames
+    would carry storage error); it falls back to the exact host path."""
+    q = rng.standard_normal(64).astype(np.float32)
+    f32 = _filled_index(np.random.default_rng(7), device_dtype="float32")
+    want = f32.search_videos(q, k=4)
+    b16 = _filled_index(np.random.default_rng(7), device_dtype="int8",
+                        device_rerank="on",
+                        rerank_store_dtype="bfloat16")
+    got = b16.search_videos(q, k=4)
+    assert [r["video_name"] for r in got] == \
+        [r["video_name"] for r in want]
+    assert [r["best_timestamp"] for r in got] == \
+        [r["best_timestamp"] for r in want]
+    np.testing.assert_allclose([r["score"] for r in got],
+                               [r["score"] for r in want], rtol=1e-5)

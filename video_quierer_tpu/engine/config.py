@@ -148,6 +148,12 @@ class IndexConfig:
     # + mirror fit VQT_DEVICE_RERANK_BUDGET_GB (default 12);
     # "on"/"off" force it. f32 mode and corpus meshes ignore it.
     device_rerank: str = "auto"
+    # Device re-rank store precision: "float32" (f32-exact contract) or
+    # "bfloat16" (half the store HBM — the policy that keeps a DEVICE
+    # re-rank at corpus scales whose f32 store would not fit; returned
+    # scores carry bf16 storage rounding ~1e-3. Sizing:
+    # docs/OPERATIONS.md).
+    rerank_store_dtype: str = "float32"
 
 
 @dataclasses.dataclass
@@ -239,6 +245,9 @@ class EngineConfig:
         if self.index.device_rerank not in ("auto", "on", "off"):
             raise ValueError(
                 "index.device_rerank must be 'auto', 'on' or 'off'")
+        if self.index.rerank_store_dtype not in ("float32", "bfloat16"):
+            raise ValueError("index.rerank_store_dtype must be "
+                             "'float32' or 'bfloat16'")
         if self.index.ivf_nprobe <= 0:
             raise ValueError("ivf_nprobe must be positive")
         if self.model.parallel not in ("none", "pp"):
@@ -272,6 +281,7 @@ _ENV_OVERRIDES = {
     "VQT_CORPUS_SLICES": ("index.corpus_slices", int),
     "VQT_INDEX_DTYPE": ("index.device_dtype", str),
     "VQT_DEVICE_RERANK": ("index.device_rerank", str),
+    "VQT_RERANK_STORE_DTYPE": ("index.rerank_store_dtype", str),
     "VQT_INDEX_KIND": ("index.kind", str),
     "VQT_IVF_NLIST": ("index.ivf_nlist", int),
     "VQT_IVF_NPROBE": ("index.ivf_nprobe", int),

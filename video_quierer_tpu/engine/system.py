@@ -101,7 +101,8 @@ class VideoSearchEngine:
             dim=self.config.index.embed_dim,
             device_dtype=self.config.index.device_dtype,
             mesh=corpus_mesh,
-            device_rerank=self.config.index.device_rerank)
+            device_rerank=self.config.index.device_rerank,
+            rerank_store_dtype=self.config.index.rerank_store_dtype)
         self.metrics = SystemMetrics()
         self.query_cache = QueryResultCache(
             max_size=self.config.cache.query_cache_size,

@@ -132,8 +132,10 @@ def _device_exact_rerank(f32_rows: jax.Array, q: jax.Array,
     n_pad = f32_rows.shape[0]
     b = cand.shape[0]
     cand = cand.astype(jnp.int32)
+    # bf16 stores (the at-scale policy) upcast per-candidate tile:
+    # scores then carry only the STORAGE rounding, accumulation is f32
     rows = jnp.take(f32_rows, jnp.clip(cand, 0, n_pad - 1),
-                    axis=0)                                  # [B, f, D]
+                    axis=0).astype(jnp.float32)              # [B, f, D]
     # HIGHEST: exactness is the whole point of the re-rank stage, and
     # the candidate matrices are tiny (fetch·D per query)
     exact = jnp.einsum("bfd,bd->bf", rows, q,
@@ -156,7 +158,8 @@ class DeviceVideoIndex:
     """Exact-scan frame index, host-authoritative with a device mirror."""
 
     def __init__(self, dim: int = EMBED_DIM, device_dtype: str = "float32",
-                 mesh=None, device_rerank: str = "auto"):
+                 mesh=None, device_rerank: str = "auto",
+                 rerank_store_dtype: str = "float32"):
         """``device_dtype='bfloat16'`` halves the scan's HBM traffic (the
         entire cost of a query); results stay f32-scored and f32-ordered
         because the scan only FETCHES candidates that are exactly
@@ -187,6 +190,22 @@ class DeviceVideoIndex:
         if device_rerank not in ("auto", "on", "off"):
             raise ValueError(
                 f"unsupported device_rerank {device_rerank!r}")
+        rerank_store_dtype = os.environ.get("VQT_RERANK_STORE_DTYPE",
+                                            rerank_store_dtype)
+        if rerank_store_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"unsupported rerank_store_dtype {rerank_store_dtype!r}")
+        # Device re-rank store precision. "float32" (default): the fused
+        # re-rank is bit-identical to the host re-rank (f32-exact
+        # contract). "bfloat16" halves the store's HBM — the policy that
+        # lets the int4 tier keep a DEVICE re-rank at corpus scales
+        # whose f32 store would not fit (e.g. 10M rows: 10.2 GB bf16 +
+        # 2.6 GB int4 mirror on one 16 GB v5e vs a 20.5 GB f32 store) —
+        # at the documented trade: returned scores/order carry the bf16
+        # rounding of the STORED rows (~1e-3 relative; accumulation
+        # stays f32 in-kernel), so dense near-ties can swap vs the
+        # f32-exact contract. Sizing table: docs/OPERATIONS.md.
+        self.rerank_store_dtype = rerank_store_dtype
         self.dim = dim
         self.device_dtype = device_dtype
         # Quantized modes: keep an identity-layout f32 row store in HBM
@@ -370,6 +389,17 @@ class DeviceVideoIndex:
             "frame_id": int(self._frame_ids[row]),
         }
 
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size host capacity to at least ``n_rows``.
+
+        Large streamed builds (the 10k-video ultra_high north star:
+        ~10M rows) should reserve up front: capacity then never grows
+        mid-build, so the device mirrors materialize ONCE at full size
+        and every append is a bucketed scatter — no amortized-doubling
+        re-places and, at multi-GB mirror sizes, no transient 2×-HBM
+        peak from the device-side grow's concat."""
+        self._ensure_capacity(int(n_rows))
+
     def add_frame(self, embedding: np.ndarray, video_name: str,
                   timestamp: float) -> None:
         """Append one frame (ref: video_search_overhaul.py:31-38)."""
@@ -514,6 +544,16 @@ class DeviceVideoIndex:
                                              new_rows=cap)
         self._device_cap = cap
         return True
+
+    @property
+    def _store_jnp(self):
+        """jnp dtype of the device re-rank row store."""
+        return (jnp.bfloat16 if self.rerank_store_dtype == "bfloat16"
+                else jnp.float32)
+
+    @property
+    def _store_bytes_per_elem(self) -> int:
+        return 2 if self.rerank_store_dtype == "bfloat16" else 4
 
     @property
     def _codes(self) -> bool:
@@ -851,22 +891,27 @@ class DeviceVideoIndex:
         cap = self._emb.shape[0]
         mirror = cap * (self._codes_width + 4) if self._codes \
             else cap * self.dim * 2
-        return cap * self.dim * 4 + mirror <= budget
+        return cap * self.dim * self._store_bytes_per_elem + mirror \
+            <= budget
 
     def _sync_device_f32(self) -> jax.Array:
-        """Bring the identity-layout f32 row store up to date (same
+        """Bring the identity-layout re-rank row store up to date (same
         incremental discipline as the mirror: device-side grow on a
         capacity increase, full upload on compaction, bucketed
-        ``dynamic_update_slice`` appends)."""
+        ``dynamic_update_slice`` appends). Stored in
+        ``rerank_store_dtype`` (f32 default; bf16 = the at-scale
+        half-HBM policy, see __init__)."""
         cap = self._emb.shape[0]
+        dt = self._store_jnp
         if (self._device_f32 is not None and cap > self._f32_cap
                 and self._f32_rows <= self._count):
             self._device_f32 = self._grow_rows(self._device_f32,
                                                new_rows=cap)
             self._f32_cap = cap
         if self._device_f32 is None or self._f32_cap != cap \
-                or self._f32_rows > self._count:
-            self._device_f32 = jnp.asarray(self._emb, jnp.float32)
+                or self._f32_rows > self._count \
+                or self._device_f32.dtype != dt:
+            self._device_f32 = jnp.asarray(self._emb, dt)
             self._f32_cap = cap
             self._f32_rows = self._count
         elif self._f32_rows < self._count:
@@ -875,12 +920,13 @@ class DeviceVideoIndex:
             bucket = next((b for b in self._UPDATE_BUCKETS if n <= b),
                           None)
             if bucket is None or lo + bucket > cap:
-                self._device_f32 = jnp.asarray(self._emb, jnp.float32)
+                self._device_f32 = jnp.asarray(self._emb, dt)
             else:
                 rows = np.zeros((bucket, self.dim), np.float32)
                 rows[:n] = self._emb[lo:hi]
                 self._device_f32 = self._update_rows(
-                    self._device_f32, jnp.asarray(rows), jnp.int32(lo))
+                    self._device_f32, jnp.asarray(rows, dt),
+                    jnp.int32(lo))
             self._f32_rows = self._count
         return self._device_f32
 
@@ -973,7 +1019,7 @@ class DeviceVideoIndex:
         perm_col = perm_col.at[old_dst].set(old_ids, mode="drop")
         perm_col = perm_col.at[new_dst].set(new_ids, mode="drop")
         if with_f32:
-            f32s = f32s.at[f32_dst].set(rows.astype(jnp.float32),
+            f32s = f32s.at[f32_dst].set(rows.astype(f32s.dtype),
                                         mode="drop")
         return dev, scales, perm_col, f32s
 
@@ -1099,7 +1145,7 @@ class DeviceVideoIndex:
                     if want_f32:
                         if self._device_f32 is None and lo == 0:
                             self._device_f32 = jnp.zeros(
-                                (cap, self.dim), jnp.float32)
+                                (cap, self.dim), self._store_jnp)
                             self._f32_cap = cap
                             self._f32_rows = 0
                         if (self._device_f32 is not None
@@ -1161,7 +1207,7 @@ class DeviceVideoIndex:
         if quantized and self._device_rerank_active():
             if self._device_f32 is None and lo == 0:
                 self._device_f32 = jnp.zeros((cap, self.dim),
-                                             jnp.float32)
+                                             self._store_jnp)
                 self._f32_cap = cap
                 self._f32_rows = 0
             if (self._device_f32 is not None and cap > self._f32_cap
@@ -1565,7 +1611,8 @@ class DeviceVideoIndex:
         if self.mesh is None:
             if self.device_dtype == "float32":
                 emb32 = self._sync_device()
-            elif self._device_rerank_active():
+            elif self._device_rerank_active() \
+                    and self.rerank_store_dtype == "float32":
                 # quantized single-device deployments with the fused
                 # device re-rank active already maintain an
                 # identity-layout exact f32 row store in HBM — rank
