@@ -299,7 +299,10 @@ def main() -> None:
         "value": round(best, 1),
         "unit": "searches/sec sustained (CLIP text encode + 2M-frame fused "
                 "candidate scan over the live-prefix mirror + exact f32 "
-                "re-rank per dispatch - f32-scored results; 1 chip, "
+                "re-rank per dispatch - f32-scored results; corpus = 10k "
+                "videos at 'high' sampling = 200 f/video, NOT ultra_high "
+                "- the 10M-row ultra_high north star is measured "
+                "end-to-end in benchmarks/northstar_bench.py; 1 chip, "
                 f"completion-forced; best mode: {mode}; per-query "
                 f"bf16 {bf16_ms:.2f} / int8 {i8_ms:.2f} / "
                 f"int4 {i4_ms:.2f} ms pipelined, "
