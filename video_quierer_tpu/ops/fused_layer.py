@@ -359,18 +359,12 @@ def _fused_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
     )(idr, idc, x2, ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2, bfc2)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("heads", "eps", "causal", "act",
-                                    "interpret"))
-def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
-                      bfc1, wfc2, bfc2, *, heads: int, eps: float,
-                      causal: bool, act: str, interpret: bool):
-    """Split mode: the encoder block as TWO pallas_calls (attention
-    half, MLP half) for towers whose full weight set exceeds the VMEM
-    budget. The residual stream makes one HBM round-trip between the
-    halves — still ~5x fewer kernel launches than the unfused tower."""
+def _attn_half_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, *,
+                    heads: int, eps: float, causal: bool,
+                    interpret: bool):
+    """Attention half as one pallas_call (split mode; also timed alone
+    by benchmarks/vision_decomp_bench.py)."""
     big_t, d = x2.shape
-    f = wfc1.shape[1]
     t = idr.shape[0]
     x_spec = pl.BlockSpec((t, d), lambda i: (i, 0),
                           memory_space=pltpu.VMEM)
@@ -379,7 +373,7 @@ def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    x3 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_attn_half_kernel, heads=heads, eps=eps,
                           causal=causal),
         out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
@@ -400,9 +394,23 @@ def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
             transcendentals=big_t * heads * t,
         ),
     )(idr, idc, x2, ln, wqkv, bqkv, wout, bout)
+
+
+def _mlp_half_call(x3, ln, wfc1, bfc1, wfc2, bfc2, *, t: int,
+                   eps: float, act: str, interpret: bool):
+    """MLP half as one pallas_call (split mode's second kernel)."""
+    big_t, d = x3.shape
+    f = wfc1.shape[1]
+    x_spec = pl.BlockSpec((t, d), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+
+    def w_spec(shape):
+        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         functools.partial(_mlp_half_kernel, eps=eps, act=act),
-        out_shape=jax.ShapeDtypeStruct((big_t, d), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((big_t, d), x3.dtype),
         grid=(big_t // t,),
         in_specs=[
             x_spec,
@@ -414,11 +422,29 @@ def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(big_t // t) * 4 * t * f * d,
-            bytes_accessed=2 * big_t * d * x2.dtype.itemsize
-            + 2 * f * d * x2.dtype.itemsize,
+            bytes_accessed=2 * big_t * d * x3.dtype.itemsize
+            + 2 * f * d * x3.dtype.itemsize,
             transcendentals=big_t * f,
         ),
     )(x3, ln, wfc1, bfc1, wfc2, bfc2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "eps", "causal", "act",
+                                    "interpret"))
+def _split_layer_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout, wfc1,
+                      bfc1, wfc2, bfc2, *, heads: int, eps: float,
+                      causal: bool, act: str, interpret: bool):
+    """Split mode: the encoder block as TWO pallas_calls (attention
+    half, MLP half) for towers whose full weight set exceeds the VMEM
+    budget. The residual stream makes one HBM round-trip between the
+    halves — still ~5x fewer kernel launches than the unfused tower."""
+    t = idr.shape[0]
+    x3 = _attn_half_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout,
+                         heads=heads, eps=eps, causal=causal,
+                         interpret=interpret)
+    return _mlp_half_call(x3, ln, wfc1, bfc1, wfc2, bfc2, t=t, eps=eps,
+                          act=act, interpret=interpret)
 
 
 def _layer_operands(p: dict, dtype):
