@@ -790,7 +790,8 @@ def _sortable_keys(sc: jax.Array) -> jax.Array:
 
 
 def _bucket_select_rows(sc, live, base, vals_ref, idxs_ref, *,
-                        rounds: int, bucket: int):
+                        rounds: int, bucket: int,
+                        select: str = None):
     """Per-bucket top-``rounds`` selection over query-major scores.
 
     ``sc [B, blk]`` f32 raw block scores; ``live [1, blk]`` bool marks
@@ -816,7 +817,7 @@ def _bucket_select_rows(sc, live, base, vals_ref, idxs_ref, *,
     b, blk = sc.shape
     nb = blk // bucket
     w = rounds * nb
-    mode = _cand_select()
+    mode = select if select is not None else _cand_select()
     if mode == "packb2":
         mode = "packb"   # two-level is col-orientation only (see doc)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
@@ -985,7 +986,7 @@ def _bucket_select_cols2(sc, base, valid, vals_ref, idxs_ref, *,
 
 
 def _cand_kernel(valid_ref, emb_ref, perm_ref, qt_ref, vals_ref, idxs_ref,
-                 *, rounds: int, bucket: int):
+                 *, rounds: int, bucket: int, select: str = None):
     """One grid step of the fused candidate scan (f32/bf16 matrix):
     score a row block on the MXU, mask dead rows via the perm row, keep
     the top ``rounds`` of every ``bucket``-row bucket — scores never
@@ -1006,12 +1007,13 @@ def _cand_kernel(valid_ref, emb_ref, perm_ref, qt_ref, vals_ref, idxs_ref,
     # ([1, blk] → [B, blk] is an offset-0 broadcast — hardware-valid);
     # masking itself happens inside the selection (key-fused in packb)
     _bucket_select_rows(sc, perm_ref[0] < valid, pl.program_id(0) * blk,
-                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket)
+                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket,
+                        select=select)
 
 
 def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
                       qscale_ref, vals_ref, idxs_ref, *, rounds: int,
-                      bucket: int, native: bool):
+                      bucket: int, native: bool, select: str = None):
     """Int8 fused candidate step. ``native=True`` contracts int8 codes
     against int8-quantized queries on the MXU (int32 accumulate — no
     upcast of the 1-byte/element HBM read), rescaling by
@@ -1036,7 +1038,8 @@ def _cand_kernel_int8(valid_ref, emb_ref, scales_ref, perm_ref, qt_ref,
             preferred_element_type=jnp.float32)
         sc = raw * row_scale
     _bucket_select_rows(sc, perm_ref[0] < valid, pl.program_id(0) * blk,
-                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket)
+                        vals_ref, idxs_ref, rounds=rounds, bucket=bucket,
+                        select=select)
 
 
 # --------------------------------------------------------------------------
@@ -1073,7 +1076,8 @@ def _cand_orient(int8: bool = False) -> str:
 
 
 def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
-                        rounds: int, bucket: int):
+                        rounds: int, bucket: int,
+                        select: str = None):
     """Block-major twin of :func:`_bucket_select_rows` (packb keys only).
 
     ``sc [blk, B]`` f32 raw block scores; liveness = global mirror
@@ -1089,7 +1093,8 @@ def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
     so the bucket rounds run on an 8× smaller surface.
     """
     blk0 = sc.shape[0]
-    if (_cand_select() == "packb2" and bucket % _GROUP == 0
+    sel = select if select is not None else _cand_select()
+    if (sel == "packb2" and bucket % _GROUP == 0
             and blk0 % _GROUP == 0
             and blk0 & (blk0 - 1) == 0
             and bucket & (bucket - 1) == 0):
@@ -1132,7 +1137,7 @@ def _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref, *,
 
 
 def _cand_kernel_prefix(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref,
-                        *, rounds: int, bucket: int, orient: str):
+                        *, rounds: int, bucket: int, orient: str, select: str = None):
     """Fused candidate step over a live-prefix mirror (f32/bf16): no
     perm operand — liveness is position iota vs the valid count."""
     valid = valid_ref[0]
@@ -1147,7 +1152,7 @@ def _cand_kernel_prefix(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref,
             preferred_element_type=jnp.float32,
             precision=precision)                        # [blk, B]
         _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
     else:
         sc = jax.lax.dot_general(
             qt_ref[:], emb_ref[:],
@@ -1157,13 +1162,13 @@ def _cand_kernel_prefix(valid_ref, emb_ref, qt_ref, vals_ref, idxs_ref,
         live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
                 + base) < valid
         _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
 
 
 def _cand_kernel_int8_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
                              qscale_ref, vals_ref, idxs_ref, *,
                              rounds: int, bucket: int, native: bool,
-                             orient: str):
+                             orient: str, select: str = None):
     """Int8 live-prefix candidate step. Col orientation takes the row
     scales as a ``[blk, 1]`` block (lane-padded — ~1 MB VMEM per 2048
     rows; the layout the perm column could not afford, but the scales
@@ -1188,7 +1193,7 @@ def _cand_kernel_int8_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
                 preferred_element_type=jnp.float32)
             sc = raw * row_scale
         _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
     else:
         row_scale = scales_ref[0]                       # [1, blk]
         if native:
@@ -1207,7 +1212,7 @@ def _cand_kernel_int8_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
         live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
                 + base) < valid
         _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
 
 
 def _cand_merge(bvals: jax.Array, bidxs: jax.Array, perm: jax.Array,
@@ -1285,10 +1290,11 @@ _PERM_SPEC = pl.BlockSpec((1, 1, CAND_BLOCK_ROWS),
 
 @functools.partial(jax.jit,
                    static_argnames=("fetch", "rounds", "bucket",
-                                    "interpret"))
+                                    "select", "interpret"))
 def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
                       valid_count: jax.Array, *, fetch: int, rounds: int,
-                      bucket: int, interpret: bool = False
+                      bucket: int, select: str = None,
+                             interpret: bool = False
                       ) -> Tuple[jax.Array, jax.Array]:
     n_pad, d = emb.shape
     b = queries.shape[0]
@@ -1296,7 +1302,8 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
     n_blocks = n_pad // CAND_BLOCK_ROWS
     w = rounds * (CAND_BLOCK_ROWS // bucket)
     bvals, bidxs = pl.pallas_call(
-        functools.partial(_cand_kernel, rounds=rounds, bucket=bucket),
+        functools.partial(_cand_kernel, rounds=rounds, bucket=bucket,
+                          select=select),
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, b, w), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, b, w), jnp.int32),
@@ -1329,12 +1336,13 @@ def _pallas_cand_scan(emb: jax.Array, perm: jax.Array, queries: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("fetch", "rounds", "bucket", "native",
-                                    "interpret"))
+                                    "select", "interpret"))
 def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
                            perm: jax.Array, queries: jax.Array,
                            valid_count: jax.Array, *, fetch: int,
                            rounds: int, bucket: int, native: bool,
-                           interpret: bool = False
+                           select: str = None,
+                             interpret: bool = False
                            ) -> Tuple[jax.Array, jax.Array]:
     n_pad, d = codes.shape
     b = queries.shape[0]
@@ -1358,7 +1366,7 @@ def _pallas_cand_scan_int8(codes: jax.Array, scales: jax.Array,
                                memory_space=pltpu.VMEM)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel_int8, rounds=rounds, bucket=bucket,
-                          native=native),
+                          native=native, select=select),
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, b, w), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, b, w), jnp.int32),
@@ -1407,11 +1415,12 @@ def _prefix_out(orient: str, n_blocks: int, b: int, w: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("fetch", "rounds", "bucket", "orient",
-                                    "interpret"))
+                                    "select", "interpret"))
 def _pallas_cand_scan_prefix(emb: jax.Array, perm: jax.Array,
                              queries: jax.Array, valid_count: jax.Array,
                              *, fetch: int, rounds: int, bucket: int,
-                             orient: str, interpret: bool = False
+                             orient: str, select: str = None,
+                             interpret: bool = False
                              ) -> Tuple[jax.Array, jax.Array]:
     """Fused candidate scan over a live-PREFIX mirror (f32/bf16): the
     kernel reads only the matrix block and the query panel — dead-row
@@ -1425,7 +1434,7 @@ def _pallas_cand_scan_prefix(emb: jax.Array, perm: jax.Array,
     out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel_prefix, rounds=rounds,
-                          bucket=bucket, orient=orient),
+                          bucket=bucket, orient=orient, select=select),
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1454,12 +1463,13 @@ def _pallas_cand_scan_prefix(emb: jax.Array, perm: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("fetch", "rounds", "bucket", "native",
-                                    "orient", "interpret"))
+                                    "orient", "select", "interpret"))
 def _pallas_cand_scan_int8_prefix(codes: jax.Array, scales: jax.Array,
                                   perm: jax.Array, queries: jax.Array,
                                   valid_count: jax.Array, *, fetch: int,
                                   rounds: int, bucket: int, native: bool,
-                                  orient: str, interpret: bool = False
+                                  orient: str, select: str = None,
+                             interpret: bool = False
                                   ) -> Tuple[jax.Array, jax.Array]:
     """Int8 twin of :func:`_pallas_cand_scan_prefix`. The row scales are
     the one per-row operand left in-kernel: ``[1, 1, blk]`` lane-major
@@ -1498,7 +1508,7 @@ def _pallas_cand_scan_int8_prefix(codes: jax.Array, scales: jax.Array,
     out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel_int8_prefix, rounds=rounds,
-                          bucket=bucket, native=native, orient=orient),
+                          bucket=bucket, native=native, orient=orient, select=select),
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1530,7 +1540,7 @@ def _pallas_cand_scan_int8_prefix(codes: jax.Array, scales: jax.Array,
 def _cand_kernel_int4_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
                              qscale_ref, vals_ref, idxs_ref, *,
                              rounds: int, bucket: int, native: bool,
-                             orient: str):
+                             orient: str, select: str = None):
     """Int4 live-prefix candidate step: the packed ``[blk, D/2]`` block
     is read from HBM at 0.5 B/element and unpacked IN VMEM into the two
     split-halves code blocks; the score is two half-depth MXU dots (see
@@ -1565,7 +1575,7 @@ def _cand_kernel_int4_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
                        preferred_element_type=jnp.float32))
             sc = raw * row_scale
         _bucket_select_cols(sc, base, valid, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
     else:
         row_scale = scales_ref[0]                        # [1, blk]
         dn = (((0,), (1,)), ((), ()))
@@ -1590,17 +1600,18 @@ def _cand_kernel_int4_prefix(valid_ref, emb_ref, scales_ref, qt_ref,
         live = (jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
                 + base) < valid
         _bucket_select_rows(sc, live, base, vals_ref, idxs_ref,
-                            rounds=rounds, bucket=bucket)
+                            rounds=rounds, bucket=bucket, select=select)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("fetch", "rounds", "bucket", "native",
-                                    "orient", "interpret"))
+                                    "orient", "select", "interpret"))
 def _pallas_cand_scan_int4_prefix(packed: jax.Array, scales: jax.Array,
                                   perm: jax.Array, queries: jax.Array,
                                   valid_count: jax.Array, *, fetch: int,
                                   rounds: int, bucket: int, native: bool,
-                                  orient: str, interpret: bool = False
+                                  orient: str, select: str = None,
+                             interpret: bool = False
                                   ) -> Tuple[jax.Array, jax.Array]:
     """Int4 twin of :func:`_pallas_cand_scan_int8_prefix` over the packed
     split-halves mirror (``[N, D/2]`` int8 carrying two nibbles/byte)."""
@@ -1638,7 +1649,7 @@ def _pallas_cand_scan_int4_prefix(packed: jax.Array, scales: jax.Array,
     out_shapes, out_specs = _prefix_out(orient, n_blocks, b, w)
     bvals, bidxs = pl.pallas_call(
         functools.partial(_cand_kernel_int4_prefix, rounds=rounds,
-                          bucket=bucket, native=native, orient=orient),
+                          bucket=bucket, native=native, orient=orient, select=select),
         out_shape=out_shapes,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -1778,9 +1789,11 @@ def candidate_stage(emb: jax.Array, queries: jax.Array, valid_count,
             return _pallas_cand_scan_prefix(
                 emb, perm, queries, valid_count, fetch=k,
                 rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
-                orient=_cand_orient(), interpret=pallas == "interpret")
+                orient=_cand_orient(), select=_cand_select(),
+                interpret=pallas == "interpret")
         return _pallas_cand_scan(emb, perm, queries, valid_count, fetch=k,
                                  rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
+                                 select=_cand_select(),
                                  interpret=pallas == "interpret")
     return _approx_scan(emb, queries, valid_count, k=k,
                         recall=_approx_recall(), perm=perm, prefix=prefix)
@@ -1809,11 +1822,12 @@ def candidate_stage_int8(codes: jax.Array, scales: jax.Array,
                 codes, scales, perm, queries, valid_count, fetch=k,
                 rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
                 native=_int8_native(), orient=_cand_orient(int8=True),
-                interpret=pallas == "interpret")
+                select=_cand_select(), interpret=pallas == "interpret")
         return _pallas_cand_scan_int8(
             codes, scales, perm, queries, valid_count, fetch=k,
             rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
-            native=_int8_native(), interpret=pallas == "interpret")
+            native=_int8_native(), select=_cand_select(),
+            interpret=pallas == "interpret")
     return _approx_scan_int8(codes, scales, queries, valid_count, k=k,
                              recall=_approx_recall(), perm=perm,
                              native=_int8_native(), prefix=prefix)
@@ -1845,7 +1859,7 @@ def candidate_stage_int4(packed: jax.Array, scales: jax.Array,
             packed, scales, perm, queries, valid_count, fetch=k,
             rounds=CAND_ROUNDS, bucket=CAND_BUCKET,
             native=_int8_native(), orient=_cand_orient(int8=True),
-            interpret=pallas == "interpret")
+            select=_cand_select(), interpret=pallas == "interpret")
     return _approx_scan_int4(packed, scales, queries, valid_count, k=k,
                              recall=_approx_recall(), perm=perm,
                              native=_int8_native(), prefix=prefix)
