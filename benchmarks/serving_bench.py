@@ -104,6 +104,8 @@ def main() -> None:
                              k=args.k)
             log(f"warm bucket {b}: {time.time()-t0:.0f}s")
 
+        from video_quierer_tpu.utils import stageprof
+
         def run_phase(n_threads: int) -> dict:
             stop = threading.Event()
             counts = [0] * n_threads
@@ -138,10 +140,12 @@ def main() -> None:
                 t.start()
             time.sleep(5.0)                       # settle/compile tail
             base = sum(counts)
+            prof0 = stageprof.snapshot()
             t0 = time.time()
             time.sleep(args.seconds)
             total = sum(counts) - base
             wall = time.time() - t0
+            prof1 = stageprof.snapshot()
             stop.set()
             for t in threads:
                 t.join(timeout=10)
@@ -165,6 +169,19 @@ def main() -> None:
                      "client_latency_ms": lat_ms,
                      "coalesce_batch": batch,
                      "errors": len(errors)}
+            if stageprof.ENABLED and total:
+                # per-stage host cost, µs per QUERY (stages run once per
+                # flush; the delta divides by queries served this phase)
+                stages = {}
+                for name, (c1, s1) in prof1.items():
+                    c0, s0 = prof0.get(name, (0, 0.0))
+                    if c1 > c0:
+                        stages[name] = {
+                            "us_per_query": round(
+                                (s1 - s0) * 1e6 / total, 1),
+                            "ms_per_flush": round(
+                                (s1 - s0) * 1e3 / (c1 - c0), 2)}
+                phase["host_profile"] = stages
             log(f"phase {phase}")
             return phase
 

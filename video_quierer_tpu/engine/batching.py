@@ -58,6 +58,8 @@ import time
 from concurrent.futures import Future
 from typing import Dict, List, Tuple
 
+from video_quierer_tpu.utils import stageprof
+
 logger = logging.getLogger(__name__)
 
 
@@ -177,7 +179,8 @@ class SearchCoalescer:
             # the RESOLVER releases it (in-flight device indices must not
             # see index rows move — utils/locks.py documents the
             # cross-thread hand-off)
-            engine.lock.acquire_read()
+            with stageprof.span("lock_wait"):
+                engine.lock.acquire_read()
             try:
                 resolve = (engine._dispatch_batch_fused(queries, k)
                            if self.pipeline_depth else None)
@@ -220,8 +223,10 @@ class SearchCoalescer:
             items, queries, k, resolve, t0 = item
             try:
                 try:
-                    batches = resolve()
-                    results = [engine._format(r) for r in batches]
+                    with stageprof.span("resolve"):
+                        batches = resolve()
+                    with stageprof.span("format"):
+                        results = [engine._format(r) for r in batches]
                 except Exception:
                     # exotic (dispatch already succeeded): retry the whole
                     # group serially under the lock we still hold
@@ -230,8 +235,9 @@ class SearchCoalescer:
                     engine.metrics.inc("fused_search_fallbacks")
                     batches = engine._search_batch_impl(queries, k)
                     results = [engine._format(r) for r in batches]
-                for (_, fut), res in zip(items, results):
-                    fut.set_result(res)
+                with stageprof.span("deliver"):
+                    for (_, fut), res in zip(items, results):
+                        fut.set_result(res)
             except Exception as e:  # propagate to all waiters
                 logger.exception("coalesced resolve failed")
                 for _, fut in items:

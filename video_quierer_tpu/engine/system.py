@@ -662,18 +662,22 @@ class VideoSearchEngine:
             # chunk is dispatched before any result is fetched
             step = TEXT_BUCKETS[-1]
             parts = []
+            from video_quierer_tpu.utils.stageprof import span
             for lo in range(0, len(queries), step):
                 chunk = list(queries[lo:lo + step])
-                ids = emb.tokenizer(chunk)
-                ids = getattr(emb, "prepare_text_ids", lambda x: x)(ids)
+                with span("tokenize"):
+                    ids = emb.tokenizer(chunk)
+                    ids = getattr(emb, "prepare_text_ids",
+                                  lambda x: x)(ids)
                 n = ids.shape[0]
                 bucket = _bucket_for(n, TEXT_BUCKETS)
                 if n < bucket:
                     ids = np.concatenate([ids, np.tile(ids[-1:],
                                                        (bucket - n, 1))])
-                parts.append((n, self.index.search_batch_fused_async(
-                    emb.text_encode_fn, emb.params, ids,
-                    self._bucket_k(k))))
+                with span("dispatch"):
+                    parts.append((n, self.index.search_batch_fused_async(
+                        emb.text_encode_fn, emb.params, ids,
+                        self._bucket_k(k))))
 
             def resolve() -> List[List[Dict]]:
                 out: List[List[Dict]] = []
