@@ -90,13 +90,15 @@ def main() -> None:
     codes8 = jnp.zeros((n_pad, d), jnp.int8)
     scales8 = jnp.zeros((n_pad, 1), jnp.float32)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def place4(buf, sbuf, rows, lo):
         c, s = quantize_rows_int4(rows)
         return (jax.lax.dynamic_update_slice(buf, c, (lo, 0)),
                 jax.lax.dynamic_update_slice(sbuf, s, (lo, 0)))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def place8(buf, sbuf, rows, lo):
         c, s = quantize_rows(rows)
         return (jax.lax.dynamic_update_slice(buf, c, (lo, 0)),
