@@ -427,3 +427,33 @@ def test_min_tokens_policy():
     # boundary exactness: one token short of the gate stays flax
     assert not fused_batch_eligible(15, 16)
     assert fused_batch_eligible(16, 16)
+
+
+def test_mixed_attn_mlp_tiles_match_flax(rng, monkeypatch):
+    """Split mode with DIFFERENT attn/MLP tiles (the B/32-vision
+    mixed-tile config, round-5: attn t=200 / mlp t=400) must match the
+    flax tower exactly — the tile partition never changes the math."""
+    import video_quierer_tpu.ops.fused_layer as fl
+    monkeypatch.setenv("VQT_PALLAS_INTERPRET", "1")
+    # force split mode for the small tower and distinct tiles
+    monkeypatch.setattr(fl, "WEIGHT_BUDGET", 1)
+    monkeypatch.setattr(fl, "HALF_BUDGET", 10 * 2 ** 20)
+    # s=17 (16 patches + CLS, f32): bt must be a multiple of 8 —
+    # targets chosen so MLP tiles at bt=16 (t=272) and attn at bt=8
+    # (t=136), proving the halves really run on different grids
+    monkeypatch.setattr(fl, "TOKEN_TARGET", 1100)
+    monkeypatch.setattr(fl, "ATTN_TOKEN_TARGET", 300)
+    cfg = _small_vision_cfg()
+    model = CLIP(cfg, dtype=jnp.float32)
+    params = init_params(model, seed=3)
+    b, s = 16, cfg.vision.seq_len
+    t = fl._tile_tokens(b, s, 4)
+    t_attn = fl._tile_tokens(b, s, 4, token_target=300)
+    assert t == 272 and t_attn == 136    # the mixed path is exercised
+    pixels = jnp.asarray(rng.standard_normal((b, 32, 32, 3))
+                         .astype(np.float32))
+    ref = np.asarray(model.apply({"params": params}, pixels,
+                                 method=CLIP.encode_image))
+    got = np.asarray(fl.fused_vision_encode(params, pixels, cfg=cfg,
+                                            dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

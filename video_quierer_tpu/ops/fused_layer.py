@@ -175,19 +175,82 @@ def fused_seq_eligible(s: int) -> bool:
     return s % 8 == 0
 
 
-def _tile_tokens(b: int, s: int, itemsize: int = 2) -> int:
+def _tile_tokens(b: int, s: int, itemsize: int = 2,
+                 token_target: int = None) -> int:
     """Tokens per grid step: the largest ``bt·s`` with ``bt`` a divisor
     of ``b``, ``bt·s`` under the token target (cross-item attention
     redundancy grows with the tile; f32 tiles halve so split-mode
     activations stay inside VMEM next to the weights) and ``bt·s`` a
     sublane multiple. 0 = no valid tile (caller falls back to the
     unfused tower)."""
-    target = max(1, TOKEN_TARGET * 2 // itemsize // s)
+    if token_target is None:
+        token_target = TOKEN_TARGET
+    target = max(1, token_target * 2 // itemsize // s)
     best = 0
     for cand in range(1, min(b, target) + 1):
         if b % cand == 0 and (cand * s) % 8 == 0:
             best = cand
     return best * s
+
+
+# Scoped-VMEM ceiling the split-half tiles must fit (bytes; the
+# hardware limit is 16 MB — small headroom for Mosaic's fixed
+# temporaries). Found the hard way (round 5): the padded-vision MLP
+# half at t=896 / d=768 exceeds the scoped limit on a FRESH compile —
+# it had shipped working only because a cached executable kept
+# serving; any program change around it forced a recompile and an AOT
+# "Ran out of memory in vmem while allocating on stack" error. The
+# per-token coefficients below are fitted to the compiler's OWN
+# accounting from that failure: at d=768/r=4 bf16, t=400 reports
+# 15.60M (fits) and t=448 16.21-16.33M (rejected) -> MLP per-token
+# bytes = 2 double-buffered [t,d] stream blocks + the [t,r·d]
+# intermediate + one f32 [t,d] working copy = d·(4i + r·i + 4).
+_SCOPED_VMEM = int(_os.environ.get("VQT_SCOPED_VMEM_BYTES",
+                                   str(15_800_000)))
+
+
+def _mlp_tile_max(d: int, mlp_ratio: int, itemsize: int) -> int:
+    """Largest token tile whose MLP-half working set fits scoped VMEM
+    (coefficients fitted to the hardware compiler's accounting — see
+    _SCOPED_VMEM)."""
+    budget = _SCOPED_VMEM - _mlp_weight_bytes(d, mlp_ratio, itemsize)
+    per_tok = d * (4 * itemsize + mlp_ratio * itemsize + 4)
+    return max(8, budget // per_tok)
+
+
+def _attn_tile_max(d: int, itemsize: int) -> int:
+    """Largest token tile whose attention-half working set (weights +
+    double-buffered [t, d] stream blocks + [t, 3d] qkv + one f32
+    [t, d] copy + two f32 [t, t] score surfaces) fits scoped VMEM —
+    conservative quadratic solve."""
+    w = _attn_weight_bytes(d, itemsize)
+    budget = _SCOPED_VMEM - w
+    lin = d * (7 * itemsize + 4)
+    quad = 8.0
+    disc = lin * lin + 4.0 * quad * budget
+    return max(8, int(((disc ** 0.5) - lin) / (2 * quad)))
+
+
+def _fit_tile(t: int, b: int, s: int, itemsize: int,
+              max_tokens: int) -> int:
+    """Shrink ``t`` to the largest legal tile (bt | b, bt·s sublane
+    multiple) not exceeding ``max_tokens``; returns t unchanged when it
+    already fits, 0 when no legal tile fits."""
+    if t <= max_tokens:
+        return t
+    best = 0
+    for cand in range(1, b + 1):
+        if b % cand == 0 and (cand * s) % 8 == 0 \
+                and cand * s <= max_tokens:
+            best = cand
+    return best * s
+
+
+# Split-mode attention-half token target (vision towers): smaller than
+# the shared TOKEN_TARGET because the attention surface pays t² x
+# cross-item redundancy — see _run_layers for the measured win. 0
+# disables the mixed-tile path (attn shares the MLP tile).
+ATTN_TOKEN_TARGET = int(_os.environ.get("VQT_FUSED_ATTN_TOKENS", "256"))
 
 
 def _ln_f32(x2: jax.Array, scale: jax.Array, bias: jax.Array,
@@ -526,7 +589,15 @@ def fused_vision_seq(s: int) -> int:
 def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
                 eps: float, s: int, t: int, dtype, causal: bool,
                 mlp_ratio: int, act: str = "quick_gelu",
-                s_live: int = None):
+                s_live: int = None, t_attn: int = None):
+    """``t_attn``: split-mode attention-half tile override. The two
+    split kernels need not share a tile — the attention half pays a
+    t²-scaled cross-item redundancy the MLP half doesn't, so a SMALLER
+    attn tile with the MLP at the full target wins where the
+    per-kernel overhead is already amortized (same-session v5e A/B
+    2026-08-20 ~22:35, B/32 vision B=256: attn-12 8.40 ms at t=400 →
+    6.97 at t=200 while mlp-12 prefers 400: 9.23 vs 9.78 — mixed tiles
+    recover ~1.4 ms of the 18 ms tower). Ignored in full mode."""
     interpret = _pallas_mode() == "interpret"
     mode = _layer_mode(x2.shape[1], mlp_ratio, dtype)
     if not mode:
@@ -537,13 +608,44 @@ def _run_layers(x2, tower_params, *, num_layers: int, heads: int,
             f"fused-layer weights for width {x2.shape[1]} exceed both "
             "VQT_FUSED_LAYER_BUDGET and VQT_FUSED_HALF_BUDGET; use the "
             "flax tower")
-    call = _fused_layer_call if mode == "full" else _split_layer_call
-    idr, idc = _item_ids(t, s, s_live)
+    if mode == "split":
+        # cap tiles to what scoped VMEM actually fits on a fresh
+        # compile (see _SCOPED_VMEM) — a tile the enumeration likes can
+        # still blow the kernel's stack at wide d·ratio
+        itemsize = jnp.dtype(dtype).itemsize
+        d = x2.shape[1]
+        b = x2.shape[0] // s
+        mlp_max = _mlp_tile_max(d, mlp_ratio, itemsize)
+        attn_max = _attn_tile_max(d, itemsize)
+        if t_attn is None or t_attn == t:
+            t_fit = _fit_tile(t, b, s, itemsize, min(mlp_max, attn_max))
+        else:
+            t_fit = _fit_tile(t, b, s, itemsize, mlp_max)
+            t_attn = _fit_tile(t_attn, b, s, itemsize, attn_max)
+        if not t_fit or (t_attn is not None and not t_attn):
+            raise ValueError(
+                f"no legal split-mode tile fits scoped VMEM for width "
+                f"{d} at s={s}; use the flax tower")
+        t = t_fit
+    if mode == "full" or t_attn is None or t_attn == t:
+        call = _fused_layer_call if mode == "full" else _split_layer_call
+        idr, idc = _item_ids(t, s, s_live)
+        for i in range(num_layers):
+            ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
+                                  dtype)
+            x2 = call(x2, idr, idc, *ops, heads=heads, eps=eps,
+                      causal=causal, act=act, interpret=interpret)
+        return x2
+    idr, idc = _item_ids(t_attn, s, s_live)
     for i in range(num_layers):
-        ops = _layer_operands(tower_params["encoder"][f"layers_{i}"],
-                              dtype)
-        x2 = call(x2, idr, idc, *ops, heads=heads, eps=eps,
-                  causal=causal, act=act, interpret=interpret)
+        (ln, wqkv, bqkv, wout, bout, wfc1, bfc1, wfc2,
+         bfc2) = _layer_operands(tower_params["encoder"][f"layers_{i}"],
+                                 dtype)
+        x2 = _attn_half_call(x2, idr, idc, ln, wqkv, bqkv, wout, bout,
+                             heads=heads, eps=eps, causal=causal,
+                             interpret=interpret)
+        x2 = _mlp_half_call(x2, ln, wfc1, bfc1, wfc2, bfc2, t=t,
+                            eps=eps, act=act, interpret=interpret)
     return x2
 
 
@@ -624,11 +726,19 @@ def fused_vision_encode(params, pixel_values: jax.Array, *, cfg,
     x2 = _ln_f32(x2, pre["scale"].astype(jnp.float32)[None],
                  pre["bias"].astype(jnp.float32)[None],
                  c.layer_norm_eps, dtype)
+    t_attn = (_tile_tokens(b, s_pad, jnp.dtype(dtype).itemsize,
+                           token_target=ATTN_TOKEN_TARGET)
+              if ATTN_TOKEN_TARGET else None)
     x2 = _run_layers(x2, vp, num_layers=c.num_layers,
                      heads=c.num_heads, eps=c.layer_norm_eps, s=s_pad,
                      t=t, dtype=dtype, causal=False,
-                     mlp_ratio=c.mlp_ratio, s_live=s)
-    pooled = x2[jnp.arange(b) * s_pad]                   # CLS tokens
+                     mlp_ratio=c.mlp_ratio, s_live=s,
+                     t_attn=t_attn or None)
+    # CLS pool as a reshape+slice, not a strided GATHER: the gather
+    # form measured 2.2 ms standalone per 256-batch on v5e (a ~0-FLOP
+    # epilogue; vision_decomp_bench 2026-08-20) — slices lower to a
+    # strided copy
+    pooled = x2.reshape(b, s_pad, d)[:, 0]               # CLS tokens
     post = vp["post_layernorm"]
     pooled = _ln_f32(pooled, post["scale"].astype(jnp.float32)[None],
                      post["bias"].astype(jnp.float32)[None],
