@@ -49,6 +49,15 @@ def main() -> None:
     ap.add_argument("--nlist", type=int, default=0)
     ap.add_argument("--nprobes", default="4,8,16,32,64")
     ap.add_argument("--kmeans-iters", type=int, default=6)
+    ap.add_argument("--noise", type=float, default=0.02,
+                    help="per-dim cluster noise. At d=512 the noise "
+                         "NORM is noise*sqrt(512): 0.15 (recall_bench's "
+                         "candidate-stage convention) gives noise-norm "
+                         "~3.4x the center - a near-uniform sphere NO "
+                         "method can cluster (measured: kmeans 6 vs 15 "
+                         "iters both read recall ~0.2-0.4). 0.02 gives "
+                         "in-cluster cos ~0.9, the realistic "
+                         "video-frame regime")
     ap.add_argument("--skip-exact", action="store_true")
     args = ap.parse_args()
 
@@ -78,14 +87,14 @@ def main() -> None:
         lo, hi = c * per, min((c + 1) * per, n)
         if hi <= lo:
             break
-        pts = centers[c] + 0.15 * rng.standard_normal(
+        pts = centers[c] + args.noise * rng.standard_normal(
             (hi - lo, d)).astype(np.float32)
         pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
         emb[lo:hi] = pts
     log(f"corpus built in {time.time() - t0:.0f}s")
 
     q_idx = rng.integers(0, n, nq)
-    queries = emb[q_idx] + 0.03 * rng.standard_normal(
+    queries = emb[q_idx] + (args.noise / 5.0) * rng.standard_normal(
         (nq, d)).astype(np.float32)
     queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
     q_batches = [queries[i * args.width:(i + 1) * args.width]
@@ -114,7 +123,7 @@ def main() -> None:
         return hits / (nq * args.k)
 
     out = {"rows": n, "k": args.k, "queries": nq, "width": args.width,
-           "ivf": {}, "exact": {}}
+           "ivf": {}, "exact": {}, "noise": args.noise}
 
     # ---- IVF tier ----
     ivf = IVFIndex(nlist=args.nlist or None,
